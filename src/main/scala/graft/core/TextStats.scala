@@ -1,0 +1,152 @@
+package graft.core
+
+/** Text-analysis primitives for the training-data pipeline operators: token
+  * counting, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * All pure Scala, deterministic, usable both inside Spark stages and in tests.
+  * Hashing is a public-domain splitmix64/FNV mix — NOT tied to Spark's hash
+  * functions, so the operators that must be DuckDB-checkable avoid it and the
+  * ones that can't be (minhash/simhash) standardize on it.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (reference tokenizes with NLTK word_tokenize /
+    * `str.split`; we pin simple `\s+` splitting for the count path). */
+  def wsTokens(s: String): Array[String] = {
+    val t = PyStr.strip(s)
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** BPE-ish sub-word regex tokenizer: letter runs, digit runs, single
+    * punctuation marks — a deterministic stand-in for a real BPE vocab. */
+  private val BpeIsh = java.util.regex.Pattern.compile("[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]")
+  def bpeIshTokens(s: String): Array[String] = {
+    val m = BpeIsh.matcher(s)
+    val b = Array.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  /** Tiny per-language stopword lists (public common words) for the n-gram/
+    * stopword language-ID heuristic. */
+  val StopWords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "de" -> Set("der", "die", "und", "das", "in", "ist", "von", "mit", "den", "ein"),
+    "fr" -> Set("le", "la", "et", "les", "des", "en", "un", "du", "que", "est"),
+  )
+
+  /** Stopword-ratio language ID; "und" (undetermined) when nothing matches.
+    * Ties broken by language code ascending (deterministic). */
+  def langId(s: String): String = {
+    val toks = wsTokens(s.toLowerCase)
+    if (toks.isEmpty) return "und"
+    val scores = StopWords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      lang -> toks.count(sw.contains)
+    }
+    val maxHits = scores.map(_._2).max
+    if (maxHits == 0) "und" else scores.filter(_._2 == maxHits).minBy(_._1)._1
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, alpha ratio,
+    * punctuation ratio, stopword ratio, mean word length band. */
+  def qualityScore(s: String): Double = {
+    val n = s.length
+    if (n == 0) return 0.0
+    val toks = wsTokens(s)
+    val alpha = s.count(_.isLetter).toDouble / n
+    val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / n
+    val sw = if (toks.isEmpty) 0.0
+      else toks.count(t => StopWords("en").contains(t.toLowerCase)).toDouble / toks.length
+    val meanWord = if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length
+    val lenBand = math.min(1.0, n / 200.0)
+    val wordBand = if (meanWord >= 3 && meanWord <= 10) 1.0 else 0.5
+    val p = 0.3 * lenBand + 0.25 * alpha + 0.2 * math.min(sw * 4, 1.0) +
+      0.15 * wordBand + 0.1 * (1.0 - math.min(punct * 5, 1.0))
+    math.max(0.0, math.min(1.0, p))
+  }
+
+  /** splitmix64 — public-domain (Steele et al.) avalanche mix. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit string hash: FNV-1a over UTF-8 then splitmix finalization. */
+  def hash64(s: String, seed: Long = 0L): Long = {
+    var h = 0xCBF29CE484222325L ^ seed
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Rolling polynomial document fingerprint (Rabin-Karp style, base 257). */
+  def fingerprint(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 257L + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** Word k-shingles. */
+  def shingles(s: String, k: Int): Array[String] =
+    wsTokens(s.toLowerCase) match {
+      case toks if toks.length < k => if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+      case toks => toks.sliding(k).map(_.mkString(" ")).toArray
+    }
+
+  /** MinHash signature of `numHashes` 64-bit minima over the shingle set. */
+  def minHash(sh: Array[String], numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes) { i =>
+      if (sh.isEmpty) Long.MaxValue
+      else sh.iterator.map(t => hash64(t, i.toLong * 0x9E3779B97F4A7C15L)).min
+    }
+
+  /** 64-bit SimHash over tokens. */
+  def simHash(tokens: Array[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Jaccard similarity of word n-gram sets. */
+  def ngramJaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingles(a, k).toSet
+    val sb = shingles(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Cosine similarity of dense float vectors (left-to-right summation order —
+    * pinned so results are bit-reproducible). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
