@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{Dataset, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The north-rule operator: distributed per-conversation section extraction.
+  *
+  * Logical shape (SURVEY §3.1): scan → exchange on conv_id → within-partition
+  * sort by (conv_id, turn_idx) → streaming per-conversation FSM
+  * (`ConvParser`, identical code to the single-threaded oracle) → typed
+  * `Dataset[TurnResult]`.
+  *
+  * Scale design:
+  *  - ONE shuffle total; the sort rides the shuffle (sortWithinPartitions on
+  *    the DF plane, repartitionAndSortWithinPartitions on the skew-aware
+  *    plane) — no extra exchange for ordering.
+  *  - A conversation NEVER splits across tasks (FSM state is sequential);
+  *    skew from heavy-tail conversation lengths is handled by routing each
+  *    "monster" conversation to its own dedicated partition while normal
+  *    conversations hash into the rest (`extractSkewAware`). Only the heavy
+  *    hitters are collected to the driver (rare by definition — bounded).
+  *  - Memory per task is bounded by the largest single conversation (the P8
+  *    front-matter gate needs one look-ahead pass over the conversation,
+  *    cis_pdf_parser.py:85-90), not by partition size: the group iterator
+  *    streams conversation-by-conversation.
+  */
+object Extraction {
+
+  case class Config(
+      numPartitions: Int = 32,
+      /** conversations with more turns than this get dedicated partitions */
+      monsterThreshold: Long = 2000L,
+      /** strip HTML boilerplate from turn text before the FSM (north-rule
+        * DOM-heuristic stage; off for reference-exact golden comparison) */
+      stripHtml: Boolean = false)
+
+  /** Groups a (conv_id, turn_idx)-sorted iterator into per-conversation runs
+    * without materializing more than one conversation at a time. */
+  private[operators] def groupedByConv(it: Iterator[Turn]): Iterator[(String, IndexedSeq[Turn])] =
+    new Iterator[(String, IndexedSeq[Turn])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (String, IndexedSeq[Turn]) = {
+        val cid = buf.head.conv_id
+        val b = IndexedSeq.newBuilder[Turn]
+        while (buf.hasNext && buf.head.conv_id == cid) b += buf.next()
+        (cid, b.result())
+      }
+    }
+
+  private def parsePartition(cfg: Config)(it: Iterator[Turn]): Iterator[TurnResult] =
+    groupedByConv(it).flatMap { case (cid, ts) =>
+      val cleaned =
+        if (cfg.stripHtml) ts.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
+        else ts
+      ConvParser.parse(cid, cleaned)
+    }
+
+  /** Default path: declarative exchange — Catalyst plans the shuffle, AQE can
+    * coalesce; the FSM is the single non-codegen stage in the middle. */
+  def extract(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .repartition(cfg.numPartitions, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .mapPartitions(parsePartition(cfg) _)
+  }
+
+  /** Partitioner for skewed transcripts: monster conversations get dedicated
+    * partitions at the top of the range; everything else hashes into the
+    * remainder. Keys are (conv_id, turn_idx); partition depends on conv_id
+    * only, so `repartitionAndSortWithinPartitions` performs the classic
+    * secondary sort — turns arrive grouped AND turn-ordered off the shuffle. */
+  private final class ConvPartitioner(
+      total: Int, monsters: Map[String, Int]) extends Partitioner {
+    private val normal = math.max(1, total - monsters.size)
+    def numPartitions: Int = total
+    def getPartition(key: Any): Int = {
+      val cid = key.asInstanceOf[(String, Int)]._1
+      monsters.get(cid) match {
+        case Some(i) => normal + i
+        case None => java.lang.Math.floorMod(cid.hashCode, normal)
+      }
+    }
+  }
+
+  /** Skew-aware path: a cheap count pre-pass finds heavy-tail conversations
+    * (partial aggregation — the count shuffle moves one row per conversation),
+    * then one secondary-sort shuffle routes and orders all turns. */
+  def extractSkewAware(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+
+    val monsterIds: Array[String] = turns
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cfg.monsterThreshold)
+      .select("conv_id").as[String].collect().sorted
+
+    if (monsterIds.isEmpty) return extract(turns, cfg)
+
+    val monsterMap = monsterIds.zipWithIndex.toMap
+    val total = cfg.numPartitions + monsterIds.length
+    implicit val ord: Ordering[(String, Int)] = Ordering.Tuple2(Ordering.String, Ordering.Int)
+
+    val sorted = turns.rdd
+      .map(t => ((t.conv_id, t.turn_idx), t))
+      .repartitionAndSortWithinPartitions(new ConvPartitioner(total, monsterMap))
+      .map(_._2)
+    spark.createDataset(sorted.mapPartitions(parsePartition(cfg) _))
+  }
+
+  /** Flattened assembled-records view (the reference's CSV row table). */
+  def records(results: Dataset[TurnResult]): Dataset[RecordRow] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results.flatMap { tr =>
+      tr.record.map(r => RecordRow(tr.conv_id, tr.turn_idx, r.rule,
+        r.profile_applicability, r.description, r.rationale, r.audit,
+        r.remediation, r.default_value, r.cis_controls))
+    }
+  }
+
+  /** Long-form span table (conv_id, turn_idx, label, start, end, text) —
+    * the per-turn span-equality surface. */
+  def spansLong(results: Dataset[TurnResult]): DataFrame =
+    results.select(col("conv_id"), col("turn_idx"), explode(col("spans")).as("s"))
+      .select(col("conv_id"), col("turn_idx"), col("s.label"), col("s.start"),
+        col("s.end"), col("s.text"))
+
+  /** Attach named extraction metrics (A2 counters as `observe` metrics —
+    * collected by the snapshot writer into the manifest). The returned
+    * Observation resolves once the first action on the frame completes. */
+  def observed(results: Dataset[TurnResult]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("extraction")
+    val df = results.toDF.observe(obs,
+      count(lit(1)).as("turns"),
+      sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_turns"),
+      sum(when(col("record").isNotNull, 1L).otherwise(0L)).as("records"),
+      sum(size(col("spans"))).as("spans"))
+    (df, obs)
+  }
+}

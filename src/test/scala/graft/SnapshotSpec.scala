@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshot
+
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(name)
+    p.toString
+  }
+
+  test("write → read roundtrip with manifest metrics and lineage") {
+    import spark.implicits._
+    val df0 = (0 until 1000).map(i => (s"c${i % 37}", i, s"v$i")).toDF("conv_id", "n", "v")
+    val obs = org.apache.spark.sql.Observation("m")
+    val df = df0.observe(obs, count(lit(1)).as("rows_in"))
+    val table = freshDir("snap")
+    val metrics = Snapshot.write(df, table, "conv_id", 5, observation = Some(obs))
+    assert(metrics == Map("rows_in" -> 1000L))
+    val back = Snapshot.read(spark, table)
+    assert(back.count() == 1000)
+    assert(back.columns.toSet == Set("conv_id", "n", "v"))
+    val manifest = Snapshot.manifestJson(table)
+    assert(manifest.contains("\"rows_in\":1000"))
+    assert(manifest.contains("\"chunks\""))
+    // re-invoking the same snapshot id is a committed no-op
+    assert(Snapshot.write(df0, table, "conv_id", 5, snapshotId = 0).isEmpty)
+    assert(Snapshot.read(spark, table).count() == 1000)
+  }
+
+  test("resume after kill mid-commit: no duplicate, no missing chunks") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"c${i % 23}", i)).toDF("conv_id", "n")
+    val table = freshDir("snapresume")
+    Snapshot.write(df, table, "conv_id", 4)
+
+    // Simulate a job killed between chunk promotion and manifest write:
+    // un-promote one chunk back into a staged staging dir, remove manifest+CURRENT.
+    val t = Paths.get(table)
+    Files.delete(t.resolve("manifest-v0.json"))
+    Files.delete(t.resolve("CURRENT"))
+    val staging = t.resolve("_staging-v0")
+    Files.createDirectories(staging.resolve("data"))
+    val chunk = Files.list(t.resolve("v0")).filter(_.getFileName.toString.startsWith("_chunk="))
+      .findFirst().get()
+    Files.move(chunk, staging.resolve("data").resolve(chunk.getFileName),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(staging.resolve("_STAGED"), "ok")
+
+    // rerun completes the snapshot: identical table, no dup/missing rows
+    Snapshot.write(df, table, "conv_id", 4, snapshotId = 0)
+    val back = Snapshot.read(spark, table)
+    assert(back.count() == 500)
+    assert(back.select("n").distinct().count() == 500)
+    assert(Files.exists(t.resolve("manifest-v0.json")))
+  }
+
+  test("snapshot versioning: second write becomes CURRENT with parent link") {
+    import spark.implicits._
+    val table = freshDir("snapver")
+    Snapshot.write((1 to 10).map(i => (s"a$i", i)).toDF("conv_id", "n"), table, "conv_id", 2)
+    Snapshot.write((1 to 20).map(i => (s"b$i", i)).toDF("conv_id", "n"), table, "conv_id", 2)
+    assert(Snapshot.read(spark, table).count() == 20)
+    assert(Snapshot.read(spark, table, version = 0).count() == 10)
+    assert(Snapshot.manifestJson(table).contains("\"parent\":0"))
+  }
+}
