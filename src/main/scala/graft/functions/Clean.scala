@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar string-cleaning surface (SURVEY §2.4 F1–F9) as
+  * codegen'd column expressions — no UDFs anywhere on this path.
+  * Each cites the reference site whose semantics it reproduces. */
+object Clean {
+
+  /** F1: char-class scrub — runs of disallowed chars → single space
+    * (cis_pdf_parser.py:138 profile variant, :189 cis-controls variant). */
+  def scrubProfile(c: Column): Column = regexp_replace(c, "[^a-zA-Z0-9\\n-]+", " ")
+  def scrubCis(c: Column): Column = regexp_replace(c, "[^a-zA-Z0-9\\n.-]+", " ")
+
+  /** F2: lower + non-alpha strip (Text_preprocessing.py:28-30). */
+  def lowerAlpha(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z\\s]", "")
+
+  /** F2 variant: also removes page-furniture tokens
+    * (Text_preprocessing_New.py:5-15). */
+  def lowerAlphaNoFurniture(c: Column): Column =
+    regexp_replace(lowerAlpha(c), "page \\d+ internal only general \\d+", " ")
+
+  /** F4: keep from the first case-insensitive 'Ensure'; else strip leading
+    * number junk (Text_Preprocessing_V1.py:24-30). */
+  def ensureAnchored(c: Column): Column = {
+    val pos = regexp_instr(c, lit("(?i)\\bEnsure\\b"))
+    when(pos > 0, substring(c, pos, length(c))) // substring is 1-based
+      .otherwise(regexp_replace(c, "^\\.?\\d+(?:\\.\\d+)*\\s*", ""))
+  }
+
+  /** F5: leading page/number prefix strip (text_preprocessing3.py:4-11). */
+  def stripLeadingPageNum(c: Column): Column =
+    regexp_replace(c, "(?i)^(Page\\s*\\d+(\\.\\d+)?\\s*|\\d+(\\.\\d+)*\\s*|(\\.\\d+)+\\s*)", "")
+
+  /** F6: trailing-colon strip + trim (Text_Preprocessing_V1.py:14). */
+  def stripTrailingColon(c: Column): Column = trim(regexp_replace(c, ":$", ""))
+
+  /** F8: combined-text concat (Similarity.py:10). */
+  def combined(a: Column, b: Column): Column = concat_ws(" ", a, b)
+
+  /** F9: filename stem from a path column (cis_benchmarks_new.py:17). */
+  def fileStem(pathCol: Column): Column =
+    regexp_replace(element_at(split(pathCol, "/"), -1), "\\.[A-Za-z0-9]+$", "")
+
+  /** F7: apply a cleaner to every column of a frame
+    * (Text_preprocessing.py:41-42). */
+  def applyToAllColumns(df: DataFrame, cleaner: Column => Column): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumn(c, cleaner(col(c))))
+
+  /** X10: first-N-lines key (cis_benchmarks.py:32-33) — 1-based slice. */
+  def firstLinesKey(c: Column, n: Int): Column =
+    concat_ws(" ", transform(slice(split(c, "\n"), 1, n), l => trim(l)))
+}

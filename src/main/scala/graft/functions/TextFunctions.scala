@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.TextStats
+
+/** Text-analysis column functions for the training-data pipeline (token
+  * counting, quality scoring, language ID, shingling, minhash, simhash).
+  *
+  * Everything that CAN be a built-in expression tree is one (whole-stage
+  * codegen, no serialization); only the 64-bit custom hashes ride Spark's
+  * built-in `xxhash64` so the hot dedup path stays codegen'd too. */
+object TextFunctions {
+
+  /** Whitespace tokens (empty array for blank text). */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish sub-word token count: letter runs + digit runs + single marks. */
+  def bpeIshTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]"), lit(0)))
+
+  /** Ratio helpers (quality scoring), all as exact expression arithmetic. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / length(c))
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^0-9]", "")).cast("double") / length(c))
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double") / length(c))
+
+  /** Stopword hits for one language's list (word-boundary regex count). */
+  def stopwordHits(c: Column, lang: String): Column = {
+    val words = TextStats.StopWords(lang).toSeq.sorted.mkString("|")
+    size(regexp_extract_all(lower(c), lit(s"\\b($words)\\b"), lit(0)))
+  }
+
+  /** Stopword-ratio language ID over the four supported lists; ties broken by
+    * language code ascending; zero hits → 'und'. Mirrors TextStats.langId. */
+  def langId(c: Column): Column = {
+    val langs = TextStats.StopWords.keys.toSeq.sorted
+    val hits = langs.map(l => stopwordHits(c, l))
+    val best = greatest(hits: _*)
+    val pick = langs.zip(hits).foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best, lit(l)).otherwise(acc)
+    }
+    when(best === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Heuristic quality score in [0,1] — mirrors TextStats.qualityScore. */
+  def qualityScore(c: Column): Column = {
+    val n = length(c).cast("double")
+    val toks = wsTokens(c)
+    val nTok = size(toks).cast("double")
+    val meanWord = when(nTok === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+    val sw = when(nTok === 0, 0.0).otherwise(stopwordHits(c, "en").cast("double") / nTok)
+    val lenBand = least(lit(1.0), n / 200.0)
+    val wordBand = when(meanWord >= 3 && meanWord <= 10, 1.0).otherwise(0.5)
+    val raw = lit(0.3) * lenBand + lit(0.25) * alphaRatio(c) +
+      lit(0.2) * least(sw * 4, lit(1.0)) + lit(0.15) * wordBand +
+      lit(0.1) * (lit(1.0) - least(punctRatio(c) * 5, lit(1.0)))
+    when(n === 0, 0.0).otherwise(greatest(lit(0.0), least(lit(1.0), raw)))
+  }
+
+  /** Word k-shingles (lowercased); short texts collapse to one shingle. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = wsTokens(lower(c))
+    val n = size(toks)
+    when(n === 0, array().cast("array<string>"))
+      .when(n < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: per seed, min over xxhash64(shingle, seed-salt) —
+    * pure expression tree (array ops + xxhash64), fully codegen'd. */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      when(size(shinglesCol) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(shinglesCol, s => xxhash64(s, seed)))))
+
+  /** LSH band keys from a minhash signature: hash of each band's slice. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+
+  /** 64-bit SimHash over tokens as an expression tree: per-bit vote counts via
+    * aggregate over a 64-slot int array, then sign → bit. */
+  def simHash(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of token SETS (order-insensitive, exact integer
+    * arithmetic → engine-portable). */
+  def tokenSetJaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(wsTokens(lower(a)))
+    val sb = array_distinct(wsTokens(lower(b)))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - inter
+    when(uni === 0, 1.0).otherwise(inter / uni)
+  }
+}

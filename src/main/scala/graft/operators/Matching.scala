@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The matching suite (SURVEY §2.5 J1–J9): cross join + score + per-key
+  * reduction, the logical operator behind all 18 reference matcher scripts.
+  *
+  * Scale design: the small side is explicitly broadcast (the reference's only
+  * stated workload is 820 × 29,000 — BERT_Model.py:11-12 — a textbook
+  * broadcast-nested-loop), scoring is an expression (codegen), and the per-key
+  * reduction is a window that Spark ≥3.5 rewrites to a group-limit
+  * (InferWindowGroupLimit) — no full sort of the pair set.
+  *
+  * NOTE (J7): the reference's per-batch argmax bug (best-per-block instead of
+  * global best, BERT_Model_Final_V1.py:43-64) is deliberately NOT reproduced;
+  * global argmax matches the intended semantics (BERT_Model_Final_V2.py:38-39).
+  */
+object Matching {
+
+  /** J1: full scored pair set — theta join, no equi keys in the reference. */
+  def crossScore(left: DataFrame, right: DataFrame, score: Column): DataFrame =
+    left.crossJoin(broadcast(right)).withColumn("score", score)
+
+  /** J2: best match per left row (argmax); ties broken by `tieBreak` so the
+    * result is deterministic across engines and partitionings. Threshold
+    * below → null-match left-outer flavor (Sequence matcher.py:30-43). */
+  def bestMatch(pairs: DataFrame, leftKey: Column, tieBreak: Column,
+                threshold: Option[Double] = None): DataFrame = {
+    val w = Window.partitionBy(leftKey).orderBy(desc("score"), tieBreak)
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    threshold match {
+      case Some(t) => best.filter(col("score") > t)
+      case None => best
+    }
+  }
+
+  /** J4/J5: top-k per key (Top2_Matches.py:42, Top5_Albert.py:64). */
+  def topKPerKey(pairs: DataFrame, key: Column, k: Int, tieBreak: Column): DataFrame =
+    pairs.withColumn("rn",
+        row_number().over(Window.partitionBy(key).orderBy(desc("score"), tieBreak)))
+      .filter(col("rn") <= k)
+
+  /** J8: scalar-query scored scan — broadcast literal vs every row. */
+  def queryScan(df: DataFrame, score: Column): DataFrame =
+    df.withColumn("score", score).orderBy(desc("score"))
+}

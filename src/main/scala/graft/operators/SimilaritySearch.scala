@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop scored scan
+  * (queries are small, corpus is the big side; the 100 TB path streams the
+  * corpus once per query batch, no shuffle of the corpus).
+  *
+  * Scale path: IVF-style LSH bucketing — corpus pre-bucketed by random
+  * hyperplane signs; queries probe only matching buckets (optionally with
+  * multi-probe by flipping bits). Recall/latency traded via `bits`. */
+object SimilaritySearch {
+
+  /** Brute-force exact top-k per query. `queries`/`corpus`: (id, vec). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .filter(col("query_id") =!= col("corpus_id"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), col("corpus_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+  }
+
+  /** LSH-bucketed ANN: equi-join on the bucket key instead of a cross join.
+    * Exact cosine re-ranks within the bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              bits: Int = 6): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("qv"), bits, dim))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("cv"), bits, dim))
+    broadcast(q).join(c, "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), col("corpus_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+  }
+}
