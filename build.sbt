@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local[32] = one JVM doing all executor work: give `run` a real heap
+// (the machine has 128 GiB; allocation-heavy FSM stages go GC-bound at 8g).
+// Xms=Xmx: without it the heap grows/uncommits across G1 cycles and the VM
+// burns >90% SYSTEM time in page faults (measured via vmstat in this sandbox).
+run / javaOptions ++= {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+AlwaysPreTouch")
+}
+Test / javaOptions ++= Seq("-Xmx8g", "-Xms8g")

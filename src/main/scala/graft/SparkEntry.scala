@@ -240,15 +240,80 @@ object SparkEntry {
         .toDF("conv_id", "turn_idx", "main_content")
     }),
 
-    // document fingerprint (custom 64-bit rolling hash)
-    "q_fingerprint" -> ((s, d) => {
+    // document fingerprint (custom codegen'd 64-bit rolling-hash Expression)
+    "q_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))),
+
+    // F3: tokenize + stopword filter + rejoin (oracle-checked); lemmatizer
+    // variant below is rows-only (custom suffix rules)
+    "q_stopword_filter" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), Clean.stopwordFiltered(col("text")).as("filtered"))),
+    "q_lemmatize" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), Clean.lemmatize(col("text")).as("lemmas"))),
+
+    // J8: scalar-query scored scan — one embedded query vs every row
+    "q_scalar_query_scan" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Matching.queryScan(
+          emb.filter(col("vec_id") > 0).crossJoin(broadcast(q)),
+          graft.expressions.VectorExpressions.float_cosine(col("embedding"), col("qv")))
+        .select(col("vec_id"), ppm(col("score")).as("score_ppm"))
+        .orderBy(desc("score_ppm"), col("vec_id")).limit(20)
+    }),
+
+    // X4: per-conversation line-FSM (variant B sectionizer) — rows-only
+    "q_line_fsm" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, x) => (id, graft.core.TextStats.fingerprint(x)) }
-        .toDF("doc_id", "fp")
+      val turns = fixtureSlim(s, 150)
+      graft.operators.LineSections.lineFsm(turns, 16).toDF
+    }),
+    // X5: keyword-pair window extraction (variant C) — rows-only
+    "q_keyword_windows" -> ((s, d) => {
+      val turns = fixtureSlim(s, 150)
+      graft.operators.LineSections.keywordWindows(turns).toDF
+    }),
+    // S3/P5/X12: in-payload table blocks → long-form cells — rows-only
+    "q_table_blocks" -> ((s, d) => {
+      val turns = fixtureSlim(s, 200)
+      graft.operators.TableBlocks.extract(turns).toDF
+    }),
+    // J9/A4: union-fit TF-IDF best match — rows-only (ML-scored)
+    "q_tfidf_match" -> ((s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.operators.TfIdfMatch.bestMatch(
+        doc.filter(col("id") < 50), doc.filter(col("id") >= 50 && col("id") < 200))
+        .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
+    }),
+    // F4: 'Ensure'-anchored cleaning over rule-bearing transcript turns
+    "q_ensure_anchored" -> ((s, d) => {
+      val turns = fixtureSlim(s, 100)
+      turns.toDF.select(col("conv_id"), col("turn_idx"),
+        substring(Clean.ensureAnchored(col("text")), 1, 60).as("anchored"))
+        .filter(length(col("anchored")) > 0)
+    }),
+    // stable-ordering audit: window over (conv_id ORDER BY turn_idx) must
+    // assign row_number-1 == turn_idx on the generated table (north rule)
+    "q_ordering_audit" -> ((s, d) => {
+      val turns = fixtureSlim(s, 200)
+      turns.toDF.withColumn("rn", row_number().over(
+          Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))))
+        .groupBy(col("conv_id"))
+        .agg(sum(when(col("rn") - 1 =!= col("turn_idx"), 1).otherwise(0)).as("violations"))
+        .filter(col("violations") === 0)
     }),
   )
+
+  private def fixtureSlim(s: SparkSession, convs: Int) = {
+    import s.implicits._
+    graft.sources.TranscriptGen.generate(s,
+      FixtureGen.Profile(numConvs = convs, monsterEvery = 41, monsterTurns = 80,
+        invalidEvery = 13), 8)
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[graft.core.TurnSlim]
+  }
 
   private def sfScale(dir: String): Double = {
     val m = "sf([0-9.]+)".r.findFirstMatchIn(dir)
@@ -335,7 +400,7 @@ object SparkEntry {
              CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct,
              LEN(regexp_extract_all(LOWER(text), '\b(a|and|for|in|is|it|of|that|the|to)\b', 1)) AS stop_en,
              LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok,
-             CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE) AS tok_chars
+             CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS tok_chars
            FROM documents WHERE LENGTH(text) > 0),
          q AS (
            SELECT doc_id, alpha, punct, stop_en,
@@ -390,5 +455,18 @@ object SparkEntry {
          WHERE rn <= 3""",
     "q_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q_stopword_filter" ->
+      """SELECT doc_id, array_to_string(list_filter(
+           string_split_regex(TRIM(LOWER(text)), '\s+'),
+           t -> t NOT IN ('a','and','for','in','is','it','of','that','the','to')), ' ') AS filtered
+         FROM documents""",
+    "q_scalar_query_scan" ->
+      """WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, CAST(FLOOR((
+           list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+           (SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000) AS BIGINT) AS score_ppm
+         FROM embeddings, q WHERE vec_id > 0
+         ORDER BY score_ppm DESC, vec_id LIMIT 20""",
   )
 }

@@ -19,7 +19,7 @@ object ConvParser {
 
   /** `turns` MUST be sorted by turn_idx ascending (stable turn ordering —
     * the north rule's window over (conv_id ORDER BY turn_idx)). */
-  def parse(convId: String, turns: IndexedSeq[Turn]): Iterator[TurnResult] = {
+  def parse(convId: String, turns: IndexedSeq[TurnSlim]): Iterator[TurnResult] = {
     if (turns.isEmpty) return Iterator.empty
     val cover = turns.head.text
     DocType.classify(cover) match {
@@ -46,6 +46,9 @@ object ConvParser {
         }
     }
   }
+
+  def parse(convId: String, turns: IndexedSeq[Turn])(implicit d: DummyImplicit): Iterator[TurnResult] =
+    parse(convId, turns.map(t => TurnSlim(t.conv_id, t.turn_idx, t.text)))
 
   /** Oracle convenience: parse a whole (unsorted) transcript collection on one
     * thread, grouped by conv_id, sorted by turn_idx — golden generator. */

@@ -90,6 +90,22 @@ object FixtureGen {
   private def chatter(r: Random): String =
     sentence(r, 5 + r.nextInt(15)).capitalize + "."
 
+  /** Pipe-delimited table block payload (S3/P5/X12 fixture): duplicate
+    * header names and one wrong-arity row included. */
+  private def tablePayload(r: Random): String = {
+    val sb = new StringBuilder
+    sb.append("Summary of controls\n")
+    sb.append("Controls Version | Control | Control\n")
+    for (_ <- 0 until 2 + r.nextInt(4))
+      sb.append("v").append(7 + r.nextInt(2)).append(" | ")
+        .append(1 + r.nextInt(18)).append('.').append(1 + r.nextInt(9))
+        .append(' ').append(sentence(r, 3)).append(" | ")
+        .append(if (r.nextBoolean()) "TRUE" else "FALSE").append('\n')
+    sb.append("v9 | arity mismatch row\n") // dropped by the P5 filter
+    sb.append(sentence(r, 4))
+    sb.toString
+  }
+
   private def htmlPayload(r: Random): String = {
     val main = sentence(r, 12)
     s"""<html><head><title>doc</title><style>p{color:red}</style></head><body>
@@ -152,6 +168,9 @@ object FixtureGen {
           pages += rulePage(r, docType, seq, withDefval = true)
         case 4 =>
           pages += chatter(r)
+          pages += rulePage(r, docType, seq, withDefval = true)
+        case 5 =>
+          pages += tablePayload(r)
           pages += rulePage(r, docType, seq, withDefval = true)
         case _ =>
           pages += rulePage(r, docType, seq, withDefval = r.nextInt(3) > 0)

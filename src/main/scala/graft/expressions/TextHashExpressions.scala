@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.TextStats
+
+/** Custom Catalyst expressions for the text-fingerprint hot paths (MinHash
+  * band keys, SimHash, rolling fingerprint).
+  *
+  * Why custom: the pure-HOF formulation (transform/aggregate over shingle
+  * arrays, see `TextFunctions`) is correct but CodegenFallback AND gets
+  * duplicated by Catalyst's projection collapse — measured ~30ms/row on
+  * sf0.01 documents. Each of these expressions is one compiled pass per row
+  * (tokenize → shingle → hash) and participates in whole-stage codegen via a
+  * static `compute` call. Semantics follow `graft.core.TextStats` exactly, so
+  * the ScalaTest oracles pin them. */
+object TextHashExpressions {
+
+  /** text → array<long> of LSH band keys (MinHash signature banded+hashed). */
+  case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(MinHashBands.compute(
+        v.asInstanceOf[UTF8String].toString, shingleK, numHashes, bands))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.TextHashExpressions.MinHashBands.compute(" +
+          s"$v.toString(), $shingleK, $numHashes, $bands));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object MinHashBands {
+    def compute(text: String, k: Int, numHashes: Int, bands: Int): Array[Long] = {
+      val sig = TextStats.minHash(TextStats.shingles(text, k), numHashes)
+      val rowsPerBand = numHashes / bands
+      Array.tabulate(bands) { b =>
+        var h = 0xCBF29CE484222325L ^ b.toLong
+        var i = b * rowsPerBand
+        val end = i + rowsPerBand
+        while (i < end) { h = TextStats.mix64(h ^ sig(i)); i += 1 }
+        h
+      }
+    }
+  }
+
+  /** text → 64-bit SimHash over whitespace tokens (lowercased). */
+  case class SimHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      SimHash.compute(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.expressions.TextHashExpressions.SimHash.compute($v.toString());")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object SimHash {
+    def compute(text: String): Long =
+      TextStats.simHash(TextStats.wsTokens(text.toLowerCase))
+  }
+
+  /** text → 64-bit rolling document fingerprint (TextStats.fingerprint). */
+  case class Fingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextStats.fingerprint(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.core.TextStats.fingerprint($v.toString());")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-level API ----------------------------------------------------
+  def minhash_bands(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
+    column(MinHashBands(expression(text), shingleK, numHashes, bands))
+
+  def simhash64(text: Column): Column = column(SimHash(expression(text)))
+
+  def fingerprint64(text: Column): Column = column(Fingerprint(expression(text)))
+}

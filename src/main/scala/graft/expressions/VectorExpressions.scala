@@ -1,0 +1,136 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+/** Custom Catalyst expressions for the dense-vector hot paths.
+  *
+  * Why custom: Spark's higher-order functions (`zip_with`/`aggregate`) are
+  * CodegenFallback — interpreted per element, allocating per row. On the
+  * pair-scored join paths (SURVEY §2.5 J1/J2; 23.8M pairs in the reference's
+  * stated workload, BERT_Model.py:11-12) that's the per-row bottleneck. These
+  * expressions evaluate one compiled loop per row and participate in
+  * whole-stage codegen via a static `compute` call.
+  *
+  * Float-math contract: accumulate dot/norms in double, element order
+  * left-to-right, cosine = dot/(sqrt(na)*sqrt(nb)) — bit-identical to the
+  * HOF formulation in `VectorFunctions` and to the DuckDB oracle SQL. */
+object VectorExpressions {
+
+  /** One-pass cosine similarity of two array<float> columns → double. */
+  case class FloatCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FloatCosine requires array<float> inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      FloatCosine.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.VectorExpressions.FloatCosine.compute($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object FloatCosine {
+    /** Called from generated code — keep signature stable. */
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  /** Random-hyperplane LSH bucket of an array<float> vector → long with
+    * `bits` sign bits. Planes are deterministic from (seed, plane, dim) via
+    * splitmix64, materialized once per executor (lazy, not per row). */
+  case class HyperplaneBucket(child: Expression, bits: Int, dim: Int, seed: Long)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      HyperplaneBucket.planes(bits, dim, seed)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), dim)
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val plane = planes(p)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += a.getFloat(i).toDouble * plane(i); i += 1 }
+        if (d >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.expressions.VectorExpressions.HyperplaneBucket" +
+          s".compute($v, $planesRef, $bits, $dim);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object HyperplaneBucket {
+    def planes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+      Array.tabulate(bits, dim) { (p, i) =>
+        val h = graft.core.TextStats.mix64(seed ^ (p.toLong << 32) ^ i.toLong)
+        (h.toDouble / Long.MaxValue.toDouble) / 2.0
+      }
+
+    def compute(a: ArrayData, planes: Array[Array[Double]], bits: Int, dim: Int): Long = {
+      val n = math.min(a.numElements(), dim)
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val plane = planes(p)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += a.getFloat(i).toDouble * plane(i); i += 1 }
+        if (d >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  }
+
+  // ---- Column-level API ----------------------------------------------------
+  def float_cosine(a: Column, b: Column): Column =
+    column(FloatCosine(expression(a), expression(b)))
+
+  def hyperplane_bucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    column(HyperplaneBucket(expression(v), bits, dim, seed))
+}

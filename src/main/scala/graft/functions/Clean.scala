@@ -52,4 +52,23 @@ object Clean {
   /** X10: first-N-lines key (cis_benchmarks.py:32-33) — 1-based slice. */
   def firstLinesKey(c: Column, n: Int): Column =
     concat_ws(" ", transform(slice(split(c, "\n"), 1, n), l => trim(l)))
+
+  /** F3 (Text_preprocessing.py:31-36): tokenize + english stopword filter +
+    * rejoin. Stopword list pinned to graft.core.TextStats (the reference uses
+    * NLTK's list — an environment dependency we replace with a pinned set;
+    * divergence documented in SURVEY §7). */
+  def stopwordFiltered(c: Column): Column = {
+    val sw = graft.core.TextStats.StopWords("en").toSeq.sorted.map(lit(_))
+    array_join(filter(split(trim(lower(c)), "\\s+"), t => !t.isInCollection(sw)), " ")
+  }
+
+  /** F3 lemmatizer: rule-based suffix stripper standing in for WordNet
+    * (no NLTK on a Spark executor; same role, pinned semantics). */
+  val lemmatize: Column => Column = {
+    val lemmaUdf = udf { (s: String) =>
+      if (s == null) null
+      else s.split("\\s+").map(graft.core.TextStats.lemma).mkString(" ")
+    }
+    c => lemmaUdf(c)
+  }
 }

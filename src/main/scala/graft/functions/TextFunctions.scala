@@ -57,8 +57,9 @@ object TextFunctions {
     val n = length(c).cast("double")
     val toks = wsTokens(c)
     val nTok = size(toks).cast("double")
-    val meanWord = when(nTok === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+    // token chars == non-whitespace chars (codegen'd, no HOF)
+    val tokChars = length(regexp_replace(c, "\\s", ""))
+    val meanWord = when(nTok === 0, 0.0).otherwise(tokChars.cast("double") / nTok)
     val sw = when(nTok === 0, 0.0).otherwise(stopwordHits(c, "en").cast("double") / nTok)
     val lenBand = least(lit(1.0), n / 200.0)
     val wordBand = when(meanWord >= 3 && meanWord <= 10, 1.0).otherwise(0.5)

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.expressions.TextHashExpressions.{minhash_bands, simhash64}
+import graft.expressions.VectorExpressions.{float_cosine, hyperplane_bucket}
 
 /** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -28,9 +30,9 @@ object Dedup {
                  threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minHashSignature(shingles(col("text"), shingleK), numHashes))
       .select(col("id"), col("text"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+        posexplode(minhash_bands(col("text"), shingleK, numHashes, bands))
+          .as(Seq("band_idx", "band_key")))
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,
@@ -52,7 +54,7 @@ object Dedup {
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 8, prefixBits: Int = 12): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", simHash(wsTokens(lower(col("text")))))
+      .withColumn("sim", simhash64(col("text")))
       .withColumn("block", shiftrightunsigned(col("sim"), 64 - prefixBits))
     val l = sigs.as("l")
     val r = sigs.as("r")
@@ -66,11 +68,18 @@ object Dedup {
     * exact-measure variant for modest block sizes (e.g. same source/lang). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val s = df.select(col(idCol).as("id"), col(textCol).as("text"), col(blockCol).as("blk"))
+    // Token sets are computed ONCE per row on the scan side of the exchange
+    // (the shuffle materializes them); the per-pair work is only the
+    // intersect. Recomputing split+distinct per pair is O(pairs × text) —
+    // measured 50× slower at sf0.1.
+    val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(wsTokens(lower(col(textCol)))).as("toks"))
     val l = s.as("l")
     val r = s.as("r")
+    val inter = size(array_intersect(col("l.toks"), col("r.toks"))).cast("double")
+    val uni = (size(col("l.toks")) + size(col("r.toks"))).cast("double") - inter
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .withColumn("jaccard", tokenSetJaccard(col("l.text"), col("r.text")))
+      .withColumn("jaccard", when(uni === 0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("l.id").as("left_id"), col("r.id").as("right_id"), col("jaccard"))
   }
@@ -78,13 +87,12 @@ object Dedup {
   /** Embedding-cosine near-dup: hyperplane-LSH blocking + exact cosine verify. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                        bits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    import graft.functions.VectorFunctions
     val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), bits, dim))
+      .withColumn("bucket", hyperplane_bucket(col("v"), bits, dim))
     val l = s.as("l")
     val r = s.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", VectorFunctions.cosine(col("l.v"), col("r.v")))
+      .withColumn("cos", float_cosine(col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("left_id"), col("r.id").as("right_id"), col("cos"))
   }

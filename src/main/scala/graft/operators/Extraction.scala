@@ -38,19 +38,19 @@ object Extraction {
 
   /** Groups a (conv_id, turn_idx)-sorted iterator into per-conversation runs
     * without materializing more than one conversation at a time. */
-  private[operators] def groupedByConv(it: Iterator[Turn]): Iterator[(String, IndexedSeq[Turn])] =
-    new Iterator[(String, IndexedSeq[Turn])] {
+  private[operators] def groupedByConv(it: Iterator[TurnSlim]): Iterator[(String, IndexedSeq[TurnSlim])] =
+    new Iterator[(String, IndexedSeq[TurnSlim])] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
-      def next(): (String, IndexedSeq[Turn]) = {
+      def next(): (String, IndexedSeq[TurnSlim]) = {
         val cid = buf.head.conv_id
-        val b = IndexedSeq.newBuilder[Turn]
+        val b = IndexedSeq.newBuilder[TurnSlim]
         while (buf.hasNext && buf.head.conv_id == cid) b += buf.next()
         (cid, b.result())
       }
     }
 
-  private def parsePartition(cfg: Config)(it: Iterator[Turn]): Iterator[TurnResult] =
+  private def parsePartition(cfg: Config)(it: Iterator[TurnSlim]): Iterator[TurnResult] =
     groupedByConv(it).flatMap { case (cid, ts) =>
       val cleaned =
         if (cfg.stripHtml) ts.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
@@ -58,38 +58,33 @@ object Extraction {
       ConvParser.parse(cid, cleaned)
     }
 
+  /** Dev-profiling hooks (graft.tools.Scratch). */
+  def parsePartitionForProfiling(it: Iterator[TurnSlim]): Iterator[TurnResult] =
+    parsePartition(Config())(it)
+  def groupedForProfiling(it: Iterator[TurnSlim]): Iterator[(String, IndexedSeq[TurnSlim])] =
+    groupedByConv(it)
+
   /** Default path: declarative exchange — Catalyst plans the shuffle, AQE can
     * coalesce; the FSM is the single non-codegen stage in the middle. */
   def extract(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
+      .select(col("conv_id"), col("turn_idx"), col("text")) // prune pre-shuffle
       .repartition(cfg.numPartitions, col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .as[TurnSlim]
       .mapPartitions(parsePartition(cfg) _)
   }
 
-  /** Partitioner for skewed transcripts: monster conversations get dedicated
-    * partitions at the top of the range; everything else hashes into the
-    * remainder. Keys are (conv_id, turn_idx); partition depends on conv_id
-    * only, so `repartitionAndSortWithinPartitions` performs the classic
-    * secondary sort — turns arrive grouped AND turn-ordered off the shuffle. */
-  private final class ConvPartitioner(
-      total: Int, monsters: Map[String, Int]) extends Partitioner {
-    private val normal = math.max(1, total - monsters.size)
-    def numPartitions: Int = total
-    def getPartition(key: Any): Int = {
-      val cid = key.asInstanceOf[(String, Int)]._1
-      monsters.get(cid) match {
-        case Some(i) => normal + i
-        case None => java.lang.Math.floorMod(cid.hashCode, normal)
-      }
-    }
-  }
-
   /** Skew-aware path: a cheap count pre-pass finds heavy-tail conversations
-    * (partial aggregation — the count shuffle moves one row per conversation),
-    * then one secondary-sort shuffle routes and orders all turns. */
+    * (partial map-side aggregation — the count shuffle moves one row per
+    * conversation), then ONE range exchange routes turns: every monster
+    * conversation gets its own partition id at the top of the key space,
+    * normal conversations hash into the remainder. `repartitionByRange` on
+    * the dense integer key gives identity placement while staying on the
+    * DataFrame plane (Tungsten UnsafeRow shuffle — no Java serialization),
+    * and the within-partition sort rides `sortWithinPartitions`. */
   def extractSkewAware(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -101,15 +96,19 @@ object Extraction {
 
     if (monsterIds.isEmpty) return extract(turns, cfg)
 
-    val monsterMap = monsterIds.zipWithIndex.toMap
-    val total = cfg.numPartitions + monsterIds.length
-    implicit val ord: Ordering[(String, Int)] = Ordering.Tuple2(Ordering.String, Ordering.Int)
+    val monsterIdx = typedLit(monsterIds.zipWithIndex.toMap)
+    val normal = cfg.numPartitions
+    val total = normal + monsterIds.length
+    val pkey = coalesce(monsterIdx(col("conv_id")) + normal,
+      pmod(xxhash64(col("conv_id")), lit(normal)).cast("int"))
 
-    val sorted = turns.rdd
-      .map(t => ((t.conv_id, t.turn_idx), t))
-      .repartitionAndSortWithinPartitions(new ConvPartitioner(total, monsterMap))
-      .map(_._2)
-    spark.createDataset(sorted.mapPartitions(parsePartition(cfg) _))
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"), pkey.as("_pkey"))
+      .repartitionByRange(total, col("_pkey"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .drop("_pkey")
+      .as[TurnSlim]
+      .mapPartitions(parsePartition(cfg) _)
   }
 
   /** Flattened assembled-records view (the reference's CSV row table). */

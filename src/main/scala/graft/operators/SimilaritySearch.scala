@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.expressions.VectorExpressions.{float_cosine, hyperplane_bucket}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding column.
   *
@@ -21,7 +21,7 @@ object SimilaritySearch {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
     val scored = broadcast(q).crossJoin(c)
-      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("score", float_cosine(col("qv"), col("cv")))
       .filter(col("query_id") =!= col("corpus_id"))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -35,12 +35,12 @@ object SimilaritySearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bits: Int = 6): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("qv"), bits, dim))
+      .withColumn("bucket", hyperplane_bucket(col("qv"), bits, dim))
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("cv"), bits, dim))
+      .withColumn("bucket", hyperplane_bucket(col("cv"), bits, dim))
     broadcast(q).join(c, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("score", float_cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(desc("score"), col("corpus_id"))))

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import graft.core.{PyStr, TurnSlim}
+
+/** In-payload table extraction — the Spark re-expression of the reference's
+  * pdfplumber `extract_tables` path (SURVEY S3/P5/X12/X14,
+  * `Mutiple_CIS_Pdfs.py:22-43`):
+  *
+  *  - a "table block" inside a turn's text is a run of consecutive lines
+  *    containing the `|` cell delimiter;
+  *  - first row of a block is the header; duplicate header names are
+  *    uniquified with `_1`, `_2`… suffixes (X12, `Mutiple_CIS_Pdfs.py:5-16`);
+  *  - rows whose arity differs from the header are dropped (P5, ":39");
+  *  - output is long-form (one row per cell) so the dynamic-column table fits
+  *    a fixed Spark schema; `component` carries lineage (X14).
+  */
+object TableBlocks {
+
+  case class CellRow(conv_id: String, turn_idx: Int, table_idx: Int, row_idx: Int,
+      column: String, value: String)
+
+  /** X12: `make_unique` — duplicate names get _1, _2… suffixes. */
+  def makeUnique(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    names.map { n =>
+      val c = seen.getOrElse(n, 0)
+      seen(n) = c + 1
+      if (c == 0) n else s"${n}_$c"
+    }
+  }
+
+  private[operators] def parseTables(text: String): Seq[(Int, Seq[Seq[String]])] = {
+    val lines = text.split('\n')
+    val blocks = Seq.newBuilder[(Int, Seq[Seq[String]])]
+    var cur = Vector.empty[Seq[String]]
+    var idx = 0
+    def flush(): Unit = {
+      if (cur.length >= 2) { blocks += ((idx, cur)); idx += 1 }
+      cur = Vector.empty
+    }
+    lines.foreach { line =>
+      if (line.contains('|'))
+        cur :+= line.split("\\|", -1).toSeq.map(PyStr.strip)
+      else flush()
+    }
+    flush()
+    blocks.result()
+  }
+
+  /** Extract all table blocks of all turns as long-form cells. Stateless per
+    * turn — pure flatMap, no shuffle. */
+  def extract(turns: Dataset[TurnSlim]): Dataset[CellRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.flatMap { t =>
+      parseTables(t.text).flatMap { case (tableIdx, rows) =>
+        val header = makeUnique(rows.head)
+        val arity = header.length
+        rows.tail.filter(_.length == arity).zipWithIndex.flatMap { case (r, ri) =>
+          header.zip(r).map { case (c, v) =>
+            CellRow(t.conv_id, t.turn_idx, tableIdx, ri, c, v)
+          }
+        }
+      }
+    }
+  }
+}

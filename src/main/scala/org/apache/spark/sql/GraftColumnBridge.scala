@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to Spark 4's sql-private Column↔Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), used to expose graft's
+  * custom Catalyst expressions as `Column`s. Standard extension-library
+  * technique; nothing else from the private API is touched. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators.{LineSections, TableBlocks, TfIdfMatch}
+import graft.sources.CsvGolden
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtureSlim(convs: Int) = {
+    import spark.implicits._
+    graft.sources.TranscriptGen.generate(spark,
+      FixtureGen.Profile(numConvs = convs, monsterEvery = 19, monsterTurns = 50,
+        invalidEvery = 7), 4)
+      .select(col("conv_id"), col("turn_idx"), col("text")).as[TurnSlim]
+  }
+
+  test("LineSections.lineFsm == LineFsm oracle per conversation") {
+    val profile = FixtureGen.Profile(numConvs = 40, monsterEvery = 19,
+      monsterTurns = 50, invalidEvery = 7)
+    val all = FixtureGen.turns(profile)
+    val got = LineSections.lineFsm(fixtureSlimOf(profile), 8).collect()
+      .map(sr => (sr.conv_id, sr.section, sr.row) -> sr.value).toMap
+    all.groupBy(_.conv_id).foreach { case (cid, ts) =>
+      val pages = ts.sortBy(_.turn_idx).map(_.text)
+      LineFsm.parseDocument(pages).foreach { sv =>
+        assert(got.get((cid, sv.section, sv.row)).contains(sv.value),
+          s"mismatch $cid/${sv.section}/${sv.row}")
+      }
+    }
+  }
+
+  private def fixtureSlimOf(p: FixtureGen.Profile) = {
+    import spark.implicits._
+    graft.sources.TranscriptGen.generate(spark, p, 4)
+      .select(col("conv_id"), col("turn_idx"), col("text")).as[TurnSlim]
+  }
+
+  test("LineSections.keywordWindows == KeywordWindows oracle per turn") {
+    val profile = FixtureGen.Profile(numConvs = 30, monsterEvery = 0, invalidEvery = 5)
+    val all = FixtureGen.turns(profile)
+    val got = LineSections.keywordWindows(fixtureSlimOf(profile)).collect()
+      .map(kr => (kr.conv_id, kr.turn_idx, kr.row) ->
+        (kr.key, kr.description, kr.cis_control)).toMap
+    all.foreach { t =>
+      KeywordWindows.parsePage(t.text).foreach { pr =>
+        val g = got((t.conv_id, t.turn_idx, pr.row))
+        assert(g._1 == pr.key)
+        assert(g._2 == pr.values("description"))
+        assert(g._3 == pr.values("cis control"))
+      }
+    }
+  }
+
+  test("TableBlocks: header uniquify, arity filter, cell roundtrip") {
+    assert(TableBlocks.makeUnique(Seq("a", "b", "a", "a")) == Seq("a", "b", "a_1", "a_2"))
+    import spark.implicits._
+    val text = "intro line\nCol | Val | Val\nv8 | 1.2 x | TRUE\nbad | row\nv7 | 3.4 y | FALSE\n\ntail"
+    val turns = Seq(TurnSlim("c1", 0, text)).toDS
+    val cells = TableBlocks.extract(turns).collect()
+    assert(cells.map(_.column).toSet == Set("Col", "Val", "Val_1"))
+    // arity-mismatched row dropped: 2 good rows × 3 cols
+    assert(cells.length == 6)
+    assert(cells.filter(_.row_idx == 1).map(c => c.column -> c.value).toMap
+      == Map("Col" -> "v7", "Val" -> "3.4 y", "Val_1" -> "FALSE"))
+  }
+
+  test("TfIdfMatch: identical text is its own best match") {
+    import spark.implicits._
+    val left = Seq((1L, "alpha beta gamma delta"), (2L, "unique words here today"))
+      .toDF("id", "text")
+    val right = Seq((10L, "alpha beta gamma delta"), (11L, "completely different content"),
+      (12L, "unique words here today")).toDF("id", "text")
+    val best = TfIdfMatch.bestMatch(left, right).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best(1L) == 10L)
+    assert(best(2L) == 12L)
+  }
+
+  test("CsvGolden roundtrip preserves header, quoting, embedded delimiters") {
+    import spark.implicits._
+    val df = Seq(
+      ("r1", "plain"),
+      ("r2", "has, comma"),
+      ("r3", "has \"quote\" inside"),
+      ("r4", "multi\nline")).toDF("k", "v")
+    val path = java.nio.file.Files.createTempDirectory("csvg").toString + "/out"
+    CsvGolden.write(df, path)
+    val back = CsvGolden.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("r1" -> "plain", "r2" -> "has, comma",
+      "r3" -> "has \"quote\" inside", "r4" -> "multi\nline"))
+  }
+
+  test("Clean.stopwordFiltered and lemmatize") {
+    import spark.implicits._
+    val df = Seq("The cat and the dog of it", "running dogs carried boxes").toDF("text")
+    val f = df.select(graft.functions.Clean.stopwordFiltered(col("text"))).as[String].collect()
+    assert(f(0) == "cat dog")
+    val l = df.select(graft.functions.Clean.lemmatize(col("text"))).as[String].collect()
+    assert(l(1) == "runn dog carri box") // pinned rule-based semantics
+  }
+
+  test("Multimodal: deterministic features, resize plan bounds, frame sampling") {
+    import spark.implicits._
+    val feats = graft.operators.Multimodal.extractFeatures(
+      graft.operators.Multimodal.synth(spark, 200)).collect()
+    assert(feats.length == 200)
+    assert(feats.forall(f => f.width >= 16 && f.height >= 16))
+    val again = graft.operators.Multimodal.extractFeatures(
+      graft.operators.Multimodal.synth(spark, 200)).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    val resized = graft.operators.Multimodal.resizePlan(
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.synth(spark, 200)), 256)
+    val bad = resized.filter(greatest(col("out_width"), col("out_height")) > 256).count()
+    assert(bad == 0)
+    val sampled = graft.operators.Multimodal.frameSamplePlan(
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.synth(spark, 200)), 4)
+    assert(sampled.filter(col("modality") =!= "video").count() == 0)
+    assert(sampled.filter(col("n_sampled") < 1).count() == 0)
+  }
+
+  test("custom expressions: FloatCosine == HOF formulation; hyperplane bucket stable") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val pairs = a.crossJoin(b)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        graft.expressions.VectorExpressions.float_cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(pairs.filter(col("fast") =!= col("hof")).count() == 0) // bit-identical
+    val buckets = emb.select(
+      graft.expressions.VectorExpressions.hyperplane_bucket(col("embedding"), 4, 64).as("bk"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 16))
+  }
+
+  test("minhash/simhash expressions match TextStats semantics") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps", "pack my box with five dozen jugs",
+      "the quick brown fox jumps over").toDF("text")
+    val sim = texts.select(
+      graft.expressions.TextHashExpressions.simhash64(col("text")).as("sh")).as[Long].collect()
+    val expected = Seq("the quick brown fox jumps", "pack my box with five dozen jugs",
+      "the quick brown fox jumps over")
+      .map(s => TextStats.simHash(TextStats.wsTokens(s.toLowerCase)))
+    assert(sim.toSeq == expected)
+    val bands = texts.select(
+      graft.expressions.TextHashExpressions.minhash_bands(col("text"), 3, 16, 4).as("b"))
+      .as[Seq[Long]].collect()
+    assert(bands.forall(_.length == 4))
+    // near-identical texts share at least one band; disjoint texts share none
+    assert(bands(0).intersect(bands(2)).nonEmpty)
+    assert(bands(0).intersect(bands(1)).isEmpty)
+  }
+}
