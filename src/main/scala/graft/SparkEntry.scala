@@ -304,6 +304,34 @@ object SparkEntry {
         .agg(sum(when(col("rn") - 1 =!= col("turn_idx"), 1).otherwise(0)).as("violations"))
         .filter(col("violations") === 0)
     }),
+
+    // X7: paragraph-bounded extraction (anchor → blank line / end-of-text)
+    "q_paragraph_bounded" -> ((s, d) => {
+      val turns = fixtureSlim(s, 120)
+      turns.toDF.select(col("conv_id"), col("turn_idx"),
+          graft.operators.RegexExtracts.paragraphBounded(col("text"), "CIS Controls:")
+            .as("paras"))
+        .filter(size(col("paras")) > 0)
+        .select(col("conv_id"), col("turn_idx"), size(col("paras")).as("n"),
+          length(element_at(col("paras"), 1)).as("first_len"))
+    }),
+    // X8: section-anchored tail slice + line-wise columnar row regex
+    "q_anchored_rows" -> ((s, d) => {
+      val turns = fixtureSlim(s, 120)
+      graft.operators.RegexExtracts.anchoredRows(
+          turns.toDF.select(col("conv_id"), col("turn_idx"), col("text")),
+          "text", "CIS Controls[:\\s]*", "(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)", 3)
+        .select(col("conv_id"), col("turn_idx"), col("line_idx"),
+          col("g1"), col("g2"), substring(col("g3"), 1, 30).as("g3"))
+    }),
+    // X9: first-match-and-stop per conversation
+    "q_first_match_per_doc" -> ((s, d) => {
+      val turns = fixtureSlim(s, 150)
+      graft.operators.RegexExtracts.firstMatchPerDoc(
+        turns.toDF.select(col("conv_id"), col("turn_idx"), col("text")),
+        "conv_id", "turn_idx", "text", "(\\d+)\\.(\\d+)\\.(\\d+)", 3)
+    }),
+
   )
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
