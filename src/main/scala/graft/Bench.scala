@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      // shuffle writes were syscall-bound at 32k buffers (stack-sampled);
+      // finer input splits keep the map stage multi-wave so one slow task
+      // does not gate the barrier at high parallelism
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -44,7 +51,7 @@ object Bench {
 
   /** One timed extraction job at a given core count (fresh session, one full
     * untimed warmup run first — JIT + codegen-cache + page cache). */
-  private def extractionRun(cores: Int, rawPath: String): (Long, Double) = {
+  private def extractionRun(cores: Int, rawPath: String): (Long, Seq[Double]) = {
     val spark = newSession(cores)
     try {
       import spark.implicits._
@@ -57,10 +64,11 @@ object Bench {
         Extraction.extract(turns, Extraction.Config(numPartitions = 128))
           .write.format("noop").mode("overwrite").save()
       job() // warmup (untimed)
-      // best-of-3: GC pauses and page-cache state dominate single-run
-      // variance in this VM (measured 11-18s spread at 32 cores)
-      val sec = (1 to 2).map(_ => time(job())).min
-      (turns.count(), sec)
+      // three samples per session; the caller takes the MEDIAN across
+      // sessions (GC pauses and VM noise give single runs a 1.5x spread;
+      // min would reward lucky runs and bias the efficiency ratio)
+      val samples = (1 to 3).map(_ => time(job()))
+      (turns.count(), samples)
     } finally {
       spark.stop()
       System.gc()
@@ -87,8 +95,14 @@ object Bench {
     val pairs = (1 to 2).map { _ =>
       (extractionRun(lowCores, ScalingPath), extractionRun(highCores, ScalingPath))
     }
-    val (turnsN, secN) = pairs.map(_._1).minBy(_._2)
-    val (turns4N, sec4N) = pairs.map(_._2).minBy(_._2)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val turnsN = pairs.head._1._1
+    val turns4N = pairs.head._2._1
+    val secN = median(pairs.flatMap(_._1._2))
+    val sec4N = median(pairs.flatMap(_._2._2))
     val thrN = turnsN / secN
     val thr4N = turns4N / sec4N
     val eff = (thr4N / thrN) / (highCores.toDouble / lowCores)
@@ -130,6 +144,12 @@ object Bench {
          |
          |**Scaling efficiency (N→4N) = ${f"$eff%.3f"}** (target ≥ 0.8,
          |BASELINE.json north_rule; sandbox evidence per BASELINE.md).
+         |
+         |Measurement: median of 6 timed runs per parallelism (2 interleaved
+         |sessions × 3 runs, one untimed warmup each). Single-run wall times in
+         |this sandbox VM show up to 1.5-3x spread (JIT bimodality + host
+         |noise; GC accounts for <2.5s of any run — measured via -Xlog:gc),
+         |which is why medians are reported.
          |
          |Headline query timings (local[$highCores], $sfDir): see the bench JSON
          |(`queries` map, noop-sink materialization per query).
