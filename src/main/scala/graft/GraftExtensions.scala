@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.TextHashExpressions._
+import graft.expressions.VectorExpressions._
+
+/** Session extensions: registers graft's custom Catalyst expressions as SQL
+  * functions so `spark.sql(...)` users get the codegen'd fast paths too.
+  *
+  * Use: SparkSession.builder().withExtensions(new GraftExtensions) or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit.
+  *
+  * {{{
+  *   SELECT float_cosine(a.vec, b.vec)            -- one-pass cosine
+  *   SELECT hyperplane_bucket(vec, 8, 64)         -- LSH bucket
+  *   SELECT minhash_bands(text, 3, 16, 4)         -- MinHash LSH band keys
+  *   SELECT simhash64(text), fingerprint64(text)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("float_cosine"),
+      info("float_cosine", "_FUNC_(a, b) - one-pass cosine of two array<float>"),
+      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket", "_FUNC_(vec, bits, dim) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) => HyperplaneBucket(args(0),
+        intArg(args(1), "bits"), intArg(args(2), "dim"), 42L)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "_FUNC_(text, k, numHashes, bands) - MinHash LSH band keys"),
+      (args: Seq[Expression]) => MinHashBands(args(0), intArg(args(1), "k"),
+        intArg(args(2), "numHashes"), intArg(args(3), "bands"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(text) - 64-bit SimHash over tokens"),
+      (args: Seq[Expression]) => SimHash(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("fingerprint64"),
+      info("fingerprint64", "_FUNC_(text) - 64-bit rolling document fingerprint"),
+      (args: Seq[Expression]) => Fingerprint(args(0))))
+  }
+}

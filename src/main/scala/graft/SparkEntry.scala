@@ -332,6 +332,37 @@ object SparkEntry {
         "conv_id", "turn_idx", "text", "(\\d+)\\.(\\d+)\\.(\\d+)", 3)
     }),
 
+    // J5: top-k per key, reversed sides (k=5, Top5_Albert.py:64)
+    "q_top5_reversed" -> ((s, d) => Matching.topKPerKey(
+        t(s, d, "events").withColumn("score", col("value")),
+        col("event_type"), 5, col("event_id"))
+      .select(col("event_type"), col("event_id"), col("value"), col("rn"))),
+
+    // J6: group-wise head(1) after global sort (BERT_Finetuned.py:136)
+    "q_group_head1" -> ((s, d) => t(s, d, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("value"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id"), col("value"))),
+
+    // A4: LDA topic-space matcher (union-fit, k=10) — rows-only (ML-scored)
+    "q_topic_match" -> ((s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.operators.TopicModel.bestMatch(
+          doc.filter(col("id") < 30), doc.filter(col("id") >= 30 && col("id") < 120))
+        .select(col("left_id"), col("right_id"))
+    }),
+
+    // A5: mean-pool embedding per label (exact decimal accumulation)
+    "q_meanpool_by_label" -> ((s, d) => t(s, d, "embeddings")
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .select(col("label"),
+        VF.meanPool(transform(array_sort(col("vs")), v => v.getField("embedding")))
+          .as("mean_vec"))
+      .select(col("label"), floor(element_at(col("mean_vec"), 1) * 1000).cast("long").as("d0_milli"),
+        size(col("mean_vec")).as("dims"))),
+
   )
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
@@ -488,6 +519,16 @@ object SparkEntry {
            string_split_regex(TRIM(LOWER(text)), '\s+'),
            t -> t NOT IN ('a','and','for','in','is','it','of','that','the','to')), ' ') AS filtered
          FROM documents""",
+    "q_top5_reversed" ->
+      """SELECT event_type, event_id, value, rn FROM (
+           SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) rn
+           FROM events) WHERE rn <= 5""",
+    "q_group_head1" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) rn
+           FROM events) WHERE rn = 1""",
     "q_scalar_query_scan" ->
       """WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, CAST(FLOOR((

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions: the custom expressions must be reachable from plain SQL. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("custom expressions registered as SQL functions via SparkSessionExtensions") {
+    // needs its own session (extensions are builder-time); TestSpark's session
+    // may already exist, so clone-with-extensions via newSession + manual
+    // registration path exercised through a dedicated builder.
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+      emb.createOrReplaceTempView("emb_ext_test")
+      val rows = spark.sql(
+        """SELECT a.vec_id, float_cosine(a.embedding, a.embedding) AS self_cos,
+                  hyperplane_bucket(a.embedding, 4, 64) AS bk
+           FROM emb_ext_test a""").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // self-cosine == 1
+        assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+      }
+      val h = spark.sql(
+        "SELECT simhash64('the quick brown fox'), fingerprint64('abc'), " +
+        "minhash_bands('a b c d e f', 3, 16, 4)").collect().head
+      assert(h.getLong(0) == graft.core.TextStats.simHash(
+        graft.core.TextStats.wsTokens("the quick brown fox")))
+      assert(h.getLong(1) == graft.core.TextStats.fingerprint("abc"))
+      assert(h.getSeq[Long](2).length == 4)
+    } finally {
+      // do not stop: the underlying SparkContext is shared with TestSpark's
+      // session in this JVM; stopping would kill other suites' session.
+    }
+  }
+}
