@@ -205,20 +205,23 @@ object SparkEntry {
         t(s, d, "documents"), "text", "doc_id", threshold = 0.35)
       .select(col("left_id"), col("right_id"), ppm(col("jaccard")).as("jaccard_ppm"))),
 
-    // dedup: SimHash near-dup
+    // dedup: SimHash near-dup (pigeonhole bands — exact recall within maxHamming)
     "q_simhash_neardup" -> ((s, d) => Dedup.simHashNearDup(
-        t(s, d, "documents"), "text", "doc_id", maxHamming = 16, prefixBits = 4)),
+        t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
 
-    // dedup: embedding-cosine near-dup (hyperplane LSH blocked)
+    // dedup: embedding-cosine near-dup (multi-table hyperplane LSH; the 0.3
+    // threshold matches this corpus's similarity regime — 8 tables × 2 bits
+    // gives measured recall ≥ 0.9 there, see DedupRecallSpec)
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(
         t(s, d, "embeddings"), "embedding", "vec_id", dim = 64,
-        bits = 3, threshold = 0.3)
+        bits = 2, tables = 8, threshold = 0.3)
       .select(col("left_id"), col("right_id"), ppm(col("cos")).as("cos_ppm"))),
 
-    // similarity search: LSH-bucketed ANN (scale path)
+    // similarity search: LSH-bucketed ANN (scale path, multi-probe radius 1)
     "q_embedding_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      SimilaritySearch.lshTopK(emb.filter(col("id") < 20), emb, 3, dim = 64, bits = 4)
+      SimilaritySearch.lshTopK(emb.filter(col("id") < 20), emb, 3, dim = 64,
+          bits = 4, probeHamming = 1)
         .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
     }),
 

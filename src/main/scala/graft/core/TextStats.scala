@@ -139,6 +139,46 @@ object TextStats {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Sorted distinct 64-bit hashes of the lowercased whitespace token set.
+    * The set-similarity operators compare these instead of string arrays:
+    * |A∩B| over 64-bit token hashes equals the string-set intersection except
+    * on hash collisions (probability ≈ |vocab|²/2⁶⁵ — negligible), and a
+    * sorted-array merge intersect is O(n) with zero per-pair allocation. */
+  def tokenHashes(s: String): Array[Long] = shingleHashes(s, 1)
+
+  /** Sorted distinct 64-bit hashes of the word k-shingle set (k=1 ≡ the token
+    * set) — the same set MinHash signatures are built from, so LSH candidate
+    * generation and exact verify use ONE similarity measure. */
+  def shingleHashes(s: String, k: Int): Array[Long] = {
+    val sh = if (k == 1) wsTokens(s.toLowerCase) else shingles(s, k)
+    if (sh.isEmpty) return Array.empty
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = hash64(sh(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    // dedup in place (sorted)
+    var w = 1
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Jaccard of two SORTED distinct long arrays via merge intersection.
+    * Empty-vs-empty pins to 1.0 (same contract as tokenSetJaccard). */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val uni = a.length + b.length - inter
+    if (uni == 0) 1.0 else inter.toDouble / uni
+  }
+
   /** Jaccard similarity of word n-gram sets. */
   def ngramJaccard(a: String, b: String, k: Int): Double = {
     val sa = shingles(a, k).toSet

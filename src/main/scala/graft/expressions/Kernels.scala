@@ -1,0 +1,32 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static entry points for generated code.
+  *
+  * Janino (Spark's codegen compiler) resolves `a.b.C.m(...)` only when `C` is
+  * a real Java class with a static `m` — which a Scala object NESTED inside
+  * another object is not (its methods live on the `Outer$Inner$.MODULE$`
+  * instance). Calls like `VectorExpressions.FloatCosine.compute(...)` in
+  * generated code therefore fail to compile and Spark silently falls back to
+  * interpreted evaluation (logging an executor CompileException — the
+  * anonymous error in round 1's bench tail). This TOP-LEVEL object's mirror
+  * class carries true static forwarders, so every custom expression's
+  * generated code calls `graft.expressions.Kernels.<m>` and stays inside
+  * whole-stage codegen. */
+object Kernels {
+  def floatCosine(a: ArrayData, b: ArrayData): Double =
+    VectorExpressions.FloatCosine.compute(a, b)
+
+  def hyperplaneBucket(v: ArrayData, planes: Array[Array[Double]],
+                       bits: Int, dim: Int): Long =
+    VectorExpressions.HyperplaneBucket.compute(v, planes, bits, dim)
+
+  def minhashBands(text: String, k: Int, numHashes: Int, bands: Int): Array[Long] =
+    TextHashExpressions.MinHashBands.compute(text, k, numHashes, bands)
+
+  def simhash(text: String): Long = TextHashExpressions.SimHash.compute(text)
+
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double =
+    TextHashExpressions.SortedLongJaccard.compute(a, b)
+}

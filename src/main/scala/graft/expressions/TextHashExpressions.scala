@@ -31,7 +31,7 @@ object TextHashExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v =>
         s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-          s"graft.expressions.TextHashExpressions.MinHashBands.compute(" +
+          s"graft.expressions.Kernels.minhashBands(" +
           s"$v.toString(), $shingleK, $numHashes, $bands));")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -58,7 +58,7 @@ object TextHashExpressions {
       SimHash.compute(v.asInstanceOf[UTF8String].toString)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graft.expressions.TextHashExpressions.SimHash.compute($v.toString());")
+        s"${ev.value} = graft.expressions.Kernels.simhash($v.toString());")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -80,6 +80,57 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** text → sorted distinct array<long> of 64-bit word k-shingle hashes
+    * (TextStats.shingleHashes; k=1 ≡ the token set) — computed ONCE per row
+    * on the scan side of the candidate join so the per-pair similarity work
+    * is a plain merge loop. */
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.shingleHashes(v.asInstanceOf[UTF8String].toString, k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.shingleHashes($v.toString(), $k));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Jaccard of two SORTED distinct array<long> columns → double. One merge
+    * loop per pair, no hashing, no allocation — this is the verify kernel of
+    * every set-similarity join (exact blocked, MinHash-candidate, …). */
+  case class SortedLongJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SortedLongJaccard.compute(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.Kernels.sortedJaccard($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object SortedLongJaccard {
+    /** Called from generated code — keep signature stable. */
+    def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val uni = na + nb - inter
+      if (uni == 0) 1.0 else inter.toDouble / uni
+    }
+  }
+
   // ---- Column-level API ----------------------------------------------------
   def minhash_bands(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     column(MinHashBands(expression(text), shingleK, numHashes, bands))
@@ -87,4 +138,11 @@ object TextHashExpressions {
   def simhash64(text: Column): Column = column(SimHash(expression(text)))
 
   def fingerprint64(text: Column): Column = column(Fingerprint(expression(text)))
+
+  def token_hashes(text: Column): Column = column(ShingleHashes(expression(text), 1))
+
+  def shingle_hashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    column(SortedLongJaccard(expression(a), expression(b)))
 }

@@ -43,7 +43,7 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.expressions.VectorExpressions.FloatCosine.compute($a, $b);")
+        s"${ev.value} = graft.expressions.Kernels.floatCosine($a, $b);")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -96,8 +96,8 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graft.expressions.VectorExpressions.HyperplaneBucket" +
-          s".compute($v, $planesRef, $bits, $dim);")
+        s"${ev.value} = graft.expressions.Kernels" +
+          s".hyperplaneBucket($v, $planesRef, $bits, $dim);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

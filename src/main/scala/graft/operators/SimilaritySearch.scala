@@ -30,12 +30,23 @@ object SimilaritySearch {
       .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
   }
 
-  /** LSH-bucketed ANN: equi-join on the bucket key instead of a cross join.
-    * Exact cosine re-ranks within the bucket. */
+  /** LSH-bucketed ANN with MULTI-PROBE: the corpus is bucketed once; each
+    * query probes its own bucket plus every bucket within Hamming distance
+    * `probeHamming` of it (bit-flip neighbors — where near neighbors that
+    * straddle a hyperplane land). Candidates are re-ranked by exact cosine.
+    * Probing multiplies only the (small, broadcast) query side — the corpus
+    * is still scanned once and shuffled never. Recall vs `bruteForceTopK` is
+    * measured in DedupRecallSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              bits: Int = 6): DataFrame = {
+              bits: Int = 6, probeHamming: Int = 1): DataFrame = {
+    // all bit masks with popcount <= probeHamming (identity mask included)
+    val masks: Seq[Long] = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("bucket", hyperplane_bucket(col("qv"), bits, dim))
+      .withColumn("bucket0", hyperplane_bucket(col("qv"), bits, dim))
+      .withColumn("bucket", explode(array(masks.map(m =>
+        col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket0")
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
       .withColumn("bucket", hyperplane_bucket(col("cv"), bits, dim))
     broadcast(q).join(c, "bucket")

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.TextStats
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Measured-recall gates for every approximate operator, each against its own
+  * exact baseline (VERDICT r1 #2/#4/#5: "an approximate operator without a
+  * recall number is unfinished").
+  *
+  * - simHashNearDup: recall must be EXACTLY 1.0 (pigeonhole guarantee).
+  * - lshTopK / embeddingNearDup / minHashLsh: probabilistic — measured on
+  *   corpora containing true near-duplicates (planted deterministically,
+  *   since the synthetic sf tables have no high-similarity pairs) and
+  *   asserted ≥ 0.9 (≥ 0.85 for minHash at its S-curve shoulder). */
+class DedupRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("left_id").cast("long"), col("right_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("simHashNearDup recall == 1.0 vs brute-force hamming join (pigeonhole guarantee)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant guaranteed near-dups so the exact set is non-trivial even if the
+    // organic corpus had none: one-token edits keep hamming tiny
+    val edited = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zzedit")).as("text"))
+    val all = docs.unionByName(edited)
+
+    val sigs = all.select(col("doc_id").as("id"),
+      graft.expressions.TextHashExpressions.simhash64(col("text")).as("sim"))
+    val brute = sigs.as("l").join(sigs.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
+        graft.functions.TextFunctions.hamming64(col("l.sim"), col("r.sim")).as("h"))
+      .filter(col("h") <= 3)
+    val bruteSet = pairSet(brute)
+    val got = pairSet(Dedup.simHashNearDup(all, "text", "doc_id", maxHamming = 3))
+    assert(bruteSet.nonEmpty, "exact baseline must be non-trivial")
+    assert(got == bruteSet, s"pigeonhole recall/precision must both be exact; " +
+      s"missing=${(bruteSet -- got).take(3)} extra=${(got -- bruteSet).take(3)}")
+    info(s"simhash pairs=${bruteSet.size} recall=1.0 (exact by construction)")
+  }
+
+  test("ngramJaccardPairs (hash kernel) == brute-force string-set jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source")).filter(col("doc_id") < 200)
+    val viaHashes = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.35)
+      .select(col("left_id"), col("right_id"),
+        floor(col("jaccard") * 1000000L).cast("long").as("ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s = docs.select(col("doc_id").as("id"), col("source").as("blk"),
+      array_distinct(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("toks"))
+    val viaStrings = s.as("l").join(s.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard", {
+        val inter = size(array_intersect(col("l.toks"), col("r.toks"))).cast("double")
+        val uni = (size(col("l.toks")) + size(col("r.toks"))).cast("double") - inter
+        when(uni === 0, 1.0).otherwise(inter / uni)
+      })
+      .filter(col("jaccard") >= 0.35)
+      .select(col("l.id"), col("r.id"), floor(col("jaccard") * 1000000L).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaHashes == viaStrings, "token-hash jaccard must equal string-set jaccard")
+    info(s"jaccard pairs=${viaHashes.size} hash-kernel exact-equal")
+  }
+
+  test("minHashLsh measured recall >= 0.85 on a near-dup corpus at threshold 0.7") {
+    import spark.implicits._
+    // deterministic near-dups: drop every 10th token -> jaccard ~0.9
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(length(col("text")) > 50)
+      .limit(200).as[(Long, String)].collect()
+    val rows = base.flatMap { case (id, text) =>
+      val toks = TextStats.wsTokens(text)
+      val dropped = toks.zipWithIndex.collect { case (t, i) if i % 10 != 9 => t }
+      Seq((id, text), (id + 100000L, dropped.mkString(" ")))
+    }
+    val docs = spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
+    val exact = docs.select(col("doc_id").as("id"),
+        graft.expressions.TextHashExpressions.token_hashes(col("text")).as("th"))
+    val brute = exact.as("l").join(exact.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
+        graft.expressions.TextHashExpressions.sorted_jaccard(col("l.th"), col("r.th")).as("j"))
+      .filter(col("j") >= 0.7)
+    val bruteSet = pairSet(brute)
+    // shingleK=1: candidates and the exact baseline share the token-set measure
+    val got = pairSet(Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleK = 1, threshold = 0.7))
+    assert(bruteSet.nonEmpty)
+    assert(got.subsetOf(bruteSet), "verify step must keep precision exact")
+    val recall = got.size.toDouble / bruteSet.size
+    info(f"minhash recall=$recall%.3f over ${bruteSet.size} true pairs")
+    assert(recall >= 0.85, f"minhash recall $recall%.3f < 0.85")
+  }
+
+  // --- embedding helpers ----------------------------------------------------
+  private def plantedEmbeddings(perQuery: Int, noise: Float): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val planted = base.filter(_._1 < 20).flatMap { case (id, v) =>
+      (0 until perQuery).map { i =>
+        val rnd = new scala.util.Random(id * 31 + i)
+        val w = v.map(x => x + noise * (rnd.nextFloat() - 0.5f))
+        (100000L + id * 10 + i, w)
+      }
+    }
+    spark.createDataFrame((base ++ planted).toSeq).toDF("vec_id", "embedding")
+  }
+
+  test("lshTopK multi-probe recall@3 >= 0.9 vs bruteForceTopK") {
+    val emb = plantedEmbeddings(perQuery = 3, noise = 0.05f)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("id") < 20)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, 3)
+      .select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(queries, emb, 3, dim = 64,
+        bits = 4, probeHamming = 1)
+      .select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(f"ann recall@3=$recall%.3f (bits=4, probeHamming=1, ${brute.size} truth pairs)")
+    assert(recall >= 0.9, f"ANN recall@3 $recall%.3f < 0.9")
+  }
+
+  test("embeddingNearDup measured recall >= 0.9 at both similarity regimes") {
+    import spark.implicits._
+    // regime 1: the corpus's own loose regime (threshold 0.3; OR-amplified
+    // 8 tables x 2 bits) — exactly the q_embedding_neardup configuration
+    val organic = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def bruteNearDup(df: DataFrame, threshold: Double): Set[(Long, Long)] = {
+      val e = df.select(col("vec_id").as("id"), col("embedding").as("v"))
+      pairSet(e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
+        .withColumn("cos", graft.expressions.VectorExpressions.float_cosine(col("l.v"), col("r.v")))
+        .filter(col("cos") >= threshold)
+        .select(col("l.id").as("left_id"), col("r.id").as("right_id")))
+    }
+    val brute1 = bruteNearDup(organic, 0.3)
+    val got1 = pairSet(Dedup.embeddingNearDup(organic, "embedding", "vec_id",
+      dim = 64, bits = 2, tables = 8, threshold = 0.3))
+    assert(got1.subsetOf(brute1), "cosine verify keeps precision exact")
+    val recall1 = got1.size.toDouble / brute1.size
+    info(f"near-dup recall (cos>=0.3, 8x2-bit tables)=$recall1%.3f over ${brute1.size} pairs")
+    assert(recall1 >= 0.9, f"loose-regime recall $recall1%.3f < 0.9")
+
+    // regime 2: true near-dups (planted, cos>=0.9) with the selective
+    // config (4 tables x 6 bits) a real dedup pipeline would run
+    val planted = plantedEmbeddings(perQuery = 3, noise = 0.08f)
+    val brute2 = bruteNearDup(planted, 0.9)
+    val got2 = pairSet(Dedup.embeddingNearDup(planted, "embedding", "vec_id",
+      dim = 64, bits = 6, tables = 4, threshold = 0.9))
+    assert(brute2.nonEmpty)
+    val recall2 = got2.size.toDouble / brute2.size
+    info(f"near-dup recall (cos>=0.9, 4x6-bit tables)=$recall2%.3f over ${brute2.size} pairs")
+    assert(recall2 >= 0.9, f"tight-regime recall $recall2%.3f < 0.9")
+  }
+}
