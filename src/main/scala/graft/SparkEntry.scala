@@ -596,6 +596,30 @@ object SparkEntry {
            regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 2) AS g2,
            SUBSTRING(regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 3), 1, 30) AS g3
          FROM lines WHERE regexp_matches(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)')""",
+    "q_keyword_windows" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim150/*.parquet')),
+         m AS (SELECT conv_id, turn_idx,
+           array_to_string(list_transform(
+             (string_split(regexp_replace(text, '\\n+$$', ''), chr(10)))[1:2],
+             x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), ' ') AS key,
+           regexp_extract_all(text, '(?is)description(.*?)rationale', 1) v1,
+           regexp_extract_all(text, '(?is)rationale(.*?)impact', 1) v2,
+           regexp_extract_all(text, '(?is)impact(.*?)audit', 1) v3,
+           regexp_extract_all(text, '(?is)audit(.*?)remediation', 1) v4,
+           regexp_extract_all(text, '(?is)remediation(.*?)cis control', 1) v5,
+           regexp_extract_all(text, '(?is)cis\\s*control\\s*\\((.*?)\\)', 1) v6
+          FROM t),
+         e AS (SELECT conv_id, turn_idx, key, v1,v2,v3,v4,v5,v6,
+            unnest(generate_series(0, greatest(len(v1),len(v2),len(v3),len(v4),len(v5),len(v6))-1)) AS row
+          FROM m)
+         SELECT conv_id, turn_idx, key, CAST(row AS INT) AS row,
+           trim(coalesce(v1[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS description,
+           trim(coalesce(v2[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS rationale,
+           trim(coalesce(v3[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS impact,
+           trim(coalesce(v4[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS audit,
+           trim(coalesce(v5[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS remediation,
+           trim(coalesce(v6[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS cis_control
+         FROM e""",
     "q_lemmatize" ->
       """SELECT doc_id, array_to_string(list_transform(
            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
