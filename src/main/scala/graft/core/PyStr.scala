@@ -36,9 +36,9 @@ object PyStr {
     * separators. */
   def isPySpace(c: Char): Boolean =
     c match {
-      case ' ' | '\t' | '\n' | '\r' | '\f' | '' => true
-      case '' | '' | '' | ''  => true // FS GS RS US
-      case '' | ' '                        => true // NEL NBSP
+      case ' ' | '\t' | '\n' | '\r' | '\f' | '\u000b' => true
+      case '\u001c' | '\u001d' | '\u001e' | '\u001f'  => true // FS GS RS US
+      case '\u0085' | '\u00a0'                        => true // NEL NBSP
       case _ =>
         val t = Character.getType(c)
         t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TurnSlim
+
+/** S1 binary-payload plane (SURVEY §2.1): opaque document payloads read via
+  * `spark.read.format("binaryFile")` and tokenized by a mapPartitions
+  * BYTE-stream lexer — no whole-file string materialization before the page
+  * split, and no driver involvement.
+  *
+  * Page model: the 0x0C form-feed byte separates pages (the text-layer page
+  * delimiter convention PDF extractors emit), so one payload file becomes one
+  * "conversation" whose turns are its pages — directly consumable by
+  * `Extraction.extract`. Line lexing splits on 0x0A with 0x0D stripped.
+  *
+  * Scale notes: binaryFile files are NOT split (one file = one task input,
+  * 2 GB cap per file) — parallelism comes from file count, which is the right
+  * unit for payload blobs; the lexer itself is streaming per file. Column
+  * pruning applies (`content` only read when asked). */
+object BinaryPayloads {
+
+  case class LexedLine(doc: String, page_idx: Int, line_idx: Int, line: String)
+
+  /** Raw binaryFile frame: (path, modificationTime, length, content). */
+  def read(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  private def stem(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  /** Split a byte payload on `sep` without copying the whole array per page. */
+  private[sources] def splitBytes(bytes: Array[Byte], sep: Byte): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == sep) {
+        out += new String(bytes, start, i - start, StandardCharsets.UTF_8)
+        start = i + 1
+      }
+      i += 1
+    }
+    out += new String(bytes, start, bytes.length - start, StandardCharsets.UTF_8)
+    out.result()
+  }
+
+  /** Payload files → per-page turns: conv_id = file stem, turn_idx = page
+    * ordinal (form-feed-separated). Feed straight into Extraction.extract. */
+  def pages(spark: SparkSession, glob: String): Dataset[TurnSlim] = {
+    import spark.implicits._
+    read(spark, glob).select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val doc = stem(path)
+        splitBytes(bytes, 0x0C.toByte).zipWithIndex.map { case (text, i) =>
+          TurnSlim(doc, i, text)
+        }
+      })
+  }
+
+  /** Payload files → lexed lines (0x0A separator, trailing 0x0D stripped). */
+  def lines(spark: SparkSession, glob: String): Dataset[LexedLine] = {
+    import spark.implicits._
+    read(spark, glob).select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val doc = stem(path)
+        splitBytes(bytes, 0x0C.toByte).zipWithIndex.flatMap { case (page, p) =>
+          page.split("\n", -1).zipWithIndex.map { case (l, i) =>
+            LexedLine(doc, p, i, if (l.endsWith("\r")) l.dropRight(1) else l)
+          }
+        }
+      })
+  }
+}

@@ -132,6 +132,28 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("Clean.stripLeadingPageNum: text_preprocessing3.py strip_numbers inputs (F5)") {
+    // reference pattern r'^\.\d+(?:\.\d+)* ' (text_preprocessing3.py:6) plus
+    // the repo's documented broader page/number variants
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ".1 Ensure telnet is removed" -> "Ensure telnet is removed",
+      ".5.2.18 Ensure SSH is configured" -> "Ensure SSH is configured",
+      ".10.1.1.2 rule text" -> "rule text",
+      "1.2.3 plain leading number" -> "plain leading number",
+      "Page 12 something" -> "something",
+      "page 3.1 lowercase page" -> "lowercase page",
+      "no prefix here" -> "no prefix here",
+      "middle .1.2 stays .1.2" -> "middle .1.2 stays .1.2",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.Clean.stripLeadingPageNum(col("t")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("FSM spans are within bounds with start<=end (property over fixtures)") {
     val turns = FixtureGen.turns(FixtureGen.Profile(numConvs = 40, monsterEvery = 13,
       monsterTurns = 60, invalidEvery = 7))

@@ -141,6 +141,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 16))
   }
 
+  test("BinaryPayloads: byte-stream lexer == in-memory oracle; feeds the FSM") {
+    import spark.implicits._
+    // payload files: one conversation per file, pages joined by form feed
+    val profile = FixtureGen.Profile(numConvs = 12, monsterEvery = 0, invalidEvery = 5)
+    val convs = (0L until 12L).map(i => FixtureGen.conversation(profile, i))
+    val dir = java.nio.file.Files.createTempDirectory("binpay")
+    convs.foreach { ts =>
+      java.nio.file.Files.write(dir.resolve(ts.head.conv_id + ".txt"),
+        ts.map(_.text).mkString("\f").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val pages = graft.sources.BinaryPayloads.pages(spark, dir.toString + "/*.txt")
+    val got = pages.collect().map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    val want = convs.flatten.map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    assert(got == want, "lexed pages must round-trip the payload bytes exactly")
+    // composes with the flagship FSM: distributed records == oracle records
+    val viaBinary = graft.operators.Extraction.records(
+      graft.operators.Extraction.extract(
+        pages.withColumn("role", lit("user")).withColumn("tool", lit(null: String))
+          .withColumn("ts", lit(new java.sql.Timestamp(0L))).as[Turn],
+        graft.operators.Extraction.Config(numPartitions = 4))).collect()
+    val oracle = convs.flatMap(ts => graft.core.ConvParser.parse(ts.head.conv_id, ts))
+      .flatMap(tr => tr.record.toSeq)
+    assert(viaBinary.length == oracle.length && viaBinary.nonEmpty)
+    // line lexer: \r\n handling + per-page line indexing
+    val f2 = java.nio.file.Files.createTempDirectory("binpay2")
+    java.nio.file.Files.write(f2.resolve("x.txt"),
+      "a\r\nb\fc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lines = graft.sources.BinaryPayloads.lines(spark, f2.toString + "/*.txt")
+      .collect().sortBy(l => (l.page_idx, l.line_idx))
+      .map(l => (l.page_idx, l.line_idx, l.line)).toSeq
+    assert(lines == Seq((0, 0, "a"), (0, 1, "b"), (1, 0, "c")))
+  }
+
   test("minhash/simhash expressions match TextStats semantics") {
     import spark.implicits._
     val texts = Seq("the quick brown fox jumps", "pack my box with five dozen jugs",
