@@ -270,11 +270,11 @@ object SparkEntry {
         .orderBy(desc("score_ppm"), col("vec_id")).limit(20)
     }),
 
-    // X4: per-conversation line-FSM (variant B sectionizer) — rows-only
+    // X4: per-conversation line-FSM (variant B sectionizer)
     "q_line_fsm" -> ((s, d) => {
       import s.implicits._
-      val turns = fixtureSlim(s, 150)
-      graft.operators.LineSections.lineFsm(turns, 16).toDF
+      graft.operators.LineSections.lineFsm(
+        fixtureTable(s, 150).as[graft.core.TurnSlim], 16).toDF
     }),
     // X5: keyword-pair window extraction (variant C)
     "q_keyword_windows" -> ((s, d) => {
@@ -282,10 +282,11 @@ object SparkEntry {
       graft.operators.LineSections.keywordWindows(
         fixtureTable(s, 150).as[graft.core.TurnSlim]).toDF
     }),
-    // S3/P5/X12: in-payload table blocks → long-form cells — rows-only
+    // S3/P5/X12: in-payload table blocks → long-form cells
     "q_table_blocks" -> ((s, d) => {
-      val turns = fixtureSlim(s, 200)
-      graft.operators.TableBlocks.extract(turns).toDF
+      import s.implicits._
+      graft.operators.TableBlocks.extract(
+        fixtureTable(s, 200).as[graft.core.TurnSlim]).toDF
     }),
     // J9/A4: union-fit TF-IDF best match — rows-only (ML-scored)
     "q_tfidf_match" -> ((s, d) => {
@@ -620,6 +621,105 @@ object SparkEntry {
            trim(coalesce(v5[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS remediation,
            trim(coalesce(v6[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS cis_control
          FROM e""",
+    "q_line_fsm" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim150/*.parquet')),
+pl AS (SELECT conv_id, turn_idx,
+         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
+         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
+       FROM t),
+l AS (SELECT conv_id, line,
+        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, li) AS ord,
+        (line LIKE '%Description%' OR line LIKE '%Rationale%' OR line LIKE '%Impact%'
+         OR line LIKE '%Audit%' OR line LIKE '%Remediation%' OR line LIKE '%CIS Controls%') AS is_hdr
+      FROM pl),
+g AS (SELECT *, SUM(CASE WHEN is_hdr THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY ord ROWS UNBOUNDED PRECEDING) AS grp
+      FROM l),
+sec AS (
+  SELECT conv_id, grp,
+    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END) AS name,
+    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END)
+      || coalesce(string_agg(CASE WHEN NOT is_hdr THEN ' ' || trim(line, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END, '' ORDER BY ord), '') AS value,
+    MIN(ord) AS first_ord
+  FROM g WHERE grp > 0
+  GROUP BY conv_id, grp),
+numbered AS (
+  SELECT conv_id, name, value,
+    ROW_NUMBER() OVER (PARTITION BY conv_id, name ORDER BY first_ord) - 1 AS occ
+  FROM sec),
+maxlen AS (SELECT conv_id, MAX(cnt) AS maxlen FROM
+  (SELECT conv_id, name, COUNT(*) cnt FROM numbered GROUP BY conv_id, name) GROUP BY conv_id),
+names AS (SELECT DISTINCT conv_id, name FROM numbered),
+expanded AS (
+  SELECT n.conv_id, n.name AS section, unnest(generate_series(0, m.maxlen - 1)) AS row
+  FROM names n JOIN maxlen m ON n.conv_id = m.conv_id),
+title AS (
+  SELECT t.conv_id, 'Title' AS section, unnest(generate_series(0, m.maxlen - 1)) AS row,
+    split_part(t.text, chr(10), 1) AS value
+  FROM t JOIN maxlen m ON t.conv_id = m.conv_id WHERE t.turn_idx = 0)
+SELECT e.conv_id, e.section, CAST(e.row AS INT) AS row, v.value
+FROM expanded e LEFT JOIN numbered v
+  ON e.conv_id = v.conv_id AND e.section = v.name AND e.row = v.occ
+UNION ALL
+SELECT conv_id, section, CAST(row AS INT) AS row, value FROM title""",
+    "q_table_blocks" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim200/*.parquet')),
+pl AS (SELECT conv_id, turn_idx,
+         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
+         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
+       FROM t),
+tl AS (SELECT conv_id, turn_idx, line, li,
+         li - ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY li) AS grp
+       FROM pl WHERE line LIKE '%|%'),
+blocks AS (SELECT conv_id, turn_idx, grp, MIN(li) AS hdr_li, COUNT(*) AS n
+           FROM tl GROUP BY conv_id, turn_idx, grp HAVING COUNT(*) >= 2),
+bidx AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY hdr_li) - 1 AS INT) AS table_idx
+         FROM blocks),
+hdr AS (SELECT b.conv_id, b.turn_idx, b.grp, b.table_idx,
+          list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS rawnames
+        FROM bidx b JOIN tl l ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.li = b.hdr_li),
+hcells AS (SELECT conv_id, turn_idx, grp, table_idx,
+             unnest(rawnames) AS rawname,
+             unnest(generate_series(0, len(rawnames)-1)) AS pos,
+             len(rawnames) AS arity
+           FROM hdr),
+uniq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp, rawname ORDER BY pos) - 1 AS INT) AS occ
+         FROM hcells),
+hnames AS (SELECT conv_id, turn_idx, grp, table_idx, pos, arity,
+             CASE WHEN occ = 0 THEN rawname ELSE rawname || '_' || occ END AS column
+           FROM uniq),
+drows AS (SELECT l.conv_id, l.turn_idx, l.grp, b.table_idx,
+            list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS cells, l.li
+          FROM tl l JOIN bidx b ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.grp = b.grp
+          WHERE l.li > b.hdr_li),
+dkept AS (SELECT d.*, h.arity FROM drows d
+          JOIN (SELECT DISTINCT conv_id, turn_idx, grp, arity FROM hnames) h
+            ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp
+          WHERE len(d.cells) = h.arity),
+dnum AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp ORDER BY li) - 1 AS INT) AS row_idx
+         FROM dkept),
+dcells AS (SELECT conv_id, turn_idx, grp, table_idx, row_idx,
+             unnest(cells) AS value,
+             unnest(generate_series(0, len(cells)-1)) AS pos
+           FROM dnum)
+SELECT d.conv_id, d.turn_idx, d.table_idx, d.row_idx, h.column, d.value
+FROM dcells d JOIN hnames h
+  ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp AND d.pos = h.pos""",
+    "q_fingerprint" ->
+      """WITH h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)::HUGEINT)),
+      (a, b) -> (a * 257::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h0
+  FROM documents),
+s1 AS (SELECT doc_id, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
+s2 AS (SELECT doc_id, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
+s3 AS (SELECT doc_id, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
+s4 AS (SELECT doc_id, xor(x, x // 2147483648::HUGEINT) AS x FROM s3)
+SELECT doc_id,
+  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS fp
+FROM s4""",
     "q_lemmatize" ->
       """SELECT doc_id, array_to_string(list_transform(
            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),

@@ -76,15 +76,22 @@ object ScalingHarness {
 
   case class Sample(tsMs: Long, coresN: Int, cores4N: Int,
                     probeEffBefore: Double, probeEffAfter: Double,
-                    secN: Double, sec4N: Double, eff: Double, skipped: Boolean) {
-    /** Weather quality of the window the pair ran in. */
-    def quality: Double = math.min(probeEffBefore, probeEffAfter)
+                    secN: Double, sec4N: Double, eff: Double, skipped: Boolean,
+                    stealN: Double = 0.0, steal4N: Double = 0.0) {
+    /** Weather quality of the window the pair ran in: bracket probes must
+      * both scale AND host steal during each timed run must be negligible
+      * AND the ratio must be physically plausible (eff > 1.1 means the
+      * N-side itself was starved — e.g. by a concurrent job). */
+    def quality: Double =
+      if (math.max(stealN, steal4N) > 0.02 || eff > 1.1) 0.0
+      else math.min(probeEffBefore, probeEffAfter)
     def toJson: String = Json.obj(
       "ts_ms" -> tsMs.toString,
       "cores_n" -> coresN.toString, "cores_4n" -> cores4N.toString,
       "probe_eff_before" -> f"$probeEffBefore%.3f",
       "probe_eff_after" -> f"$probeEffAfter%.3f",
       "sec_n" -> f"$secN%.3f", "sec_4n" -> f"$sec4N%.3f",
+      "steal_n" -> f"$stealN%.4f", "steal_4n" -> f"$steal4N%.4f",
       "eff" -> f"$eff%.3f", "skipped" -> skipped.toString)
   }
 
@@ -106,31 +113,57 @@ object ScalingHarness {
         pb <- num(line, "probe_eff_before"); pa <- num(line, "probe_eff_after")
         sn <- num(line, "sec_n"); s4 <- num(line, "sec_4n"); e <- num(line, "eff")
       } yield Sample(ts.toLong, cn.toInt, c4.toInt, pb, pa, sn, s4, e,
-        skipped = line.contains("\"skipped\":\"true\""))
+        skipped = line.contains("\"skipped\":true"),
+        stealN = num(line, "steal_n").getOrElse(0.0),
+        steal4N = num(line, "steal_4n").getOrElse(0.0))
     }.toSeq
   }
 
-  /** Probe → (if quiet) extraction pair → probe; append the raw sample. */
+  /** (total jiffies, steal jiffies) from /proc/stat — host steal is directly
+    * visible to the guest and pins contention independently of the probes. */
+  private def cpuStat(): (Long, Long) = {
+    val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+      .next().trim.split("\\s+").drop(1).map(_.toLong)
+    (cols.take(8).sum, cols(7))
+  }
+  private def withSteal[T](f: => T): (T, Double) = {
+    val (t0, s0) = cpuStat()
+    val r = f
+    val (t1, s1) = cpuStat()
+    (r, if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0)
+  }
+
+  /** Probe → (if quiet) extraction pair → probe; append the raw sample.
+    * The whole measurement holds a cross-process file lock so the background
+    * sampler and a driver-run Bench never time against each other. */
   def sampleOnce(lowCores: Int, highCores: Int, probeCutoff: Double): Sample = {
-    val p8 = probe(lowCores)
-    val p32 = probe(highCores)
-    val effBefore = (p8 / p32) / (highCores.toDouble / lowCores)
-    val s =
-      if (effBefore < probeCutoff)
-        Sample(System.currentTimeMillis(), lowCores, highCores,
-          effBefore, -1.0, -1.0, -1.0, -1.0, skipped = true)
-      else {
-        val secN = extractionRun(lowCores).head
-        val sec4N = extractionRun(highCores).head
-        val q8 = probe(lowCores)
-        val q32 = probe(highCores)
-        val effAfter = (q8 / q32) / (highCores.toDouble / lowCores)
-        val eff = (secN / sec4N) / (highCores.toDouble / lowCores)
-        Sample(System.currentTimeMillis(), lowCores, highCores,
-          effBefore, effAfter, secN, sec4N, eff, skipped = false)
-      }
-    append(s)
-    s
+    Files.createDirectories(Paths.get("/dev/shm/graft-bench"))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get("/dev/shm/graft-bench/harness.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      val p8 = probe(lowCores)
+      val p32 = probe(highCores)
+      val effBefore = (p8 / p32) / (highCores.toDouble / lowCores)
+      val s =
+        if (effBefore < probeCutoff)
+          Sample(System.currentTimeMillis(), lowCores, highCores,
+            effBefore, -1.0, -1.0, -1.0, -1.0, skipped = true)
+        else {
+          val (secN, stealN) = withSteal(extractionRun(lowCores).head)
+          val (sec4N, steal4N) = withSteal(extractionRun(highCores).head)
+          val q8 = probe(lowCores)
+          val q32 = probe(highCores)
+          val effAfter = (q8 / q32) / (highCores.toDouble / lowCores)
+          val eff = (secN / sec4N) / (highCores.toDouble / lowCores)
+          Sample(System.currentTimeMillis(), lowCores, highCores,
+            effBefore, effAfter, secN, sec4N, eff, skipped = false,
+            stealN = stealN, steal4N = steal4N)
+        }
+      append(s)
+      s
+    } finally { lock.release(); ch.close() }
   }
 
   def median(xs: Seq[Double]): Double = {
