@@ -102,7 +102,7 @@ object ScalingHarness {
       * AND the ratio must be physically plausible (eff > 1.1 means the
       * N-side itself was starved — e.g. by a concurrent job). */
     def quality: Double =
-      if (math.max(stealN, steal4N) > 0.02 || eff > 1.1) 0.0
+      if (math.max(stealN, steal4N) > 0.02 || eff > 1.1 || probeEffAfter > 1.1) 0.0
       else math.min(probeEffBefore, probeEffAfter)
     def toJson: String = Json.obj(
       "ts_ms" -> tsMs.toString,
