@@ -230,6 +230,10 @@ object SparkEntry {
       val feats = Multimodal.extractFeatures(Multimodal.synth(s, 500))
       Multimodal.resizePlan(feats, maxEdge = 256).drop("scale")
     }),
+    // multimodal image plane: REAL PNG decode (javax.imageio) → perceptual
+    // aHash → pigeonhole Hamming near-dup join (exact recall)
+    "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(
+      Multimodal.extractImageFeatures(Multimodal.synthImages(s, 300)), maxHamming = 4)),
 
     // boilerplate strip over fixture HTML turns
     "q_boilerplate" -> ((s, d) => {

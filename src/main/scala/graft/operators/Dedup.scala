@@ -68,10 +68,17 @@ object Dedup {
     * matches exactly and the pair is always a candidate (Manku et al.,
     * WWW'07). Verified by full Hamming distance. */
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    hammingNearDup(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      maxHamming)
+
+  /** Pigeonhole Hamming self-join over any 64-bit signature column
+    * (`sigs`: (id, sim)) — shared by SimHash text near-dup and image
+    * aHash near-dup. Exact recall within maxHamming. */
+  def hammingNearDup(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands // last band also takes the remainder bits
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val bandStructs = array((0 until bands).map { b =>
       val shifted = shiftrightunsigned(col("sim"), b * width)
       val key = if (b == bands - 1) shifted

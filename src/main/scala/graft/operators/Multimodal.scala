@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed per partition in bounded batches.
   *
-  * The actual codec work is STUBBED (no image/audio libs in this container):
+  * IMAGES are handled by a REAL codec (`graft.core.ImageCodec` on JDK
+  * javax.imageio — PNG decode, channel-mean features, 64-bit perceptual
+  * aHash, exact area-average resize re-encoded to PNG). AUDIO/VIDEO codec
+  * work remains STUBBED (those libs genuinely are not in this container):
   * `decodeStub` derives deterministic fake features from the payload header
-  * bytes. Everything around it — schema, partitioning, batch shape, the
-  * mapPartitions plumbing a real decoder would slot into — is real and tested.
-  * On a real cluster the stub body is replaced by the codec call; the Spark
-  * side (binary column in, struct column out, per-partition batching, no
-  * driver involvement) is unchanged. */
+  * bytes. Everything around the stub — schema, partitioning, batch shape,
+  * the mapPartitions plumbing a real decoder slots into — is identical to
+  * the real image path and tested. */
 object Multimodal {
 
   case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
@@ -72,4 +73,52 @@ object Multimodal {
       .withColumn("sampled_frames",
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
       .withColumn("n_sampled", size(col("sampled_frames")))
+
+  // ---- REAL image plane (javax.imageio is in the JDK — no external libs;
+  // only audio/video remain stubbed above) ---------------------------------
+
+  case class ImageRow(media_id: Long, payload: Array[Byte])
+  case class ImageFeatureRow(media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, ahash: Long)
+
+  /** Deterministic synthetic table of REAL PNG payloads. Every `dupEvery`-th
+    * image is a pixel-identical copy of its predecessor (near-dup fixture). */
+  def synthImages(spark: SparkSession, n: Long, dupEvery: Int = 10,
+                  parallelism: Int = 8): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parallelism).map { i =>
+      val iv: Long = i
+      val src: Long = if (dupEvery > 0 && iv % dupEvery == dupEvery - 1) iv - 1 else iv
+      val r = new java.util.Random(0xC0FFEEL ^ src)
+      ImageRow(iv, graft.core.ImageCodec.synthPng(src, 24 + r.nextInt(200), 24 + r.nextInt(200)))
+    }
+  }
+
+  /** True decode + feature extraction (dimensions, channel means, 64-bit
+    * average hash), batched per partition like the stub path. Undecodable
+    * payloads are dropped (corrupt-input policy: skip, count upstream). */
+  def extractImageFeatures(images: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageFeatureRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      graft.core.ImageCodec.features(row.payload).map(f =>
+        ImageFeatureRow(row.media_id, f.width, f.height,
+          f.meanR, f.meanG, f.meanB, f.aHash))
+    }))
+  }
+
+  /** True bounded-edge resize: payload bytes out are a real re-encoded PNG. */
+  def resizeImages(images: Dataset[ImageRow], maxEdge: Int): Dataset[ImageRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.flatMap { row =>
+      graft.core.ImageCodec.resizeMaxEdge(row.payload, maxEdge)
+        .map(b => ImageRow(row.media_id, b))
+    })
+  }
+
+  /** Image near-dup: perceptual aHash + the same pigeonhole Hamming join as
+    * SimHash text near-dup (exact recall within maxHamming). */
+  def imageNearDup(features: Dataset[ImageFeatureRow], maxHamming: Int = 4): DataFrame =
+    Dedup.hammingNearDup(
+      features.toDF.select(col("media_id").as("id"), col("ahash").as("sim")),
+      maxHamming)
 }

@@ -141,6 +141,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 16))
   }
 
+  test("ImageCodec: real PNG decode, aHash near-dup recall, bounded resize") {
+    import spark.implicits._
+    val imgs = graft.operators.Multimodal.synthImages(spark, 120, dupEvery = 10)
+    val feats = graft.operators.Multimodal.extractImageFeatures(imgs).collect()
+    assert(feats.length == 120, "every synthetic PNG must decode")
+    assert(feats.forall(f => f.width >= 24 && f.height >= 24))
+    // pixel-identical planted duplicates share the exact aHash
+    val byId = feats.map(f => f.media_id -> f.ahash).toMap
+    val planted = (0L until 120L).filter(i => i % 10 == 9).map(i => (i - 1, i))
+    planted.foreach { case (a, b) => assert(byId(a) == byId(b), s"dup pair $a/$b") }
+    // near-dup join finds ALL planted pairs (pigeonhole: exact recall)
+    val found = graft.operators.Multimodal.imageNearDup(
+        graft.operators.Multimodal.extractImageFeatures(imgs), maxHamming = 4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    planted.foreach { p => assert(found.contains(p), s"missing planted pair $p") }
+    // resize: bounded edge, still-decodable real PNG, aspect preserved ±1px
+    val resized = graft.operators.Multimodal.resizeImages(imgs, maxEdge = 64).collect()
+    resized.foreach { row =>
+      val img = graft.core.ImageCodec.decode(row.payload).get
+      assert(math.max(img.getWidth, img.getHeight) <= 64, s"edge bound ${row.media_id}")
+    }
+    // determinism: same synth + decode twice -> identical features
+    val again = graft.operators.Multimodal.extractImageFeatures(
+      graft.operators.Multimodal.synthImages(spark, 120, dupEvery = 10)).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("Clean.applyToAllColumns (F7) and fileStem (F9)") {
+    import spark.implicits._
+    val df = Seq(("Ab1", "C-d2")).toDF("x", "y")
+    val got = graft.functions.Clean.applyToAllColumns(df, graft.functions.Clean.lowerAlpha)
+      .as[(String, String)].collect().head
+    assert(got == (("ab", "cd")))
+    val stems = Seq("/a/b/report.v2.pdf", "plain.txt", "/x/noext")
+      .toDF("p").select(graft.functions.Clean.fileStem(col("p")))
+      .as[String].collect().toSeq
+    assert(stems == Seq("report.v2", "plain", "noext"))
+  }
+
   test("BinaryPayloads: byte-stream lexer == in-memory oracle; feeds the FSM") {
     import spark.implicits._
     // payload files: one conversation per file, pages joined by form feed
