@@ -60,12 +60,15 @@ object Bench {
         !Files.exists(Paths.get(ScalingHarness.WarmupPath))) {
       val s = newSession(highCores)
       try {
+        // 256 evenly-sized files: the map stage's effective parallelism is
+        // bounded by row-group count (one per file) — 32 files made the scan
+        // stage straggler-bound at 32 cores (stage wall == slowest file)
         TranscriptGen.materialize(s,
           FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
-          ScalingHarness.ScalingPath, highCores)
+          ScalingHarness.ScalingPath, parallelism = 256)
         TranscriptGen.materialize(s,
           FixtureGen.Profile(numConvs = ScalingHarness.WarmupConvs, seed = 7L),
-          ScalingHarness.WarmupPath, highCores)
+          ScalingHarness.WarmupPath, parallelism = 64)
       } finally s.stop()
     }
 

@@ -25,7 +25,11 @@ object TranscriptGen {
       .flatMap(i => FixtureGen.conversation(profile, i))
     if (!scramble) base
     else base
-      .repartition(parallelism, pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(parallelism)))
+      // round-robin repartition: perfectly EVEN partitions (hash-expression
+      // partitioning leaves 2-5× size skew from bucket collisions, which
+      // makes the downstream scan stage straggler-bound), deterministic for
+      // a deterministic input order; the hash sort scrambles within files
+      .repartition(parallelism)
       .sortWithinPartitions(xxhash64(col("turn_idx"), col("conv_id")))
       .as[Turn]
   }

@@ -84,6 +84,18 @@ object ScalingHarness {
     out.head.toDouble
   }
 
+  /** Memory-STREAMING probe (MemProbe): the box's effective memory-bandwidth
+    * scaling from `threads` to more threads is the ceiling for any
+    * data-intensive job — recorded next to each pair so the extraction
+    * ratio can be read against the hardware's own ceiling. */
+  def memProbe(threads: Int, totalPasses: Long = 256L): Double = {
+    val heap = if (threads >= 16) "4g" else "2g"
+    val out = child(threads, heap, "graft.tools.MemProbe", "PROBE ",
+      Seq(threads.toString, totalPasses.toString))
+    require(out.nonEmpty, s"MemProbe child produced no output at $threads threads")
+    out.head.toDouble
+  }
+
   /** One extraction measurement session in a confined child JVM (one full
     * untimed warmup run first). Returns per-sample wall seconds. */
   def extractionRun(cores: Int, samples: Int = 1): Seq[Double] = {
@@ -96,7 +108,8 @@ object ScalingHarness {
   case class Sample(tsMs: Long, coresN: Int, cores4N: Int,
                     probeEffBefore: Double, probeEffAfter: Double,
                     secN: Double, sec4N: Double, eff: Double, skipped: Boolean,
-                    stealN: Double = 0.0, steal4N: Double = 0.0) {
+                    stealN: Double = 0.0, steal4N: Double = 0.0,
+                    memEff: Double = -1.0) {
     /** Weather quality of the window the pair ran in: bracket probes must
       * both scale AND host steal during each timed run must be negligible
       * AND the ratio must be physically plausible (eff > 1.1 means the
@@ -111,6 +124,7 @@ object ScalingHarness {
       "probe_eff_after" -> f"$probeEffAfter%.3f",
       "sec_n" -> f"$secN%.3f", "sec_4n" -> f"$sec4N%.3f",
       "steal_n" -> f"$stealN%.4f", "steal_4n" -> f"$steal4N%.4f",
+      "mem_eff" -> f"$memEff%.3f",
       "eff" -> f"$eff%.3f", "skipped" -> skipped.toString)
   }
 
@@ -134,7 +148,8 @@ object ScalingHarness {
       } yield Sample(ts.toLong, cn.toInt, c4.toInt, pb, pa, sn, s4, e,
         skipped = line.contains("\"skipped\":true"),
         stealN = num(line, "steal_n").getOrElse(0.0),
-        steal4N = num(line, "steal_4n").getOrElse(0.0))
+        steal4N = num(line, "steal_4n").getOrElse(0.0),
+        memEff = num(line, "mem_eff").getOrElse(-1.0))
     }.toSeq
   }
 
@@ -177,13 +192,16 @@ object ScalingHarness {
           val (secN, stealN) = withSteal(
             withFiller(lowCores, highCores - 1)(extractionRun(lowCores, samples = 2).min))
           val (sec4N, steal4N) = withSteal(extractionRun(highCores, samples = 2).min)
+          val m32 = memProbe(highCores)
+          val m8 = withFiller(lowCores, highCores - 1)(memProbe(lowCores))
+          val memEff = (m8 / m32) / (highCores.toDouble / lowCores)
           val q8 = probeLow()
           val q32 = probe(highCores)
           val effAfter = (q8 / q32) / (highCores.toDouble / lowCores)
           val eff = (secN / sec4N) / (highCores.toDouble / lowCores)
           Sample(System.currentTimeMillis(), lowCores, highCores,
             effBefore, effAfter, secN, sec4N, eff, skipped = false,
-            stealN = stealN, steal4N = steal4N)
+            stealN = stealN, steal4N = steal4N, memEff = memEff)
         }
       append(s)
       s
@@ -227,6 +245,39 @@ object ScalingHarness {
       }
     val headline = Seq(qm, minEff, if (quiet.isEmpty && minEff < 0) best else -1.0).max
     Summary(headline, best, qm, minEff, minN, min4N, quiet.size, pairs.size, all)
+  }
+}
+
+/** Fixed-total-work memory-STREAMING probe: per-thread sequential pass over a
+  * 64 MB long array (read-modify-write) — measures the box's effective
+  * memory-bandwidth scaling from N to 4N threads, the ceiling for any
+  * data-intensive job. args: threads totalPasses; prints `PROBE <wall-sec>`. */
+object MemProbe {
+  def main(args: Array[String]): Unit = {
+    val threads = args(0).toInt
+    val totalPasses = args(1).toLong
+    val perThread = math.max(1L, totalPasses / threads)
+    val words = 8 * 1024 * 1024 // 64 MB per thread
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val arrays = Array.fill(threads)(new Array[Long](words))
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val a = arrays(t)
+        var pass = 0L
+        var acc = 0L
+        while (pass < perThread) {
+          var i = 0
+          while (i < words) { acc ^= a(i); a(i) = acc + i; i += 1 }
+          pass += 1
+        }
+        sink.addAndGet(acc)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == 42L) System.err.println("improbable")
+    println(f"PROBE $sec%.4f")
   }
 }
 
