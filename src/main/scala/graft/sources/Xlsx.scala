@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5/S7: native XLSX source and sink — NO external dependencies. An .xlsx
+  * file is a ZIP of XML parts; `java.util.zip` and StAX (`javax.xml.stream`)
+  * both ship with the JDK. The reference's users start from `.xlsx`
+  * (`fuzzy.py:5-6` pd.read_excel, `Mutiple_CIS_Pdfs.py:77-79` to_excel);
+  * round 1 substituted CSV/parquet — this closes the gap.
+  *
+  * Reader is DISTRIBUTED: `binaryFile` scan → per-file in-memory unzip →
+  * StAX pull parse of sheet1 + sharedStrings → one Row per sheet row
+  * (file, row_idx, cells:array<string>). One file = one task (xlsx is not
+  * splittable — the right unit for workbook-sized files); parallelism comes
+  * from the file count. Handles inline strings, shared strings, and numeric
+  * cells; blank cells inside a row are positioned via the A1-style `r` ref.
+  *
+  * Writer emits a minimal single-sheet workbook with inline strings —
+  * driver-side, for export artifacts (the reference's to_excel role). */
+object Xlsx {
+
+  // ---- writer --------------------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => f"_x${c.toInt}%04x_"
+      case c => c.toString
+    }
+
+  def colRef(idx: Int): String = {
+    // 0 -> A, 25 -> Z, 26 -> AA …
+    var i = idx
+    val sb = new StringBuilder
+    while (i >= 0) { sb.insert(0, ('A' + i % 26).toChar); i = i / 26 - 1 }
+    sb.toString
+  }
+
+  def refToColIdx(ref: String): Int = {
+    var i = 0
+    var c = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      c = c * 26 + (ref.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    c - 1
+  }
+
+  /** Serialize rows (header first) to xlsx bytes: minimal OOXML, one sheet,
+    * inline strings. */
+  def toBytes(header: Seq[String], rows: Iterator[Seq[String]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos, StandardCharsets.UTF_8)
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val head = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""".stripMargin
+    zip.write(head.getBytes(StandardCharsets.UTF_8))
+    var rowNum = 1
+    (Iterator(header) ++ rows).foreach { cells =>
+      val sb = new StringBuilder(s"""<row r="$rowNum">""")
+      cells.zipWithIndex.foreach { case (v, i) =>
+        if (v != null)
+          sb.append(s"""<c r="${colRef(i)}$rowNum" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
+      }
+      sb.append("</row>")
+      zip.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+      rowNum += 1
+    }
+    zip.write("</sheetData></worksheet>".getBytes(StandardCharsets.UTF_8))
+    zip.closeEntry()
+    zip.close()
+    bos.toByteArray
+  }
+
+  /** Driver-side export of a (small) DataFrame to one .xlsx file — the
+    * reference's `to_excel` role (export artifact, not a data path). */
+  def write(df: DataFrame, path: String): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().iterator.map(r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else String.valueOf(r.get(i))))
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, toBytes(header, rows))
+  }
+
+  // ---- reader --------------------------------------------------------------
+
+  /** Parse one workbook's first sheet: Seq of (rowIdx, cells). Dense rows —
+    * gaps from missing cell refs are null-filled. */
+  def parseSheet(bytes: Array[Byte]): Seq[(Int, Seq[String])] = {
+    var shared: Vector[String] = Vector.empty
+    var sheet: Array[Byte] = null
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes), StandardCharsets.UTF_8)
+    var e = zin.getNextEntry
+    val buf = new Array[Byte](8192)
+    def readAll(): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var n = zin.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = zin.read(buf) }
+      out.toByteArray
+    }
+    var sharedBytes: Array[Byte] = null
+    while (e != null) {
+      e.getName match {
+        case "xl/sharedStrings.xml" => sharedBytes = readAll()
+        case "xl/worksheets/sheet1.xml" => sheet = readAll()
+        case _ =>
+      }
+      e = zin.getNextEntry
+    }
+    zin.close()
+    if (sharedBytes != null) shared = parseSharedStrings(sharedBytes)
+    if (sheet == null) return Nil
+    parseSheetXml(sheet, shared)
+  }
+
+  private def staxReader(bytes: Array[Byte]) = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes), "UTF-8")
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = staxReader(bytes)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && cur != null =>
+          cur.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  private def parseSheetXml(bytes: Array[Byte], shared: Vector[String]): Seq[(Int, Seq[String])] = {
+    val r = staxReader(bytes)
+    val rows = Seq.newBuilder[(Int, Seq[String])]
+    var rowIdx = -1
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var colIdx = -1
+    var cellType = ""
+    var inV = false
+    var inT = false
+    var text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              rowIdx = Option(r.getAttributeValue(null, "r")).map(_.toInt - 1).getOrElse(rowIdx + 1)
+              cells = scala.collection.mutable.ArrayBuffer.empty
+            case "c" =>
+              colIdx = Option(r.getAttributeValue(null, "r")).map(refToColIdx)
+                .getOrElse(cells.length)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              text = new StringBuilder
+            case "v" => inV = true
+            case "t" => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inT =>
+          text.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" => inT = false
+            case "c" =>
+              val raw = text.toString
+              val v = cellType match {
+                case "s" => shared.lift(raw.trim.toInt).orNull
+                case _ => raw // inlineStr already accumulated via <t>; numbers via <v>
+              }
+              while (cells.length < colIdx) cells += null
+              if (cells.length == colIdx) cells += v else cells(colIdx) = v
+            case "row" => rows += ((rowIdx, cells.toSeq))
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** Distributed read: every .xlsx under `glob` → (file, row_idx, cells).
+    * Header handling is the caller's (see `readWithHeader`). */
+  def read(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseSheet(bytes).map { case (i, cells) => (path, i, cells) }
+      }
+      .toDF("file", "row_idx", "cells")
+  }
+
+  /** First sheet row = column names (the pandas read_excel convention):
+    * returns one string column per header cell. Header is taken from the
+    * lexicographically-first file; all files must share the layout. */
+  def readWithHeader(spark: SparkSession, glob: String): DataFrame = {
+    val raw = read(spark, glob).cache()
+    val headerRow = raw.orderBy(col("file"), col("row_idx")).limit(1)
+      .select(col("cells")).collect()(0).getSeq[String](0)
+    val names = headerRow.zipWithIndex.map { case (n, i) =>
+      if (n == null || n.isEmpty) s"_c$i" else n }
+    val cols = names.zipWithIndex.map { case (n, i) =>
+      element_at(col("cells"), i + 1).as(n) }
+    raw.filter(col("row_idx") > 0).select(cols: _*)
+  }
+}

@@ -40,7 +40,9 @@ object ScalingHarness {
   private def child(cores: Int, heap: String, mainClass: String,
                     prefix: String, args: Seq[String]): Seq[String] = {
     val cpuList = s"0-${cores - 1}"
-    val cmd = Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ Seq(
+    // dev hook for JVM-flag experiments (e.g. GRAFT_CHILD_JVM_FLAGS=-XX:+UseParallelGC)
+    val extra = sys.env.get("GRAFT_CHILD_JVM_FLAGS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val cmd = Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ extra ++ Seq(
       s"-Xmx$heap", s"-Xms$heap",
       "-cp", System.getProperty("java.class.path"), mainClass) ++ args
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()

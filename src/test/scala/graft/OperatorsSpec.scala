@@ -180,6 +180,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stems == Seq("report.v2", "plain", "noext"))
   }
 
+  test("Xlsx: roundtrip write/read, shared-string files, sparse rows, escaping") {
+    import spark.implicits._
+    val df = Seq(
+      ("r1", "plain", "1.5"),
+      ("r2", "has <xml> & \"quotes\"", "2"),
+      ("r3", "multi\nline\ttab", "3")).toDF("k", "v", "n")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toString
+    graft.sources.Xlsx.write(df, s"$dir/out.xlsx")
+    val back = graft.sources.Xlsx.readWithHeader(spark, s"$dir/*.xlsx")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq(("r1", "plain", "1.5"),
+      ("r2", "has <xml> & \"quotes\"", "2"), ("r3", "multi\nline\ttab", "3")))
+    // shared-strings + sparse row (skipped cell B2) parse: hand-built workbook
+    val shared = """<?xml version="1.0"?><sst xmlns="x"><si><t>alpha</t></si><si><t>beta</t></si></sst>"""
+    val sheet = """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+      <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+      <row r="2"><c r="A2"><v>42</v></c><c r="C2" t="s"><v>1</v></c></row>
+      </sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def add(n: String, c: String) = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    add("xl/sharedStrings.xml", shared); add("xl/worksheets/sheet1.xml", sheet)
+    zip.close()
+    val rows = graft.sources.Xlsx.parseSheet(bos.toByteArray)
+    assert(rows == Seq((0, Seq("alpha", "beta")), (1, Seq("42", null, "beta"))))
+    assert(graft.sources.Xlsx.colRef(0) == "A" && graft.sources.Xlsx.colRef(27) == "AB")
+    assert(graft.sources.Xlsx.refToColIdx("AB7") == 27)
+  }
+
   test("BinaryPayloads: byte-stream lexer == in-memory oracle; feeds the FSM") {
     import spark.implicits._
     // payload files: one conversation per file, pages joined by form feed
