@@ -332,8 +332,14 @@ object ScalingSample {
       s"scaling input missing at ${ScalingHarness.ScalingPath} — run graft.Bench once to materialize")
     var i = 0
     while (i < attempts) {
-      val s = ScalingHarness.sampleOnce(lowCores, highCores, cutoff)
-      println(s"[scaling-sample] ${s.toJson}")
+      // non-fatal per attempt: a child can fail transiently (e.g. classpath
+      // being rewritten by a concurrent compile) — log and keep sampling
+      try {
+        val s = ScalingHarness.sampleOnce(lowCores, highCores, cutoff)
+        println(s"[scaling-sample] ${s.toJson}")
+      } catch {
+        case e: Throwable => println(s"[scaling-sample] attempt failed: ${e.getMessage}")
+      }
       i += 1
       if (i < attempts) Thread.sleep(sleepSec * 1000L)
     }

@@ -12,6 +12,47 @@ import graft.streaming.StreamingExtract
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("watermarked windowed turn metrics: windows finalize, late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, idx: Int, role: String, text: String, minute: Int) =
+      Turn(conv, idx, role, text, null,
+        new java.sql.Timestamp(1700000000000L + minute * 60000L))
+
+    val input = MemoryStream[Turn]
+    val agg = graft.streaming.StreamingMetrics.turnRate(
+      input.toDF(), windowLen = "1 minute", watermark = "2 minutes")
+    val query = agg.writeStream.format("memory").queryName("turn_rate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [m0, m1): two user turns (3 + 2 tokens), one assistant turn
+      input.addData(turn("c1", 0, "user", "a b c", 0),
+        turn("c1", 1, "assistant", "x y", 0),
+        turn("c2", 0, "user", "d e", 0))
+      query.processAllAvailable()
+      // advance event time far past the watermark -> m0 window finalizes
+      input.addData(turn("c1", 2, "user", "later turn", 10))
+      query.processAllAvailable()
+      // LATE arrival for the already-finalized m0 window -> must be dropped
+      input.addData(turn("c9", 0, "user", "too late", 0))
+      query.processAllAvailable()
+      input.addData(turn("c1", 3, "user", "flush", 20))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("turn_rate")
+      .select("role", "n_turns", "n_tokens", "win_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime)).toSet
+    // event-time windows align to epoch minute boundaries
+    val m0 = 1700000000000L / 60000L * 60000L
+    // finalized minute-0 window reflects ONLY the on-time turns
+    assert(rows.contains(("user", 2L, 5L, m0)), s"got $rows")
+    assert(rows.contains(("assistant", 1L, 2L, m0)))
+    // the late c9 turn must not appear anywhere (its window was closed)
+    assert(rows.collect { case ("user", n, _, ts) if ts == m0 => n }.sum == 2L)
+  }
+
   test("flatMapGroupsWithState incremental extraction converges to batch oracle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
