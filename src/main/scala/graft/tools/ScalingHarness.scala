@@ -107,23 +107,44 @@ object ScalingHarness {
     out.head.split(',').toSeq.map(_.toDouble)
   }
 
+  /** Quiet-floor ABSOLUTE probe walls of this box (session-measured minima:
+    * the pure-CPU probe cannot run faster than quiet hardware allows), used
+    * to judge each SIDE's window independently for the session-min
+    * statistic. Slack 1.12 tolerates run-to-run jitter. */
+  val QuietProbeNSec = 6.5   // 8 threads, node-loaded (filler on 8-31)
+  val QuietProbe4NSec = 1.73 // 32 threads
+  val QuietSlack = 1.12
+
   case class Sample(tsMs: Long, coresN: Int, cores4N: Int,
                     probeEffBefore: Double, probeEffAfter: Double,
                     secN: Double, sec4N: Double, eff: Double, skipped: Boolean,
                     stealN: Double = 0.0, steal4N: Double = 0.0,
-                    memEff: Double = -1.0) {
+                    memEff: Double = -1.0,
+                    probeNSec: Double = -1.0, probe4NSec: Double = -1.0,
+                    probeNSecAfter: Double = -1.0, probe4NSecAfter: Double = -1.0) {
     /** Weather quality of the window the pair ran in: bracket probes must
       * both scale AND host steal during each timed run must be negligible
       * AND the ratio must be physically plausible (eff > 1.1 means the
       * N-side itself was starved — e.g. by a concurrent job). */
     def quality: Double =
-      if (math.max(stealN, steal4N) > 0.02 || eff > 1.1 || probeEffAfter > 1.1) 0.0
+      if (secN <= 0 || sec4N <= 0) 0.0
+      else if (math.max(stealN, steal4N) > 0.02 || eff > 1.1 || probeEffAfter > 1.1) 0.0
       else math.min(probeEffBefore, probeEffAfter)
+    /** This sample's N-side run is bracketed by quiet ABSOLUTE probes. */
+    def cleanN: Boolean = secN > 0 && stealN <= 0.02 &&
+      probeNSec > 0 && probeNSec <= QuietProbeNSec * QuietSlack &&
+      probeNSecAfter > 0 && probeNSecAfter <= QuietProbeNSec * QuietSlack
+    def clean4N: Boolean = sec4N > 0 && steal4N <= 0.02 &&
+      probe4NSec > 0 && probe4NSec <= QuietProbe4NSec * QuietSlack &&
+      probe4NSecAfter > 0 && probe4NSecAfter <= QuietProbe4NSec * QuietSlack
     def toJson: String = Json.obj(
       "ts_ms" -> tsMs.toString,
       "cores_n" -> coresN.toString, "cores_4n" -> cores4N.toString,
       "probe_eff_before" -> f"$probeEffBefore%.3f",
       "probe_eff_after" -> f"$probeEffAfter%.3f",
+      "probe_n_sec" -> f"$probeNSec%.3f", "probe_4n_sec" -> f"$probe4NSec%.3f",
+      "probe_n_sec_after" -> f"$probeNSecAfter%.3f",
+      "probe_4n_sec_after" -> f"$probe4NSecAfter%.3f",
       "sec_n" -> f"$secN%.3f", "sec_4n" -> f"$sec4N%.3f",
       "steal_n" -> f"$stealN%.4f", "steal_4n" -> f"$steal4N%.4f",
       "mem_eff" -> f"$memEff%.3f",
@@ -151,7 +172,11 @@ object ScalingHarness {
         skipped = line.contains("\"skipped\":true"),
         stealN = num(line, "steal_n").getOrElse(0.0),
         steal4N = num(line, "steal_4n").getOrElse(0.0),
-        memEff = num(line, "mem_eff").getOrElse(-1.0))
+        memEff = num(line, "mem_eff").getOrElse(-1.0),
+        probeNSec = num(line, "probe_n_sec").getOrElse(-1.0),
+        probe4NSec = num(line, "probe_4n_sec").getOrElse(-1.0),
+        probeNSecAfter = num(line, "probe_n_sec_after").getOrElse(-1.0),
+        probe4NSecAfter = num(line, "probe_4n_sec_after").getOrElse(-1.0))
     }.toSeq
   }
 
@@ -181,19 +206,20 @@ object ScalingHarness {
     try {
       def probeLow(): Double =
         withFiller(lowCores, highCores - 1)(probe(lowCores))
+      def runLow(): (Double, Double) = withSteal(
+        withFiller(lowCores, highCores - 1)(extractionRun(lowCores, samples = 2).min))
+      def runHigh(): (Double, Double) = withSteal(extractionRun(highCores, samples = 2).min)
       val p8 = probeLow()
       val p32 = probe(highCores)
       val effBefore = (p8 / p32) / (highCores.toDouble / lowCores)
+      val nQuiet = p8 <= QuietProbeNSec * QuietSlack
+      val hQuiet = p32 <= QuietProbe4NSec * QuietSlack
       val s =
-        if (effBefore < probeCutoff)
-          Sample(System.currentTimeMillis(), lowCores, highCores,
-            effBefore, -1.0, -1.0, -1.0, -1.0, skipped = true)
-        else {
-          // min over 2 in-child samples: washes out first-run plan/memory
-          // ramp and brief contention blips inside an otherwise clean window
-          val (secN, stealN) = withSteal(
-            withFiller(lowCores, highCores - 1)(extractionRun(lowCores, samples = 2).min))
-          val (sec4N, steal4N) = withSteal(extractionRun(highCores, samples = 2).min)
+        if (effBefore >= probeCutoff && nQuiet && hQuiet) {
+          // full pair: min over 2 in-child samples washes out first-run
+          // plan/memory ramp and brief blips inside an otherwise clean window
+          val (secN, stealN) = runLow()
+          val (sec4N, steal4N) = runHigh()
           val m32 = memProbe(highCores)
           val m8 = withFiller(lowCores, highCores - 1)(memProbe(lowCores))
           val memEff = (m8 / m32) / (highCores.toDouble / lowCores)
@@ -203,8 +229,30 @@ object ScalingHarness {
           val eff = (secN / sec4N) / (highCores.toDouble / lowCores)
           Sample(System.currentTimeMillis(), lowCores, highCores,
             effBefore, effAfter, secN, sec4N, eff, skipped = false,
-            stealN = stealN, steal4N = steal4N, memEff = memEff)
-        }
+            stealN = stealN, steal4N = steal4N, memEff = memEff,
+            probeNSec = p8, probe4NSec = p32,
+            probeNSecAfter = q8, probe4NSecAfter = q32)
+        } else if (hQuiet) {
+          // single-side salvage: the 4N side's window is quiet by its own
+          // ABSOLUTE probe — its wall time is a valid session-min candidate
+          // even if the other side's weather is bad right now
+          val (sec4N, steal4N) = runHigh()
+          val q32 = probe(highCores)
+          Sample(System.currentTimeMillis(), lowCores, highCores,
+            effBefore, -1.0, -1.0, sec4N, -1.0, skipped = false,
+            steal4N = steal4N, probeNSec = p8, probe4NSec = p32,
+            probe4NSecAfter = q32)
+        } else if (nQuiet) {
+          val (secN, stealN) = runLow()
+          val q8 = probeLow()
+          Sample(System.currentTimeMillis(), lowCores, highCores,
+            effBefore, -1.0, secN, -1.0, -1.0, skipped = false,
+            stealN = stealN, probeNSec = p8, probe4NSec = p32,
+            probeNSecAfter = q8)
+        } else
+          Sample(System.currentTimeMillis(), lowCores, highCores,
+            effBefore, -1.0, -1.0, -1.0, -1.0, skipped = true,
+            probeNSec = p8, probe4NSec = p32)
       append(s)
       s
     } finally { lock.release(); ch.close() }
@@ -237,8 +285,8 @@ object ScalingHarness {
     val quiet = pairs.filter(_.quality >= cutoff)
     val best = if (pairs.isEmpty) -1.0 else pairs.map(_.eff).max
     val qm = median(quiet.map(_.eff))
-    val cleanN = pairs.filter(p => p.stealN <= 0.02 && p.secN > 0).map(_.secN)
-    val clean4N = pairs.filter(p => p.steal4N <= 0.02 && p.sec4N > 0).map(_.sec4N)
+    val cleanN = pairs.filter(_.cleanN).map(_.secN)
+    val clean4N = pairs.filter(_.clean4N).map(_.sec4N)
     val (minN, min4N, minEff) =
       if (cleanN.isEmpty || clean4N.isEmpty || pairs.isEmpty) (-1.0, -1.0, -1.0)
       else {
