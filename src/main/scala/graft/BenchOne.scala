@@ -82,10 +82,21 @@ object BenchOne {
         }
       })
     jobOn(warmupPath)
+    import scala.jdk.CollectionConverters._
+    def procCpuSec: Double = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime / 1e9
+    def gcSec: Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
     val times = (1 to samples).map { _ =>
+      val (c0, g0) = (procCpuSec, gcSec)
       val t0 = System.nanoTime()
       jobOn(rawPath)
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // wall vs process-CPU vs GC per run: CPU-seconds are nearly
+      // weather-insensitive (a starved thread burns no CPU), so the 8-vs-32
+      // CPU ratio isolates real per-core overhead from host contention
+      System.err.println(f"BENCHDETAIL wall=$wall%.2f cpu=${procCpuSec - c0}%.1f gc=${gcSec - g0}%.2f")
+      wall
     }
     println("BENCHONE " + times.mkString(","))
     spark.stop()
