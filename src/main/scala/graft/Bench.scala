@@ -130,12 +130,15 @@ object Bench {
       f""""quiet_probe_wall_sec":${ScalingHarness.QuietCpuProbeWall},""" +
       f""""samples":$sampleArr}"""
 
+    def v(x: Double, fmt: String = "%.3f"): String = if (x < 0) "—" else fmt.format(x)
     def fmtDim(d: Option[ScalingHarness.DimStats], label: String): String = d.map { x =>
-      s"""|| $label quiet pairs / attempts | ${x.quietPairs} / ${x.pairs} |
-          || $label efficiency (quiet median) | ${f"${x.quietMedian}%.3f"} |
-          || $label efficiency (session-min, conservative) | ${f"${x.minEff}%.3f"} |
-          || $label session-min walls N / 4N | ${f"${x.minSecN}%.2f"} s / ${f"${x.minSec4N}%.2f"} s |
-          || $label memory-bandwidth ceiling (probe) | ${f"${x.memEffMedian}%.3f"} |""".stripMargin
+      Seq(
+        s"| $label quiet pairs / attempts | ${x.quietPairs} / ${x.pairs} |",
+        s"| $label efficiency (quiet median) | ${v(x.quietMedian)} |",
+        s"| $label efficiency (session-min, conservative) | ${v(x.minEff)} |",
+        s"| $label session-min walls N / 4N | ${v(x.minSecN, "%.2f")} s / ${v(x.minSec4N, "%.2f")} s |",
+        s"| $label memory-bandwidth probe ratio (1.0 = ideal scaling) | ${v(x.memEffMedian)} |"
+      ).mkString("\n|")  // continuation-line margins eaten by the outer stripMargin
     }.getOrElse(s"| $label | (no samples) |")
 
     Files.writeString(Paths.get("BENCH.md"),

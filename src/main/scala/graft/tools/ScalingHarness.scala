@@ -151,7 +151,10 @@ object ScalingHarness {
       probeQuiet(pHb, cores4N) && probeQuiet(pHa, cores4N)
     /** whole-window-quiet full pair with a physically plausible ratio */
     def quiet: Boolean = cleanN && clean4N && eff > 0 && eff <= 1.1
-    def memEff: Double = if (memN > 0 && memH > 0) (memN / memH) / ratio else -1.0
+    /** Memory-probe traffic is PER-THREAD-proportional, so equal walls at
+      * both widths == perfect bandwidth scaling: the ceiling is memN/memH
+      * (1.0 ideal), NOT divided by the core ratio. */
+    def memEff: Double = if (memN > 0 && memH > 0) memN / memH else -1.0
     def toJson: String = Json.obj(
       "ts_ms" -> tsMs.toString,
       "cores_n" -> coresN.toString, "cores_4n" -> cores4N.toString,
