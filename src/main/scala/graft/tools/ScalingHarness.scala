@@ -173,8 +173,8 @@ object ScalingHarness {
   }
 
   /** Parse the samples file (flat v3 schema written by `Sample.toJson`). */
-  def load(): Seq[Sample] = {
-    val p = Paths.get(SamplesFile)
+  def load(file: String = SamplesFile): Seq[Sample] = {
+    val p = Paths.get(file)
     if (!Files.exists(p)) return Seq.empty
     def num(line: String, key: String): Option[Double] =
       ("\"" + key + "\":\"?(-?[0-9.]+)").r.findFirstMatchIn(line).map(_.group(1).toDouble)
@@ -280,8 +280,8 @@ object ScalingHarness {
         .getOrElse(if (dims.isEmpty) -1.0 else dims.map(_.headline).max)
   }
 
-  def summarize(): Summary = {
-    val all = load()
+  def summarize(file: String = SamplesFile): Summary = {
+    val all = load(file)
     val dims = all.filterNot(_.skipped).groupBy(s => (s.coresN, s.cores4N)).toSeq
       .sortBy(_._1).map { case ((n, h), ss) =>
         val quiet = ss.filter(_.quiet)

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.ScalingHarness
+import graft.tools.ScalingHarness.Sample
+
+/** The scaling-evidence pipeline is itself load-bearing (it produces the
+  * north-rule gate number): pin serialization round-trip, quiet/clean gating,
+  * and the two summary statistics on constructed samples. */
+class ScalingHarnessSpec extends AnyFunSuite {
+
+  private val q = ScalingHarness.QuietCpuProbeWall // quiet probe wall
+  private def pair(n: Int, h: Int, secN: Double, sec4N: Double,
+                   pQuiet: Boolean = true, steal: Double = 0.001): Sample = {
+    val p = if (pQuiet) q else q * 3
+    Sample(1L, n, h, p, p, p, p, secN, sec4N,
+      (secN / sec4N) / (h.toDouble / n), steal, steal, 1.0, 1.2, skipped = false)
+  }
+
+  test("toJson/load round-trip preserves every gating field") {
+    val s = pair(2, 8, 90.0, 25.0)
+    val dir = java.nio.file.Files.createTempDirectory("sh")
+    val f = dir.resolve("samples.jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), s.toJson + "\n")
+    val back = ScalingHarness.load(f)
+    assert(back.size == 1)
+    val b = back.head
+    assert(b.coresN == 2 && b.cores4N == 8 && !b.skipped)
+    assert(math.abs(b.eff - s.eff) < 1e-3 && math.abs(b.secN - 90.0) < 1e-3)
+    assert(b.quiet && b.cleanN && b.clean4N)
+  }
+
+  test("quiet gating: contended probes, steal, implausible ratios all disqualify") {
+    assert(pair(2, 8, 90, 25).quiet)
+    assert(!pair(2, 8, 90, 25, pQuiet = false).quiet, "loud probes")
+    assert(!pair(2, 8, 90, 25, steal = 0.05).quiet, "steal over 2%")
+    assert(!pair(2, 8, 120, 25).quiet, "eff > 1.1 implausible")
+    assert(!pair(2, 8, -1.0, 25).quiet, "single-side salvage is never a quiet pair")
+  }
+
+  test("summarize: per-dimension quiet median + conservative session-min") {
+    val dir = java.nio.file.Files.createTempDirectory("sh2")
+    val f = dir.resolve("samples.jsonl").toString
+    val samples = Seq(
+      pair(2, 8, 92.0, 25.0),                 // eff 0.92
+      pair(2, 8, 88.0, 25.0),                 // eff 0.88
+      pair(2, 8, 70.0, 26.0, pQuiet = false), // loud — excluded everywhere
+      pair(2, 8, -1.0, 24.0),                 // clean 4N-side salvage (min cand)
+      pair(8, 32, 25.0, 14.0))                // other dimension, eff ~0.446
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      samples.map(_.toJson).mkString("", "\n", "\n"))
+    val sum = ScalingHarness.summarize(f)
+    val d28 = sum.dim(2, 8).get
+    assert(d28.quietPairs == 2 && d28.pairs == 4)
+    assert(math.abs(d28.quietMedian - 0.90) < 1e-6)
+    // session-min: min clean N = 88 (the -1 salvage never counts), min 4N = 24
+    assert(math.abs(d28.minSecN - 88.0) < 1e-9 && math.abs(d28.minSec4N - 24.0) < 1e-9)
+    assert(math.abs(d28.minEff - 88.0 / (4 * 24.0)) < 1e-9)
+    // headline = the (2,8) dimension's max(quietMedian, minEff)
+    assert(math.abs(sum.headline - math.max(d28.quietMedian, d28.minEff)) < 1e-9)
+    val d832 = sum.dim(8, 32).get
+    assert(d832.quietPairs == 1 && math.abs(d832.quietMedian - 25.0 / (4 * 14.0)) < 1e-3)
+  }
+}
