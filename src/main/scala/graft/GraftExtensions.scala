@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.TextHashExpressions._
@@ -9,8 +9,10 @@ import graft.expressions.VectorExpressions._
 /** Session extensions: registers graft's custom Catalyst expressions as SQL
   * functions so `spark.sql(...)` users get the codegen'd fast paths too.
   *
-  * Use: SparkSession.builder().withExtensions(new GraftExtensions) or
-  * `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit.
+  * Use: SparkSession.builder().withExtensions(new GraftExtensions), or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit, or
+  * `GraftExtensions.registerOn(spark)` for a session that already exists
+  * (builder extensions only apply at session creation).
   *
   * {{{
   *   SELECT float_cosine(a.vec, b.vec)            -- one-pass cosine
@@ -20,6 +22,11 @@ import graft.expressions.VectorExpressions._
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
@@ -31,27 +38,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("float_cosine"),
+  /** (identifier, info, builder) triples shared by the builder-time injection
+    * and the existing-session registration path. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_cosine"),
       info("float_cosine", "_FUNC_(a, b) - one-pass cosine of two array<float>"),
-      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
-
-    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      (args: Seq[Expression]) => FloatCosine(args(0), args(1))),
+    (FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket", "_FUNC_(vec, bits, dim) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) => HyperplaneBucket(args(0),
-        intArg(args(1), "bits"), intArg(args(2), "dim"), 42L)))
-
-    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+        intArg(args(1), "bits"), intArg(args(2), "dim"), 42L)),
+    (FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "_FUNC_(text, k, numHashes, bands) - MinHash LSH band keys"),
       (args: Seq[Expression]) => MinHashBands(args(0), intArg(args(1), "k"),
-        intArg(args(2), "numHashes"), intArg(args(3), "bands"))))
-
-    ext.injectFunction((FunctionIdentifier("simhash64"),
+        intArg(args(2), "numHashes"), intArg(args(3), "bands"))),
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(text) - 64-bit SimHash over tokens"),
-      (args: Seq[Expression]) => SimHash(args(0))))
-
-    ext.injectFunction((FunctionIdentifier("fingerprint64"),
+      (args: Seq[Expression]) => SimHash(args(0))),
+    (FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "_FUNC_(text) - 64-bit rolling document fingerprint"),
-      (args: Seq[Expression]) => Fingerprint(args(0))))
-  }
+      (args: Seq[Expression]) => Fingerprint(args(0))),
+  )
+
+  /** Register the functions on an ALREADY-CREATED session (builder-time
+    * `withExtensions` cannot retrofit one that `getOrCreate` reused). */
+  def registerOn(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
 }

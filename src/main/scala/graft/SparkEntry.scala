@@ -200,6 +200,22 @@ object SparkEntry {
       Extraction.spansLong(Extraction.extract(turns, Extraction.Config(numPartitions = 8)))
     }),
 
+    // LLM-pipeline: cross-document repeated-line removal (the CCNet/
+    // RefinedWeb boilerplate-line pass) over transcript turns
+    "q_repeated_lines" -> ((s, d) => Dedup.repeatedLines(
+        fixtureTable(s, 150).withColumn("id",
+          concat_ws("#", col("conv_id"), col("turn_idx"))),
+        "text", "id")
+      .select(col("id"), col("cleaned"), col("dropped"))),
+
+    // LLM-pipeline: Gopher-style repetition signals (per-row expression
+    // trees — no shuffle; Rae et al. 2021 §A1.1)
+    "q_repetition" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TF.dupNgramPpm(col("text"), 2).as("dup2_ppm"),
+        TF.dupNgramPpm(col("text"), 3).as("dup3_ppm"),
+        TF.dupLineCharPpm(col("text")).as("dupline_ppm"))),
+
     // dedup: MinHash+LSH near-dup candidates (verified jaccard)
     "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(
         t(s, d, "documents"), "text", "doc_id", threshold = 0.35)
@@ -292,12 +308,13 @@ object SparkEntry {
       graft.operators.TableBlocks.extract(
         fixtureTable(s, 200).as[graft.core.TurnSlim]).toDF
     }),
-    // J9/A4: union-fit TF-IDF best match — rows-only (ML-scored)
+    // J9/A4: union-fit TF-IDF best match — exact-vocabulary variant (the
+    // reference's TfidfVectorizer has no hashing either), DuckDB-oracled;
+    // the HashingTF variant stays unit-tested as the dense-vector path
     "q_tfidf_match" -> ((s, d) => {
       val doc = t(s, d, "documents").select(col("doc_id").as("id"), col("text"))
-      graft.operators.TfIdfMatch.bestMatch(
+      graft.operators.TfIdfMatch.bestMatchExact(
         doc.filter(col("id") < 50), doc.filter(col("id") >= 50 && col("id") < 200))
-        .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
     }),
     // F4: 'Ensure'-anchored cleaning over rule-bearing transcript turns
     "q_ensure_anchored" -> ((s, d) => fixtureTable(s, 100)
@@ -400,7 +417,273 @@ object SparkEntry {
     m.map(_.group(1).toDouble).getOrElse(0.01)
   }
 
+  /** DuckDB-SQL generators replicating `TextStats`' 64-bit hash chain in
+    * HUGEINT mod-2^64 arithmetic (the q_fingerprint technique, generalized):
+    * FNV-1a over UTF-8 bytes + splitmix64 finalization. 64×64-bit multiplies
+    * are split into 32-bit halves so the product never leaves signed-HUGEINT
+    * range: x*C mod 2^64 = x*lo + ((x*hi) mod 2^32)*2^32 (mod 2^64). This
+    * lets DuckDB recompute minhash/simhash signatures INDEPENDENTLY, so the
+    * near-dup operators get a true cross-engine oracle instead of rows-only. */
+  private object Osql {
+    val Mod = "18446744073709551616::HUGEINT" // 2^64
+
+    /** UTF-8 byte list (HUGEINT) of a string expression. */
+    def utf8Bytes(col: String): String =
+      s"""flatten(list_transform(regexp_extract_all($col, '(?s).'), c ->
+    CASE WHEN ord(c) < 128 THEN [ord(c)::HUGEINT]
+         WHEN ord(c) < 2048 THEN [(192 + ord(c)//64)::HUGEINT, (128 + ord(c)%64)::HUGEINT]
+         WHEN ord(c) < 65536 THEN [(224 + ord(c)//4096)::HUGEINT, (128 + (ord(c)//64)%64)::HUGEINT, (128 + ord(c)%64)::HUGEINT]
+         ELSE [(240 + ord(c)//262144)::HUGEINT, (128 + (ord(c)//4096)%64)::HUGEINT, (128 + (ord(c)//64)%64)::HUGEINT, (128 + ord(c)%64)::HUGEINT] END))"""
+
+    /** FNV-1a fold over a HUGEINT byte list (basis 0xCBF29CE484222325; prime
+      * 0x100000001B3 = 256*2^32 + 435). */
+    def fnv(bytes: String): String =
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytes),
+  (h, b) -> (xor(h, b) * 435::HUGEINT + ((xor(h, b) * 256::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Mod)"""
+
+    /** Four chained CTEs `<p>a..<p>d` applying splitmix64 (TextStats.mix64)
+      * to column `x` of CTE `<p>0`; SELECT * REPLACE carries the other
+      * columns through. Constants: 0x9E3779B97F4A7C15 add;
+      * 0xBF58476D1CE4E5B9 = 3210233709*2^32+484763065 after >>>30 xor;
+      * 0x94D049BB133111EB = 2496678331*2^32+321982955 after >>>27 xor;
+      * final >>>31 xor. */
+    def mixCtes(p: String, x: String): String =
+      s"""${p}a AS (SELECT * REPLACE ((($x + 11400714819323198485::HUGEINT) % $Mod) AS $x) FROM ${p}0),
+${p}b AS (SELECT * REPLACE (((xor($x, $x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor($x, $x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Mod) AS $x) FROM ${p}a),
+${p}c AS (SELECT * REPLACE (((xor($x, $x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor($x, $x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Mod) AS $x) FROM ${p}b),
+${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p}c)"""
+
+    /** Unsigned HUGEINT in [0,2^64) → signed BIGINT-range value. */
+    def signed(u: String): String =
+      s"CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $Mod ELSE $u END"
+
+    /** Whitespace-token stream of `documents.text`, lowercased (TextStats.wsTokens). */
+    val TokCte: String =
+      """toks AS (
+  SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')"""
+  }
+
+  /** Independent DuckDB recomputation of `Dedup.simHashNearDup`: per-token
+    * hash64 → 64 bit votes → signed simhash, then BRUTE-FORCE all-pairs
+    * Hamming ≤ 3 — which also re-proves the pigeonhole bands' exact-recall
+    * claim cross-engine (the Spark side only examines banded candidates). */
+  private def simhashOracleSql: String =
+    s"""WITH ${Osql.TokCte},
+tb AS (SELECT doc_id, ${Osql.utf8Bytes("tok")} AS bytes FROM toks),
+m0 AS (SELECT doc_id, ${Osql.fnv("bytes")} AS x FROM tb),
+${Osql.mixCtes("m", "x")},
+votes AS (SELECT doc_id, gs.b AS b,
+    SUM(CASE WHEN (x // (1::HUGEINT << gs.b)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM md CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs
+  GROUP BY doc_id, gs.b),
+simu AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY doc_id),
+sims AS (SELECT d.doc_id AS doc_id,
+    CAST(${Osql.signed("COALESCE(s.u, 0::HUGEINT)")} AS BIGINT) AS sim
+  FROM documents d LEFT JOIN simu s ON d.doc_id = s.doc_id)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+  CAST(bit_count(xor(l.sim, r.sim)) AS INT) AS hamming
+FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sim, r.sim)) <= 3"""
+
+  /** Independent DuckDB recomputation of `Dedup.minHashLsh` (k=3 shingles,
+    * 16 hashes, 8 bands, threshold 0.35): shingle base hashes → signed minima
+    * per seed → banded keys (mix-fold) → candidate equi-join → exact
+    * shingle-set Jaccard verify. Replicates the BANDING too, so candidate
+    * misses on either side would surface as row-count mismatches. */
+  private def minhashOracleSql: String =
+    s"""WITH tl AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+sh AS (SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shingle
+  FROM tl),
+tb AS (SELECT doc_id, shingle, ${Osql.utf8Bytes("shingle")} AS bytes FROM sh),
+fnv0 AS (SELECT doc_id, shingle, ${Osql.fnv("bytes")} AS x FROM tb),
+${Osql.mixCtes("fnv", "x")},
+bh AS (SELECT doc_id, x AS h FROM fnvd),
+mh0 AS (SELECT doc_id, gs.i AS i,
+    xor(h, (gs.i::HUGEINT * 11400714819323198485::HUGEINT) % ${Osql.Mod}) AS x
+  FROM bh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) gs),
+${Osql.mixCtes("mh", "x")},
+sigs AS (SELECT doc_id, i, MIN(${Osql.signed("x")}) AS sig_s FROM mhd GROUP BY doc_id, i),
+sigu AS (SELECT doc_id, i,
+    (CASE WHEN sig_s < 0 THEN sig_s + ${Osql.Mod} ELSE sig_s END)::HUGEINT AS sig FROM sigs),
+bk00 AS (SELECT a.doc_id, a.i // 2 AS band_idx,
+    xor(xor(14695981039346656037::HUGEINT, (a.i // 2)::HUGEINT), a.sig) AS x
+  FROM sigu a WHERE a.i % 2 = 0),
+${Osql.mixCtes("bk0", "x")},
+bk10 AS (SELECT k.doc_id, k.band_idx, xor(k.x, s.sig) AS x
+  FROM bk0d k JOIN sigu s ON s.doc_id = k.doc_id AND s.i = k.band_idx * 2 + 1),
+${Osql.mixCtes("bk1", "x")},
+bk AS (SELECT doc_id, band_idx, x AS band_key FROM bk1d),
+cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM bk l JOIN bk r ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+sets AS (SELECT DISTINCT doc_id, h FROM bh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (SELECT c.left_id, c.right_id, COUNT(*) AS it
+  FROM cand c JOIN sets a ON a.doc_id = c.left_id JOIN sets b ON b.doc_id = c.right_id AND a.h = b.h
+  GROUP BY c.left_id, c.right_id),
+jac AS (SELECT c.left_id, c.right_id,
+    COALESCE(i.it, 0)::DOUBLE / (nl.n + nr.n - COALESCE(i.it, 0)) AS j
+  FROM cand c LEFT JOIN inter i ON i.left_id = c.left_id AND i.right_id = c.right_id
+  JOIN sizes nl ON nl.doc_id = c.left_id JOIN sizes nr ON nr.doc_id = c.right_id)
+SELECT left_id, right_id, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_ppm
+FROM jac WHERE j >= 0.35"""
+
+  /** CTEs computing hyperplane-LSH buckets of an `emb` CTE (vec_id,
+    * embedding) for the (tbl → seedExpr) plane family. Planes are
+    * regenerated from splitmix64 EXACTLY as `HyperplaneBucket.planes`
+    * (h → h.toDouble / 2^63 / 2 — both conversions correctly-rounded IEEE on
+    * either engine), and every dot product folds in index order via
+    * list_reduce, so each double matches the compiled kernel bit-for-bit.
+    * Emits CTEs ending in: pw(tbl, p, ws), bkt(vec_id, tbl, bucket). */
+  private def bucketCtes(seedExpr: String, tables: Int, bits: Int, dim: Int): String =
+    s"""tbls AS (SELECT unnest(generate_series(0, ${tables - 1})) AS tbl),
+pl0 AS (SELECT t.tbl AS tbl, pp.p AS p, ii.i AS i,
+    xor(xor(($seedExpr)::HUGEINT, pp.p::HUGEINT * 4294967296::HUGEINT), ii.i::HUGEINT) AS x
+  FROM tbls t
+  CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS p) pp
+  CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS i) ii),
+${Osql.mixCtes("pl", "x")},
+pw AS (SELECT tbl, p, list((${Osql.signed("x")})::DOUBLE / 9223372036854775808.0 / 2.0 ORDER BY i) AS ws
+  FROM pld GROUP BY tbl, p),
+dotp AS (SELECT e.vec_id, w.tbl, w.p,
+    list_reduce(list_transform(generate_series(1, $dim), i -> e.embedding[i]::DOUBLE * w.ws[i]), (a, b) -> a + b) AS d
+  FROM emb e CROSS JOIN pw w),
+bkt AS (SELECT vec_id, tbl, SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dotp GROUP BY vec_id, tbl)"""
+
+  /** Ordered-fold squared-norm CTE (vec_id, nn) over `emb`. */
+  private def normCte(dim: Int): String =
+    s"""nrm AS (SELECT vec_id,
+    list_reduce(list_transform(generate_series(1, $dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b) AS nn
+  FROM emb)"""
+
+  /** FloatCosine of two vectors given their precomputed squared norms. */
+  private def cosExpr(a: String, b: String, na: String, nb: String, dim: Int): String =
+    s"""CASE WHEN $na = 0 OR $nb = 0 THEN 0.0
+         ELSE list_reduce(list_transform(generate_series(1, $dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y) / (SQRT($na) * SQRT($nb)) END"""
+
+  /** Independent DuckDB recomputation of `Dedup.embeddingNearDup` (8 tables
+    * × 2 bits, threshold 0.3) including the LSH blocking itself. */
+  private def embNearDupOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+${bucketCtes("42 + 1000 * t.tbl", tables = 8, bits = 2, dim = 64)},
+cand AS (SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+${normCte(64)},
+scored AS (SELECT c.left_id, c.right_id,
+    ${cosExpr("el.embedding", "er.embedding", "nl.nn", "nr.nn", 64)} AS cos
+  FROM cand c JOIN emb el ON el.vec_id = c.left_id JOIN emb er ON er.vec_id = c.right_id
+  JOIN nrm nl ON nl.vec_id = c.left_id JOIN nrm nr ON nr.vec_id = c.right_id)
+SELECT left_id, right_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM scored WHERE cos >= 0.3"""
+
+  /** Independent DuckDB recomputation of `SimilaritySearch.lshTopK`
+    * (bits=4, multi-probe Hamming 1, k=3) over queries vec_id < 20. */
+  private def annLshOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+${bucketCtes("42", tables = 1, bits = 4, dim = 64)},
+qry AS (SELECT b.vec_id AS query_id, xor(b.bucket, m.m) AS bucket
+  FROM bkt b CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m
+  WHERE b.vec_id < 20),
+cnd AS (SELECT q.query_id, c.vec_id AS corpus_id
+  FROM qry q JOIN bkt c ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+${normCte(64)},
+scored AS (SELECT n.query_id, n.corpus_id,
+    ${cosExpr("eq.embedding", "ec.embedding", "nq.nn", "nc.nn", 64)} AS cos
+  FROM cnd n JOIN emb eq ON eq.vec_id = n.query_id JOIN emb ec ON ec.vec_id = n.corpus_id
+  JOIN nrm nq ON nq.vec_id = n.query_id JOIN nrm nc ON nc.vec_id = n.corpus_id),
+rnk AS (SELECT query_id, corpus_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+  FROM scored)
+SELECT query_id, corpus_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS score_ppm, CAST(rn AS INT) AS rn
+FROM rnk WHERE rn <= 3"""
+
+  /** Independent DuckDB recomputation of `TfIdfMatch.bestMatchExact`: the
+    * 1e-4 weight quantization makes every aggregate an exact integer, so the
+    * two engines' sums cannot diverge by summation order. */
+  private val tfidfOracleSql: String =
+    """WITH l AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
+r AS (SELECT doc_id AS id, text FROM documents WHERE doc_id >= 50 AND doc_id < 200),
+lt AS (SELECT left_id, term, COUNT(*) AS tf FROM
+  (SELECT id AS left_id, unnest(regexp_extract_all(lower(text), '\w\w+')) AS term FROM l)
+  GROUP BY left_id, term),
+rt AS (SELECT right_id, term, COUNT(*) AS tf FROM
+  (SELECT id AS right_id, unnest(regexp_extract_all(lower(text), '\w\w+')) AS term FROM r)
+  GROUP BY right_id, term),
+nn AS (SELECT (SELECT COUNT(*) FROM l) + (SELECT COUNT(*) FROM r) AS n),
+idf AS (SELECT term, ln(((SELECT n FROM nn) + 1.0) / (df + 1.0)) + 1.0 AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM
+    (SELECT term FROM lt UNION ALL SELECT term FROM rt) GROUP BY term)),
+lw AS (SELECT left_id, lt.term AS term, CAST(FLOOR(tf * idf * 10000) AS BIGINT) AS w
+  FROM lt JOIN idf ON lt.term = idf.term),
+rw AS (SELECT right_id, rt.term AS term, CAST(FLOOR(tf * idf * 10000) AS BIGINT) AS w
+  FROM rt JOIN idf ON rt.term = idf.term),
+nl AS (SELECT left_id, SUM(w * w) AS sl FROM lw GROUP BY left_id),
+nr AS (SELECT right_id, SUM(w * w) AS sr FROM rw GROUP BY right_id),
+dotp AS (SELECT left_id, right_id, SUM(lw.w * rw.w) AS dot
+  FROM lw JOIN rw ON lw.term = rw.term GROUP BY left_id, right_id),
+scored AS (SELECT d.left_id, d.right_id,
+    CAST(FLOOR(d.dot::DOUBLE / (SQRT(nl.sl::DOUBLE) * SQRT(nr.sr::DOUBLE)) * 1000000) AS BIGINT) AS score_ppm
+  FROM dotp d JOIN nl ON nl.left_id = d.left_id JOIN nr ON nr.right_id = d.right_id),
+best AS (SELECT left_id, right_id, score_ppm,
+    ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY score_ppm DESC, right_id) AS rn FROM scored)
+SELECT left_id, right_id, score_ppm FROM best WHERE rn = 1
+UNION ALL
+SELECT l.id AS left_id, (SELECT MIN(id) FROM r) AS right_id, CAST(0 AS BIGINT) AS score_ppm
+FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_simhash_neardup" -> simhashOracleSql,
+    "q_minhash_lsh" -> minhashOracleSql,
+    "q_tfidf_match" -> tfidfOracleSql,
+    "q_embedding_neardup" -> embNearDupOracleSql,
+    "q_embedding_ann_lsh" -> annLshOracleSql,
+    "q_repeated_lines" ->
+      s"""WITH t AS (SELECT conv_id || '#' || turn_idx AS id, text
+  FROM read_parquet('$FixtureDir/slim150/*.parquet')),
+lines AS (SELECT id,
+    unnest(string_split(text, chr(10))) AS line,
+    unnest(generate_series(0, len(string_split(text, chr(10))) - 1)) AS li
+  FROM t),
+hot AS (SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+  GROUP BY trim(line) HAVING COUNT(DISTINCT id) >= 2),
+kept AS (SELECT id, li, line FROM lines
+  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT norm FROM hot)),
+agg AS (SELECT id, string_agg(line, chr(10) ORDER BY li) AS cleaned FROM kept GROUP BY id),
+drp AS (SELECT id, COUNT(*) AS dropped FROM lines
+  WHERE trim(line) <> '' AND trim(line) IN (SELECT norm FROM hot) GROUP BY id)
+SELECT t.id, COALESCE(a.cleaned, '') AS cleaned, COALESCE(p.dropped, 0) AS dropped
+FROM t LEFT JOIN agg a ON a.id = t.id LEFT JOIN drp p ON p.id = t.id""",
+    "q_repetition" ->
+      """WITH base AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
+  FROM documents),
+grams AS (SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END AS g2,
+    CASE WHEN len(toks) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3,
+    lns FROM base),
+lstats AS (SELECT doc_id, g2, g3,
+    COALESCE(list_sum(list_transform(lns, l -> length(l))), 0) AS total,
+    COALESCE(list_sum(list_transform(lns, l ->
+      CASE WHEN len(list_filter(lns, x -> x = l)) > 1 THEN length(l) ELSE 0 END)), 0) AS dup
+  FROM grams)
+SELECT doc_id,
+  CASE WHEN len(g2) = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)::DOUBLE * 1000000) AS BIGINT) END AS dup2_ppm,
+  CASE WHEN len(g3) = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)::DOUBLE * 1000000) AS BIGINT) END AS dup3_ppm,
+  CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR(dup::DOUBLE / total::DOUBLE * 1000000) AS BIGINT) END AS dupline_ppm
+FROM lstats""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
          COUNT(*) AS cnt,
@@ -535,11 +818,14 @@ object SparkEntry {
          WHERE rn <= 3""",
     "q_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
-    "q_stopword_filter" ->
-      """SELECT doc_id, array_to_string(list_filter(
-           string_split_regex(TRIM(LOWER(text)), '\s+'),
-           t -> t NOT IN ('a','and','for','in','is','it','of','that','the','to')), ' ') AS filtered
-         FROM documents""",
+    "q_stopword_filter" -> {
+      val inList = graft.core.TextStats.NltkStopWordsEn
+        .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
+      s"""SELECT doc_id, array_to_string(list_filter(
+           string_split_regex(TRIM(LOWER(text)), '\\s+'),
+           t -> t NOT IN ($inList)), ' ') AS filtered
+         FROM documents"""
+    },
     "q_top5_reversed" ->
       """SELECT event_type, event_id, value, rn FROM (
            SELECT event_type, event_id, value,

@@ -19,18 +19,23 @@ object ImageCodec {
                            meanR: Double, meanG: Double, meanB: Double,
                            aHash: Long)
 
-  /** Deterministic synthetic PNG: seeded smooth-ish RGB field. */
+  /** Deterministic synthetic PNG: seeded 8×8-block RGB field + fine noise.
+    * Block-structured (not a shared gradient) so DIFFERENT seeds produce
+    * genuinely different aHash bit patterns — a global gradient gave every
+    * image nearly the same brighter-than-mean layout, which made 85% of all
+    * pairs "near-dups" and degenerated the Hamming-join fixture. Planted
+    * copies stay pixel-identical, so near-dup recall is still exercised. */
   def synthPng(seed: Long, width: Int, height: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
+        val cell = TextStats.mix64(seed ^ ((x / 8).toLong << 32) ^ (y / 8).toLong)
         val h = TextStats.mix64(seed ^ (x.toLong << 32) ^ y.toLong)
-        // smooth gradient + seeded noise so near-dup copies stay near
-        val r = ((x * 255) / math.max(1, width - 1) + ((h >>> 8) & 0x1F)).toInt & 0xFF
-        val g = ((y * 255) / math.max(1, height - 1) + ((h >>> 16) & 0x1F)).toInt & 0xFF
-        val b = (((x + y) * 255) / math.max(1, width + height - 2) + ((h >>> 24) & 0x1F)).toInt & 0xFF
+        val r = (((cell >>> 8) & 0xFF) + ((h >>> 8) & 0x0F)).toInt & 0xFF
+        val g = (((cell >>> 16) & 0xFF) + ((h >>> 16) & 0x0F)).toInt & 0xFF
+        val b = (((cell >>> 24) & 0xFF) + ((h >>> 24) & 0x0F)).toInt & 0xFF
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

@@ -27,6 +27,38 @@ object TextStats {
     b.result()
   }
 
+  /** The published NLTK English stopword list (179 entries, public corpus
+    * data) — pinned verbatim so F3 `Clean.stopwordFiltered` matches the
+    * reference's `stopwords.words('english')` (Text_preprocessing.py:31-36)
+    * without an NLTK runtime dependency on executors. Kept separate from
+    * the per-language `StopWords` ID lists below: language ID needs short
+    * BALANCED lists across languages, not one exhaustive English list. */
+  val NltkStopWordsEn: Seq[String] = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "you're", "you've", "you'll", "you'd", "your", "yours",
+    "yourself", "yourselves", "he", "him", "his", "himself", "she",
+    "she's", "her", "hers", "herself", "it", "it's", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "that'll", "these", "those", "am",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has",
+    "had", "having", "do", "does", "did", "doing", "a", "an", "the",
+    "and", "but", "if", "or", "because", "as", "until", "while", "of",
+    "at", "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few",
+    "more", "most", "other", "some", "such", "no", "nor", "not",
+    "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've",
+    "now", "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren",
+    "aren't", "couldn", "couldn't", "didn", "didn't", "doesn",
+    "doesn't", "hadn", "hadn't", "hasn", "hasn't", "haven", "haven't",
+    "isn", "isn't", "ma", "mightn", "mightn't", "mustn", "mustn't",
+    "needn", "needn't", "shan", "shan't", "shouldn", "shouldn't",
+    "wasn", "wasn't", "weren", "weren't", "won", "won't", "wouldn",
+    "wouldn't")
+
   /** Tiny per-language stopword lists (public common words) for the n-gram/
     * stopword language-ID heuristic. */
   val StopWords: Map[String, Set[String]] = Map(
@@ -113,12 +145,29 @@ object TextStats {
       case toks => toks.sliding(k).map(_.mkString(" ")).toArray
     }
 
-  /** MinHash signature of `numHashes` 64-bit minima over the shingle set. */
-  def minHash(sh: Array[String], numHashes: Int): Array[Long] =
+  /** MinHash signature: `numHashes` independent minima over the shingle set.
+    * Each shingle is byte-hashed ONCE (`hash64`) and the i-th hash function is
+    * the splitmix avalanche of `base ^ seed_i` — the standard one-strong-hash
+    * + cheap-rehash family. vs re-seeding FNV per function this does 1/16th
+    * of the byte-level hashing per row, which matters when the signature is
+    * computed inside the scan stage of a 100-TB dedup pass. */
+  def minHash(sh: Array[String], numHashes: Int): Array[Long] = {
+    if (sh.isEmpty) return Array.fill(numHashes)(Long.MaxValue)
+    val base = new Array[Long](sh.length)
+    var j = 0
+    while (j < sh.length) { base(j) = hash64(sh(j)); j += 1 }
     Array.tabulate(numHashes) { i =>
-      if (sh.isEmpty) Long.MaxValue
-      else sh.iterator.map(t => hash64(t, i.toLong * 0x9E3779B97F4A7C15L)).min
+      val seed = i.toLong * 0x9E3779B97F4A7C15L
+      var min = Long.MaxValue
+      var k = 0
+      while (k < base.length) {
+        val v = mix64(base(k) ^ seed)
+        if (v < min) min = v
+        k += 1
+      }
+      min
     }
+  }
 
   /** 64-bit SimHash over tokens. */
   def simHash(tokens: Array[String]): Long = {

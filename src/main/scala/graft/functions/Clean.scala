@@ -54,11 +54,12 @@ object Clean {
     concat_ws(" ", transform(slice(split(c, "\n"), 1, n), l => trim(l)))
 
   /** F3 (Text_preprocessing.py:31-36): tokenize + english stopword filter +
-    * rejoin. Stopword list pinned to graft.core.TextStats (the reference uses
-    * NLTK's list — an environment dependency we replace with a pinned set;
-    * divergence documented in SURVEY §7). */
+    * rejoin. Uses the FULL published NLTK English stopword list pinned in
+    * `TextStats.NltkStopWordsEn` (179 entries) — zero list divergence from
+    * the reference's `stopwords.words('english')`, with no NLTK runtime on
+    * the executors. */
   def stopwordFiltered(c: Column): Column = {
-    val sw = graft.core.TextStats.StopWords("en").toSeq.sorted.map(lit(_))
+    val sw = graft.core.TextStats.NltkStopWordsEn.map(lit(_))
     array_join(filter(split(trim(lower(c)), "\\s+"), t => !t.isInCollection(sw)), " ")
   }
 

@@ -111,6 +111,40 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- Gopher-style repetition signals (Rae et al. 2021 §A1.1), as pure
+  // per-row expression trees: NO shuffle — these run inside the scan stage
+  // of a quality-filter pass, which is what makes them usable at 100 TB. ----
+
+  /** Word n-grams of the lowercased token stream (keeps duplicates). */
+  private def wordGrams(c: Column, n: Int): Column = {
+    val toks = wsTokens(lower(c))
+    val cnt = size(toks)
+    when(cnt < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), cnt - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Fraction (ppm) of duplicate word n-grams: 1 - distinct/total. Exact
+    * integer inputs → the double division is engine-reproducible. */
+  def dupNgramPpm(c: Column, n: Int): Column = {
+    val g = wordGrams(c, n)
+    val total = size(g)
+    when(total === 0, 0L).otherwise(
+      floor((total - size(array_distinct(g))).cast("double") /
+        total.cast("double") * 1000000L).cast("long"))
+  }
+
+  /** Fraction (ppm) of characters in duplicate lines — a line's trimmed form
+    * occurring more than once within the document counts all its chars. */
+  def dupLineCharPpm(c: Column): Column = {
+    val lns = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    val total = aggregate(lns, lit(0L), (acc, l) => acc + length(l))
+    val dup = aggregate(lns, lit(0L), (acc, l) =>
+      acc + when(size(filter(lns, x => x === l)) > 1, length(l).cast("long")).otherwise(0L))
+    when(total === 0, 0L).otherwise(
+      floor(dup.cast("double") / total.cast("double") * 1000000L).cast("long"))
+  }
+
   /** Jaccard similarity of token SETS (order-insensitive, exact integer
     * arithmetic → engine-portable). */
   def tokenSetJaccard(a: Column, b: Column): Column = {

@@ -124,6 +124,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document repeated-line removal (the CCNet/RefinedWeb boilerplate
+    * pass): a line whose trimmed form appears in ≥ `minDocs` DISTINCT
+    * documents is dropped from every document; blank lines are kept. Three
+    * key-partitioned shuffles — line-hash agg, line-hash join, doc
+    * reassembly — and the only per-group materialization is one document's
+    * own lines, so it scales with corpus size, not with line popularity.
+    * Emits every input document: (id, cleaned, dropped). */
+  def repeatedLines(df: DataFrame, textCol: String, idCol: String,
+                    minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("li", "line")))
+      .withColumn("norm", trim(col("line")))
+    val hot = lines.filter(col("norm") =!= "")
+      .groupBy(col("norm")).agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("norm"), lit(true).as("hot"))
+    val marked = lines.join(hot, Seq("norm"), "left")
+    val rebuilt = marked.groupBy(col("id")).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(when(col("hot").isNull,
+          struct(col("li"), col("line"))))),
+        x => x("line"))).as("cleaned"),
+      sum(when(col("hot").isNotNull, 1L).otherwise(0L)).as("dropped"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .na.fill("", Seq("cleaned")).na.fill(0L, Seq("dropped"))
+  }
+
   /** Embedding-cosine near-dup: multi-table hyperplane-LSH blocking (a pair
     * is a candidate if it shares a bucket in ANY of `tables` independent
     * hash tables — OR-amplification recovers the recall a single table loses

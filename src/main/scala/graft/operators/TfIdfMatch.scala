@@ -31,6 +31,66 @@ object TfIdfMatch {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
   }
 
+  /** Exact-vocabulary TF-IDF best match — the reference's TfidfVectorizer
+    * semantics (cosine_similarity.py:19-27: token_pattern `\w\w+` lowercased,
+    * raw tf, smooth idf ln((1+n)/(1+df))+1 fitted on the UNION of both sides,
+    * l2-normalized cosine, argmax per left). Two deliberate differences from
+    * the HashingTF variant below:
+    *
+    *  - NO hashing: the vocabulary is exact (like sklearn's), so there is no
+    *    collision error, and the whole pipeline is relational — term explode
+    *    + hash joins — meaning the dot product only materializes (left,
+    *    right) pairs that SHARE a term instead of a dense cross join. At
+    *    scale that is the difference between |L|·|R| work and
+    *    Σ_term df_L(term)·df_R(term).
+    *  - Weights are quantized to 1e-4 integer units before any aggregation,
+    *    so every sum is EXACT integer arithmetic: the result is
+    *    order-independent, reproducible across engines (the DuckDB oracle
+    *    recomputes it bit-for-bit), and the only floating point left is
+    *    sqrt/divide on exact integers — correctly-rounded IEEE either side.
+    *    (The quantization shifts scores by <1e-3 relative — fine for a
+    *    matcher; keep `bestMatch` when exact sklearn floats matter.)
+    *
+    * Ties and no-shared-term lefts resolve to the smallest right_id (the
+    * reference's argmax over an all-zero row returns position 0).
+    * Returns (left_id, right_id, score_ppm). */
+  def bestMatchExact(left: DataFrame, right: DataFrame): DataFrame = {
+    def terms(df: DataFrame, idc: String): DataFrame = df
+      .select(col("id").as(idc),
+        explode(expr("regexp_extract_all(lower(text), '\\\\w\\\\w+', 0)")).as("term"))
+      .groupBy(col(idc), col("term")).agg(count(lit(1)).as("tf"))
+    val lt = terms(left, "left_id")
+    val rt = terms(right, "right_id")
+    val n = left.count() + right.count()
+    val idf = lt.select(col("term")).unionAll(rt.select(col("term")))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+    def weigh(t: DataFrame, idc: String): DataFrame = t.join(idf, "term")
+      .select(col(idc), col("term"),
+        floor(col("tf") * col("idf") * 10000).cast("long").as("w"))
+    val lw = weigh(lt, "left_id")
+    val rw = weigh(rt, "right_id")
+    val nl = lw.groupBy("left_id").agg(sum(col("w") * col("w")).as("sl"))
+    val nr = rw.groupBy("right_id").agg(sum(col("w") * col("w")).as("sr"))
+    val dot = lw.join(rw.withColumnRenamed("w", "rw"), "term")
+      .groupBy("left_id", "right_id").agg(sum(col("w") * col("rw")).as("dot"))
+    val scored = dot.join(nl, "left_id").join(nr, "right_id")
+      .select(col("left_id"), col("right_id"),
+        floor(col("dot").cast("double") /
+          (sqrt(col("sl").cast("double")) * sqrt(col("sr").cast("double"))) * 1000000L)
+          .cast("long").as("score_ppm"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("left_id")).orderBy(desc("score_ppm"), col("right_id"))))
+      .filter(col("rn") === 1)
+      .select(col("left_id"), col("right_id"), col("score_ppm"))
+    // lefts sharing no term with any right: score 0, smallest right_id
+    val fallback = left.select(col("id").as("left_id"))
+      .join(best.select(col("left_id")), Seq("left_id"), "left_anti")
+      .crossJoin(broadcast(right.agg(min(col("id")).as("right_id"))))
+      .withColumn("score_ppm", lit(0L))
+    best.unionByName(fallback)
+  }
+
   /** Best TF-IDF match per left row. `left`/`right`: (id, text). */
   def bestMatch(left: DataFrame, right: DataFrame, numFeatures: Int = 1 << 16): DataFrame = {
     val l = left.select(col("id").as("left_id"), col("text").as("left_text"))

@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends AnyFunSuite {
 
   test("custom expressions registered as SQL functions via SparkSessionExtensions") {
-    // needs its own session (extensions are builder-time); TestSpark's session
-    // may already exist, so clone-with-extensions via newSession + manual
-    // registration path exercised through a dedicated builder.
+    // extensions are builder-time: when another suite's session already
+    // exists in this JVM, getOrCreate reuses it WITHOUT them — so always
+    // follow with registerOn, the retrofit path for existing sessions
+    // (which this test then also covers).
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -17,6 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    GraftExtensions.registerOn(spark)
     try {
       val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
       emb.createOrReplaceTempView("emb_ext_test")

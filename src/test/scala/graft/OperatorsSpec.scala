@@ -156,6 +156,9 @@ class OperatorsSpec extends AnyFunSuite {
         graft.operators.Multimodal.extractImageFeatures(imgs), maxHamming = 4)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     planted.foreach { p => assert(found.contains(p), s"missing planted pair $p") }
+    // ...and the fixture is DISCRIMINATIVE: unrelated seeds land far apart,
+    // so the near-dup set is essentially the planted pairs, not most of n²
+    assert(found.size <= planted.size + 2, s"degenerate fixture: ${found.size} pairs")
     // resize: bounded edge, still-decodable real PNG, aspect preserved ±1px
     val resized = graft.operators.Multimodal.resizeImages(imgs, maxEdge = 64).collect()
     resized.foreach { row =>
@@ -243,6 +246,61 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().sortBy(l => (l.page_idx, l.line_idx))
       .map(l => (l.page_idx, l.line_idx, l.line)).toSeq
     assert(lines == Seq((0, 0, "a"), (0, 1, "b"), (1, 0, "c")))
+  }
+
+  test("repeatedLines drops cross-doc boilerplate lines, keeps order and blanks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "unique alpha\nCOPYRIGHT FOOTER\nbody one"),
+      (1L, "body two\nCOPYRIGHT FOOTER\n\nunique beta"),
+      (2L, "all original\ncontent here")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.repeatedLines(docs, "text", "doc_id")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "unique alpha\nbody one", 1L),
+      (1L, "body two\n\nunique beta", 1L),
+      (2L, "all original\ncontent here", 0L)))
+    // a doc whose every line is boilerplate still comes back (empty, counted)
+    val dup = Seq((0L, "x\ny"), (1L, "x\ny")).toDF("doc_id", "text")
+    val out2 = graft.operators.Dedup.repeatedLines(dup, "text", "doc_id")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out2 == Seq((0L, "", 2L), (1L, "", 2L)))
+  }
+
+  test("Gopher repetition signals: dup n-gram and dup-line-char ppm") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b a b a"),              // 2-grams: ab ba ab ba → 2 dup of 4
+      (1L, "w x y z"),                // all distinct
+      (2L, "one\ntwo\none\nthree")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.TextFunctions.dupNgramPpm(col("text"), 2).as("d2"),
+        graft.functions.TextFunctions.dupLineCharPpm(col("text")).as("dl"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((0L, 500000L, 0L)))     // 2/4 dup bigrams
+    assert(got(1) == ((1L, 0L, 0L)))
+    // lines: one(3) two(3) one(3) three(5): dup chars 6 of 14
+    assert(got(2)._3 == math.floor(6.0 / 14 * 1000000).toLong)
+  }
+
+  test("bestMatchExact: identical doc scores ppm 1e6; no-overlap falls back") {
+    import spark.implicits._
+    val l = Seq((1L, "alpha beta gamma"), (2L, "zz_nowhere qq_nothing")).toDF("id", "text")
+    val r = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon")).toDF("id", "text")
+    val got = graft.operators.TfIdfMatch.bestMatchExact(l, r)
+      .orderBy("left_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got.length == 2)
+    assert(got(0)._1 == 1L && got(0)._2 == 10L && got(0)._3 >= 999990L)
+    assert(got(1) == ((2L, 10L, 0L))) // no shared term → min right id, score 0
+  }
+
+  test("NLTK stopword list is the published 179-entry set") {
+    val sw = TextStats.NltkStopWordsEn
+    assert(sw.length == 179 && sw.distinct.length == 179)
+    // spot members incl. the contraction entries NLTK carries
+    Seq("i", "the", "shouldn't", "won't", "ma", "that'll", "should've")
+      .foreach(w => assert(sw.contains(w), w))
+    assert(!sw.contains("ensure") && !sw.contains("never"))
   }
 
   test("minhash/simhash expressions match TextStats semantics") {
