@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.FixtureGen
 import graft.functions.{Clean, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Extraction, Matching, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Extraction, Matching, Multimodal, SimilaritySearch, TrainingData}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2), with DuckDB-checkable `oracleSql` wherever the semantics
@@ -382,6 +382,52 @@ object SparkEntry {
       .groupBy(col("label"), col("dim"))
       .agg(sum(floor(col("v").cast("double") * 1000000L).cast("long")).as("sum_micro"),
         count(lit(1)).as("cnt"))),
+
+    // ---- training-data curation suite ----------------------------------
+    // PII scrub over a deterministically PII-augmented corpus (the fixture
+    // text carries no PII; the augmentation is the same expression on both
+    // engines, so the redaction itself is what the oracle checks)
+    "q_pii_redact" -> ((s, d) => TrainingData.piiRedact(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com ip 10."), col("doc_id") % 256, lit("."),
+            (col("doc_id") * 7) % 256, lit(".4 ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" tel +1-555-"),
+            lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0")).as("raw")),
+        "raw")
+      .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+        col("n_ssn").cast("long").as("n_ssn"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("n_ip").cast("long").as("n_ip"), col("redacted"))),
+
+    // sub-document chunk dedup over a corpus with injected clone docs
+    // (keep-first = min(struct) hash-agg, skew-safe; see TrainingData)
+    "q_chunk_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TrainingData.chunkDedup(
+        docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "doc_id", "text", chunkTokens = 25)
+    }),
+
+    // benchmark decontamination: sliding 8-gram overlap vs the doc_id%97
+    // benchmark slice (broadcast bench side; corpus streams once)
+    "q_contamination" -> ((s, d) => TrainingData.contamination(
+      t(s, d, "documents"), "doc_id", "text", n = 8,
+      benchPred = col("doc_id") % 97 === 0)),
+
+    // deterministic per-language sampling from a 64-bit id fingerprint
+    "q_stratified_sample" -> ((s, d) => TrainingData.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 500000, "de" -> 250000, "es" -> 250000, "fr" -> 100000),
+        defaultPpm = 50000)
+      .select(col("doc_id"), col("lang"), col("bucket"))),
+
+    // exact greedy sequence packing into 256-token context bins per lang
+    "q_seq_packing" -> ((s, d) => TrainingData.sequencePack(
+      t(s, d, "documents"), "lang", "doc_id",
+      weight = size(split(col("text"), " ")), capacity = 256)),
 
   )
 
@@ -1038,5 +1084,88 @@ FROM s4""",
             SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000) AS BIGINT) AS score_ppm
          FROM embeddings, q WHERE vec_id > 0
          ORDER BY score_ppm DESC, vec_id LIMIT 20""",
+
+    // ---- training-data curation suite ----------------------------------
+    "q_pii_redact" ->
+      """WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com ip 10.' || (doc_id % 256) ||
+    '.' || ((doc_id * 7) % 256) || '.4 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' tel +1-555-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+  len(regexp_extract_all(raw, '\+\d{1,2}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '\+\d{1,2}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM aug""",
+
+    "q_chunk_dedup" ->
+      """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(toks[(i*25+1):(i*25+25)], ' ')) AS chunk_hash
+  FROM base, unnest(generate_series(0, ((len(toks)+24)//25) - 1)) u(i)),
+ranked AS (SELECT doc_id, chunk_idx, chunk_hash,
+    row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id, chunk_idx, chunk_hash FROM ranked WHERE rn = 1""",
+
+    "q_contamination" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 8 THEN []
+    ELSE list_transform(generate_series(1, len(toks)-7), i -> array_to_string(toks[i:(i+7)], ' ')) END) AS gs
+  FROM base),
+flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0)
+SELECT f.doc_id, count(DISTINCT f.g) AS n_contam
+FROM flat f JOIN bench b ON f.g = b.g
+GROUP BY f.doc_id""",
+
+    // fingerprint64(cast(doc_id)) replica (q_fingerprint technique) →
+    // signed pmod bucket → per-lang ppm rate
+    "q_stratified_sample" ->
+      """WITH h AS (
+  SELECT doc_id, lang,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
+      (a, b) -> (a * 257::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h0
+  FROM documents),
+s1 AS (SELECT doc_id, lang, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
+s2 AS (SELECT doc_id, lang, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
+s3 AS (SELECT doc_id, lang, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
+s4 AS (SELECT doc_id, lang, xor(x, x // 2147483648::HUGEINT) AS x FROM s3),
+sgn AS (SELECT doc_id, lang,
+    CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS s FROM s4),
+b AS (SELECT doc_id, lang, CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                         WHEN 'es' THEN 250000 WHEN 'fr' THEN 100000 ELSE 50000 END""",
+
+    // greedy fold as a recursive CTE over the per-lang row_number chain
+    "q_seq_packing" ->
+      """WITH RECURSIVE base AS (
+  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT lang, doc_id, n_tok, rn, 0::BIGINT AS bin_idx, n_tok AS used FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.doc_id, b.n_tok, b.rn,
+    CASE WHEN p.used + b.n_tok > 256 THEN p.bin_idx + 1 ELSE p.bin_idx END,
+    CASE WHEN p.used + b.n_tok > 256 THEN b.n_tok ELSE p.used + b.n_tok END
+  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
+SELECT lang, doc_id, n_tok, bin_idx FROM pack""",
   )
 }

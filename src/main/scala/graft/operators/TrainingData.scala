@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashExpressions
+
+/** Training-data curation operators a 100-TB pretraining pipeline needs on
+  * top of the extraction core: PII scrubbing, sub-document exact dedup,
+  * benchmark decontamination, deterministic stratified sampling, and
+  * sequence packing. All are expressed declaratively (codegen'd builtins,
+  * one shuffle each) except packing, whose exact form is inherently a
+  * per-group sequential fold; a partition-parallel variant is provided for
+  * the scale path.
+  *
+  * Reference grounding: the reference pipeline curates its extracted CSV
+  * corpus by hand (`fuzzy.py:20-38` all-pairs similarity, committed-CSV
+  * snapshots); these operators are the missing curation stages re-expressed
+  * Spark-first at corpus scale. */
+object TrainingData {
+
+  // Patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
+  // oracle runs the very same strings (no lookarounds, no backrefs).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}\\b"
+  val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count then redact emails, SSNs, phones, IPv4 addresses.
+    * Pure per-row regexp chain — whole-stage codegen, no shuffle; ordering
+    * of the replace chain matters (email before IP: a redacted email can no
+    * longer donate digits to an IP match). */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_email", regexp_count(c, lit(EmailRe)))
+      .withColumn("n_ssn", regexp_count(c, lit(SsnRe)))
+      .withColumn("n_phone", regexp_count(c, lit(PhoneRe)))
+      .withColumn("n_ip", regexp_count(c, lit(IpRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+          EmailRe, "<EMAIL>"),
+          SsnRe, "<SSN>"),
+          PhoneRe, "<PHONE>"),
+          IpRe, "<IP>"))
+  }
+
+  /** Sub-document exact dedup at fixed-token-chunk granularity (the
+    * paragraph-level pass of Lee et al.'s "Deduplicating Training Data";
+    * chunks stand in for paragraphs on single-line corpora). Keep-first is
+    * `min(struct(id, idx))` per chunk hash — a partial-aggregatable
+    * hash-agg, NOT a row_number window: a boilerplate chunk shared by 10^9
+    * docs becomes one combiner cell per map task instead of a single
+    * skewed window partition. Only the 32-byte hash shuffles; text never
+    * leaves the map side. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = df.select(col(idCol),
+      posexplode(when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("keep"))
+      .select(col("keep")(idCol).as(idCol),
+        col("keep")("chunk_idx").as("chunk_idx"), col("chunk_hash"))
+  }
+
+  /** Benchmark decontamination: per-doc count of distinct sliding word
+    * n-grams that also occur in the benchmark set (docs matching
+    * `benchPred`). The benchmark side is distinct-projected and broadcast —
+    * the corpus streams once, no corpus-side shuffle before the final
+    * per-doc count. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, benchPred: Column): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = df.select(col(idCol),
+      explode(array_distinct(
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))).as("g"))
+    val bench = grams.filter(benchPred).select(col("g")).distinct()
+    grams.join(broadcast(bench), "g")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_contam"))
+  }
+
+  /** Deterministic stratified sampling: a per-row keep decision from a
+    * 64-bit fingerprint of the row id (uniform bucket in [0, 10^6)) against
+    * a per-stratum rate. No shuffle, no RNG state, reproducible under any
+    * partitioning or retry — the property `df.sample()` does NOT give. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPpm: Map[String, Int], defaultPpm: Int): DataFrame = {
+    val bucket = pmod(
+      TextHashExpressions.fingerprint64(col(idCol).cast("string")),
+      lit(1000000L)).cast("long")
+    val rate = ratesPpm.foldLeft(lit(defaultPpm).cast("long")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).filter(col("bucket") < rate)
+  }
+
+  /** Exact greedy sequence packing: within each group (ordered by
+    * `orderCol`) assign docs to consecutive context-window bins of
+    * `capacity` tokens; a doc that would overflow the open bin starts the
+    * next one. The greedy fold is inherently sequential PER GROUP, so the
+    * plan is one hash-partition of groups + an in-partition sorted fold
+    * (mapPartitions carries state across the key run — no group
+    * materialization, O(1) memory per group). A single giant group
+    * serializes; that is a property of exact greedy packing itself — use
+    * [[sequencePackSharded]] when bins need not cross shard boundaries. */
+  def sequencePack(df: DataFrame, groupCol: String, orderCol: String,
+                   weight: Column, capacity: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        col(orderCol).cast("long").as("o"), weight.cast("long").as("w"))
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("o"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curG: String = null
+        var bin = 0L
+        var used = 0L
+        it.map { case (g, o, w) =>
+          if (g != curG) { curG = g; bin = 0L; used = w }
+          else if (used + w > capacity) { bin += 1; used = w }
+          else used += w
+          (g, o, w, bin)
+        }
+      }
+      .toDF(groupCol, orderCol, "n_tok", "bin_idx")
+  }
+
+  /** Scale-path packing: shard each group by a hash of the order key into
+    * `shards` independent packs (bin key = (group, shard, local bin)). Bins
+    * never cross shards, so every shard folds in parallel — the form real
+    * pipelines use when "bins are contiguous per input split" is
+    * acceptable. Wastage vs exact is ≤ one partial bin per shard. */
+  def sequencePackSharded(df: DataFrame, groupCol: String, orderCol: String,
+                          weight: Column, capacity: Long,
+                          shards: Int): DataFrame = {
+    val Sep = "\u0000"
+    val sharded = df.withColumn("gs", concat_ws(Sep, col(groupCol),
+      pmod(hash(col(orderCol)), lit(shards)).cast("string")))
+    sequencePack(sharded, "gs", orderCol, weight, capacity)
+      .withColumn(groupCol, split(col("gs"), Sep).getItem(0))
+      .withColumn("shard", split(col("gs"), Sep).getItem(1).cast("int"))
+      .drop("gs")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingData
+
+class TrainingDataSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("piiRedact: all four PII classes counted and redacted; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk now ip 10.2.3.4 ssn 123-45-6789 tel +1-555-0147"),
+      (2L, "no pii here, just words and 42 numbers")
+    ).toDF("id", "text")
+    val out = TrainingData.piiRedact(df, "text")
+      .select("id", "n_email", "n_ssn", "n_phone", "n_ip", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getInt(1), r1.getInt(2), r1.getInt(3), r1.getInt(4)) == (1, 1, 1, 1))
+    assert(r1.getString(5) == "mail <EMAIL> now ip <IP> ssn <SSN> tel <PHONE>")
+    val r2 = out(2L)
+    assert((r2.getInt(1), r2.getInt(2), r2.getInt(3), r2.getInt(4)) == (0, 0, 0, 0))
+    assert(r2.getString(5) == "no pii here, just words and 42 numbers")
+  }
+
+  test("chunkDedup: duplicate chunks keep first (id, idx); uniques survive") {
+    val words = (1 to 50).map(i => s"w$i").mkString(" ") // 2 chunks of 25
+    val df = Seq(
+      (10L, words),                 // chunks 0,1
+      (20L, words),                 // exact clone — both chunks dup
+      (30L, (51 to 60).map(i => s"w$i").mkString(" ")) // 1 unique chunk
+    ).toDF("doc_id", "text")
+    val kept = TrainingData.chunkDedup(df, "doc_id", "text", 25)
+      .select("doc_id", "chunk_idx").as[(Long, Long)].collect().toSet
+    assert(kept == Set((10L, 0L), (10L, 1L), (30L, 0L)))
+  }
+
+  test("contamination: only docs sharing an n-gram with the bench slice are flagged") {
+    val eight = "a b c d e f g h"
+    val df = Seq(
+      (0L, s"$eight tail words here"),   // bench doc (0 % 97 == 0)
+      (1L, s"prefix $eight"),            // contaminated: shares the 8-gram
+      (2L, "totally different content with many distinct words okay")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.contamination(df, "doc_id", "text", 8,
+      col("doc_id") % 97 === 0).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L)
+    assert(out(0L) >= 1L)   // self-overlap
+    assert(!out.contains(2L))
+  }
+
+  test("stratifiedSample: deterministic under repartitioning; rates ordered by stratum") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 500000)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingData.stratifiedSample(d, "doc_id", "lang", rates, defaultPpm = 50000)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(df)
+    val b = run(df.repartition(13))
+    assert(a == b)                                    // partition-invariant
+    val en = a.count(_ % 2 == 0); val zh = a.count(_ % 2 == 1)
+    assert(en > 400 && en < 600)                      // ~50% of 1000
+    assert(zh > 20 && zh < 90)                        // ~5% of 1000
+  }
+
+  test("sequencePack: matches single-threaded greedy fold; capacity respected") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", 10L + rnd.nextInt(90)))
+    val df = rows.toDF("doc_id", "lang", "w")
+    val out = TrainingData.sequencePack(df, "lang", "doc_id", col("w"), 256)
+      .select("lang", "doc_id", "n_tok", "bin_idx")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // oracle: sequential fold per group
+    val expect = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      var bin = 0L; var used = 0L; var first = true
+      rs.sortBy(_._1).map { case (id, _, w) =>
+        if (first) { first = false; used = w }
+        else if (used + w > 256) { bin += 1; used = w }
+        else used += w
+        (g, id) -> (w, bin)
+      }
+    }
+    assert(out == expect)
+    // bins never exceed capacity (every weight here is < capacity)
+    val binLoads = out.toSeq.groupBy { case ((g, _), (_, b)) => (g, b) }
+      .map { case (_, xs) => xs.map(_._2._1).sum }
+    assert(binLoads.forall(_ <= 256))
+  }
+
+  test("sequencePackSharded: per-(group,shard) packs respect capacity and cover all rows") {
+    val rows = (0L until 300L).map(i => (i, "en", 10L + (i % 80)))
+    val df = rows.toDF("doc_id", "lang", "w")
+    val out = TrainingData.sequencePackSharded(df, "lang", "doc_id", col("w"),
+        capacity = 256, shards = 4)
+      .select("lang", "shard", "doc_id", "n_tok", "bin_idx")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(out.length == 300)
+    assert(out.map(_._1).toSet == Set("en"))
+    val loads = out.groupBy(r => (r._2, r._5)).map(_._2.map(_._4).sum)
+    assert(loads.forall(_ <= 256))
+  }
+}
