@@ -429,6 +429,11 @@ object SparkEntry {
       t(s, d, "documents"), "lang", "doc_id",
       weight = size(split(col("text"), " ")), capacity = 256)),
 
+    // near-dup cluster assignment: connected components over simhash pairs
+    // (iterative min-label propagation to the exact fixpoint)
+    "q_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(
+      Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id"))),
+
   )
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
@@ -514,8 +519,8 @@ ${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p
     * hash64 → 64 bit votes → signed simhash, then BRUTE-FORCE all-pairs
     * Hamming ≤ 3 — which also re-proves the pigeonhole bands' exact-recall
     * claim cross-engine (the Spark side only examines banded candidates). */
-  private def simhashOracleSql: String =
-    s"""WITH ${Osql.TokCte},
+  private def simhashCtes: String =
+    s"""${Osql.TokCte},
 tb AS (SELECT doc_id, ${Osql.utf8Bytes("tok")} AS bytes FROM toks),
 m0 AS (SELECT doc_id, ${Osql.fnv("bytes")} AS x FROM tb),
 ${Osql.mixCtes("m", "x")},
@@ -527,11 +532,33 @@ simu AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUG
   FROM votes GROUP BY doc_id),
 sims AS (SELECT d.doc_id AS doc_id,
     CAST(${Osql.signed("COALESCE(s.u, 0::HUGEINT)")} AS BIGINT) AS sim
-  FROM documents d LEFT JOIN simu s ON d.doc_id = s.doc_id)
+  FROM documents d LEFT JOIN simu s ON d.doc_id = s.doc_id)"""
+
+  private def simhashOracleSql: String =
+    s"""WITH $simhashCtes
 SELECT l.doc_id AS left_id, r.doc_id AS right_id,
   CAST(bit_count(xor(l.sim, r.sim)) AS INT) AS hamming
 FROM sims l JOIN sims r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.sim, r.sim)) <= 3"""
+
+  /** Connected components over the simhash pair graph: DuckDB recomputes the
+    * signatures AND the pairs, then derives each node's component as the min
+    * id reachable via a recursive closure — independently re-deriving what
+    * Spark computes by iterative min-label propagation. */
+  private def neardupClustersOracleSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+pairs AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.sim, r.sim)) <= 3),
+edges AS (SELECT left_id AS a, right_id AS b FROM pairs
+  UNION ALL SELECT right_id, left_id FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r)
+SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
 
   /** Independent DuckDB recomputation of `Dedup.minHashLsh` (k=3 shingles,
     * 16 hashes, 8 bands, threshold 0.35): shingle base hashes → signed minima
@@ -685,6 +712,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_simhash_neardup" -> simhashOracleSql,
+    "q_neardup_clusters" -> neardupClustersOracleSql,
     "q_minhash_lsh" -> minhashOracleSql,
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,

@@ -180,4 +180,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("left_id"), col("right_id"), col("cos"))
   }
+
+  /** Cluster assignment over a near-dup pair list — the step a dedup
+    * pipeline actually needs after candidate scoring: connected components,
+    * labeling every paired doc with the MIN doc id reachable through the
+    * pair graph ("keep the representative, drop the rest").
+    *
+    * Iterative min-label propagation: each round is one equi-join (edge src
+    * → neighbor label) + one min-agg, i.e. two hash-partition shuffles over
+    * (id, label) pairs only; `localCheckpoint` truncates the lineage so the
+    * plan does not grow with rounds. Rounds needed = graph diameter — small
+    * for near-dup clusters (dense blobs of mutual near-matches); for
+    * adversarial long-chain graphs the alternating large-star/small-star
+    * form (Kiveris et al., MapReduce CC) bounds rounds at O(log² n) with the
+    * same per-round shape. Singleton docs (no pair) are not emitted.
+    *
+    * Converges to the exact fixpoint (checked per round), so the output is
+    * deterministic and DuckDB-oracle-comparable. */
+  def nearDupClusters(pairs: DataFrame, leftCol: String = "left_id",
+                      rightCol: String = "right_id",
+                      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .unionAll(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("lbl"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"nearDupClusters: no fixpoint after $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
 }

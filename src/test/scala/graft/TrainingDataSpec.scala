@@ -91,6 +91,16 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(binLoads.forall(_ <= 256))
   }
 
+  test("nearDupClusters: chain graph converges to min-reachable label; components separate") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("left_id", "right_id")
+    val out = graft.operators.Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("sequencePackSharded: per-(group,shard) packs respect capacity and cover all rows") {
     val rows = (0L until 300L).map(i => (i, "en", 10L + (i % 80)))
     val df = rows.toDF("doc_id", "lang", "w")
