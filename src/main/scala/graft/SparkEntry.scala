@@ -254,9 +254,8 @@ object SparkEntry {
     // boilerplate strip over fixture HTML turns
     "q_boilerplate" -> ((s, d) => {
       import s.implicits._
-      val turns = graft.sources.TranscriptGen.generate(s,
-        FixtureGen.Profile(numConvs = 120, monsterEvery = 0, invalidEvery = 0), 4)
-      turns.filter(col("text").contains("<html"))
+      s.read.parquet(fixtureHtmlParquet(s))
+        .filter(col("text").contains("<html"))
         .select(col("conv_id"), col("turn_idx"), col("text"))
         .as[(String, Int, String)]
         .map { case (c, i, x) => (c, i, graft.core.Boilerplate.stripHtml(x)) }
@@ -462,6 +461,21 @@ object SparkEntry {
   }
   private def fixtureTable(s: SparkSession, convs: Int): DataFrame =
     s.read.parquet(fixtureParquet(s, convs))
+
+  /** HTML-payload fixture (q_boilerplate's input) materialized like the slim
+    * fixtures, so the DuckDB oracle can replay `Boilerplate.stripHtml` over
+    * the exact rows the Spark query consumed. */
+  private def fixtureHtmlParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/html120"
+    if (!fixtureWritten.contains(path)) {
+      graft.sources.TranscriptGen.generate(s,
+        FixtureGen.Profile(numConvs = 120, monsterEvery = 0, invalidEvery = 0), 4)
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
 
   private def sfScale(dir: String): Double = {
     val m = "sf([0-9.]+)".r.findFirstMatchIn(dir)
@@ -1180,6 +1194,55 @@ b AS (SELECT doc_id, lang, CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) A
 SELECT doc_id, lang, bucket FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                          WHEN 'es' THEN 250000 WHEN 'fr' THEN 100000 ELSE 50000 END""",
+
+    // Full DuckDB replica of Boilerplate.stripHtml (WSDM'10 block heuristic)
+    // over the materialized HTML fixture. RE2 has no backreferences, so the
+    // Scala side's `</\1\s*>` subtree/container patterns are expanded into
+    // per-tag literal regexes; `array_to_string([],sep)` is NULL in DuckDB,
+    // hence the COALESCE on the anchor concat.
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, text
+  FROM read_parquet('$FixtureDir/html120/*.parquet') WHERE contains(text, '<html')),
+s1 AS (SELECT conv_id, turn_idx,
+    regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g') AS s FROM t),
+s2 AS (SELECT conv_id, turn_idx,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g'),
+      '(?is)<template\\b[^>]*>.*?</template\\s*>', ' ', 'g') AS s FROM s1),
+s3 AS (SELECT conv_id, turn_idx,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+      '(?is)<nav\\b[^>]*>.*?</nav\\s*>', ' ', 'g'),
+      '(?is)<header\\b[^>]*>.*?</header\\s*>', ' ', 'g'),
+      '(?is)<footer\\b[^>]*>.*?</footer\\s*>', ' ', 'g'),
+      '(?is)<aside\\b[^>]*>.*?</aside\\s*>', ' ', 'g') AS s FROM s2),
+blk AS (SELECT conv_id, turn_idx,
+    unnest(string_split_regex(s, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|section|article|main|br|blockquote|pre)\\b[^>]*>')) AS b,
+    unnest(generate_series(1, len(string_split_regex(s, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|section|article|main|br|blockquote|pre)\\b[^>]*>')))) AS bi
+  FROM s3),
+scored AS (SELECT conv_id, turn_idx, bi,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+      '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS txt,
+    length(trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        COALESCE(array_to_string(list_transform(
+          regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+          x -> regexp_replace(x, '(?s)<[^>]*>', ' ', 'g')), ''), ''),
+        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+      '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))) AS alen
+  FROM blk),
+kept AS (SELECT * FROM scored
+  WHERE txt <> ''
+    AND (length(txt) >= 10 OR regexp_matches(txt, '[A-Za-z0-9]'))
+    AND alen::DOUBLE / greatest(length(txt), 1) <= 0.5),
+agg AS (SELECT conv_id, turn_idx, string_agg(txt, chr(10) ORDER BY bi) AS main_content
+  FROM kept GROUP BY conv_id, turn_idx)
+SELECT t.conv_id, t.turn_idx, COALESCE(a.main_content, '') AS main_content
+FROM t LEFT JOIN agg a ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx""",
 
     // greedy fold as a recursive CTE over the per-lang row_number chain
     "q_seq_packing" ->

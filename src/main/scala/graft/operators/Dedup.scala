@@ -205,6 +205,12 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // labels are monotonically non-increasing, so the exact label sum is a
+    // fixpoint witness: unchanged sum ⟺ no label moved (one tiny agg per
+    // round instead of a join-based diff)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -213,9 +219,9 @@ object Dedup {
       val next = labels.unionAll(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }
