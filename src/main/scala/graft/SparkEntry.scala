@@ -433,6 +433,12 @@ object SparkEntry {
     "q_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(
       Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id"))),
 
+    // temperature-resampled language balance: rates derived from corpus
+    // counts (sqrt smoothing), deterministic fingerprint-bucket keep
+    "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(
+        t(s, d, "documents"), "doc_id", "lang", topRatePpm = 300000)
+      .select(col("doc_id"), col("lang"), col("bucket"))),
+
   )
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
@@ -533,6 +539,26 @@ ${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p
     * hash64 → 64 bit votes → signed simhash, then BRUTE-FORCE all-pairs
     * Hamming ≤ 3 — which also re-proves the pigeonhole bands' exact-recall
     * claim cross-engine (the Spark side only examines banded candidates). */
+  /** CTE chain `h,s1..s4,sgn,b` computing the deterministic sampling bucket
+    * per (doc_id, lang): fingerprint64(cast(doc_id)) → splitmix finalize →
+    * signed pmod 10^6 (TrainingData.stratifiedSample's keep-decision hash,
+    * replayed in HUGEINT arithmetic). */
+  private def idBucketCtes: String =
+    """h AS (
+  SELECT doc_id, lang,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
+      (a, b) -> (a * 257::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h0
+  FROM documents),
+s1 AS (SELECT doc_id, lang, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
+s2 AS (SELECT doc_id, lang, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
+s3 AS (SELECT doc_id, lang, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
+s4 AS (SELECT doc_id, lang, xor(x, x // 2147483648::HUGEINT) AS x FROM s3),
+sgn AS (SELECT doc_id, lang,
+    CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS s FROM s4),
+b AS (SELECT doc_id, lang, CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)"""
+
   private def simhashCtes: String =
     s"""${Osql.TokCte},
 tb AS (SELECT doc_id, ${Osql.utf8Bytes("tok")} AS bytes FROM toks),
@@ -1177,23 +1203,22 @@ GROUP BY f.doc_id""",
     // fingerprint64(cast(doc_id)) replica (q_fingerprint technique) →
     // signed pmod bucket → per-lang ppm rate
     "q_stratified_sample" ->
-      """WITH h AS (
-  SELECT doc_id, lang,
-    list_reduce(
-      list_prepend(0::HUGEINT,
-        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
-      (a, b) -> (a * 257::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h0
-  FROM documents),
-s1 AS (SELECT doc_id, lang, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
-s2 AS (SELECT doc_id, lang, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
-s3 AS (SELECT doc_id, lang, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
-s4 AS (SELECT doc_id, lang, xor(x, x // 2147483648::HUGEINT) AS x FROM s3),
-sgn AS (SELECT doc_id, lang,
-    CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS s FROM s4),
-b AS (SELECT doc_id, lang, CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)
+      s"""WITH $idBucketCtes
 SELECT doc_id, lang, bucket FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                          WHEN 'es' THEN 250000 WHEN 'fr' THEN 100000 ELSE 50000 END""",
+
+    // same bucket chain; rates derived from corpus counts via the
+    // correctly-rounded divide/sqrt/multiply/floor chain (bit-exact)
+    "q_temperature_sample" ->
+      s"""WITH $idBucketCtes,
+cnt AS (SELECT lang, COUNT(*)::BIGINT AS n_l FROM documents GROUP BY lang),
+mx AS (SELECT MAX(n_l) AS n_max FROM cnt),
+rates AS (SELECT lang,
+    least(1000000, CAST(FLOOR(300000.0 * SQRT(n_max::DOUBLE / n_l::DOUBLE)) AS BIGINT)) AS rate_ppm
+  FROM cnt, mx)
+SELECT b.doc_id, b.lang, b.bucket FROM b JOIN rates r ON b.lang = r.lang
+WHERE b.bucket < r.rate_ppm""",
 
     // Full DuckDB replica of Boilerplate.stripHtml (WSDM'10 block heuristic)
     // over the materialized HTML fixture. RE2 has no backreferences, so the

@@ -103,6 +103,34 @@ object TrainingData {
     df.withColumn("bucket", bucket).filter(col("bucket") < rate)
   }
 
+  /** Temperature-resampled stratum balance (the multilingual-corpus
+    * smoothing pass): per-stratum keep rate ∝ sqrt(n_max / n_stratum) — the
+    * T=2 temperature point — scaled so the LARGEST stratum keeps
+    * `topRatePpm`, capped at 100%. Rates are derived from the corpus itself
+    * (one count agg, broadcast back — no driver collect), and the per-row
+    * keep decision reuses [[stratifiedSample]]'s deterministic fingerprint
+    * bucket. The rate arithmetic uses only correctly-rounded IEEE ops
+    * (int→double cast, divide, sqrt, multiply, floor), so it is bit-exact
+    * across engines — deliberately sqrt rather than pow(x, alpha), whose
+    * last-ulp behavior is library-dependent. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        topRatePpm: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_l"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("n_l")).as("n_max"))))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        floor(lit(topRatePpm.toDouble) *
+          sqrt(col("n_max").cast("double") / col("n_l").cast("double")))
+          .cast("long")))
+      .select(col(strataCol), col("rate_ppm"))
+    val bucket = pmod(
+      TextHashExpressions.fingerprint64(col(idCol).cast("string")),
+      lit(1000000L)).cast("long")
+    df.withColumn("bucket", bucket)
+      .join(broadcast(rates), strataCol)
+      .filter(col("bucket") < col("rate_ppm"))
+  }
+
   /** Exact greedy sequence packing: within each group (ordered by
     * `orderCol`) assign docs to consecutive context-window bins of
     * `capacity` tokens; a doc that would overflow the open bin starts the

@@ -53,6 +53,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.collect { case ("user", n, _, ts) if ts == m0 => n }.sum == 2L)
   }
 
+  test("streaming dedup: first arrival per content hash wins; later dups dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, idx: Int, text: String, minute: Int) =
+      Turn(conv, idx, "user", text, null,
+        new java.sql.Timestamp(1700000000000L + minute * 60000L))
+
+    val input = MemoryStream[Turn]
+    val dedup = graft.streaming.StreamingDedup.firstOccurrence(
+      input.toDF(), watermark = "10 minutes")
+    val query = dedup.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(turn("c1", 0, "alpha beta", 0), turn("c2", 0, "gamma", 0))
+      query.processAllAvailable()
+      // same content again (same batch horizon) → dropped; new content kept
+      input.addData(turn("c3", 0, "alpha beta", 1), turn("c4", 0, "delta", 1))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("stream_dedup")
+      .select("conv_id", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("c1", "alpha beta"), ("c2", "gamma"), ("c4", "delta")),
+      s"got $out")
+  }
+
   test("flatMapGroupsWithState incremental extraction converges to batch oracle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -91,6 +91,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(binLoads.forall(_ <= 256))
   }
 
+  test("temperatureSample: rates scale as sqrt(n_max/n_l), capped; deterministic") {
+    // 1600 en vs 400 zh → zh rate = en rate * sqrt(4) = 2×
+    val df = (0L until 2000L).map(i => (i, if (i % 5 == 4) "zh" else "en"))
+      .toDF("doc_id", "lang")
+    val kept = TrainingData.temperatureSample(df, "doc_id", "lang", topRatePpm = 300000)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val en = kept.count(_._2 == "en"); val zh = kept.count(_._2 == "zh")
+    // en ~ 30% of 1600 = 480, zh ~ 60% of 400 = 240
+    assert(en > 400 && en < 560, s"en=$en")
+    assert(zh > 190 && zh < 290, s"zh=$zh")
+    // tiny stratum → rate capped at 100%
+    val df2 = df.unionAll(Seq((99999L, "xx")).toDF("doc_id", "lang"))
+    val kept2 = TrainingData.temperatureSample(df2, "doc_id", "lang", 300000)
+      .select("lang").as[String].collect()
+    assert(kept2.count(_ == "xx") == 1)
+  }
+
   test("nearDupClusters: chain graph converges to min-reachable label; components separate") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
