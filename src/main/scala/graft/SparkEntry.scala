@@ -439,6 +439,18 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "lang", topRatePpm = 300000)
       .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // per-source quota cap, ranked by the deterministic id fingerprint
+    "q_source_cap" -> ((s, d) => TrainingData.sourceCap(
+        t(s, d, "documents"), "doc_id", "source", cap = 30)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))),
+
+    // token-budget prefix selection in (quality desc, id) order
+    "q_token_budget" -> ((s, d) => TrainingData.tokenBudget(
+        t(s, d, "documents"), "doc_id",
+        weight = size(split(col("text"), " ")),
+        qualityDesc = col("n_chars"), budgetTokens = 10000)
+      .select(col("doc_id"), col("q"), col("w"), col("cum_tokens"))),
+
   )
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
@@ -545,19 +557,20 @@ ${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p
     * replayed in HUGEINT arithmetic). */
   private def idBucketCtes: String =
     """h AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, source,
     list_reduce(
       list_prepend(0::HUGEINT,
         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
       (a, b) -> (a * 257::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h0
   FROM documents),
-s1 AS (SELECT doc_id, lang, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
-s2 AS (SELECT doc_id, lang, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
-s3 AS (SELECT doc_id, lang, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
-s4 AS (SELECT doc_id, lang, xor(x, x // 2147483648::HUGEINT) AS x FROM s3),
-sgn AS (SELECT doc_id, lang,
+s1 AS (SELECT doc_id, lang, source, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM h),
+s2 AS (SELECT doc_id, lang, source, ((xor(x, x // 1073741824::HUGEINT) * 484763065::HUGEINT + ((xor(x, x // 1073741824::HUGEINT) * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s1),
+s3 AS (SELECT doc_id, lang, source, ((xor(x, x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor(x, x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS x FROM s2),
+s4 AS (SELECT doc_id, lang, source, xor(x, x // 2147483648::HUGEINT) AS x FROM s3),
+sgn AS (SELECT doc_id, lang, source,
     CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS s FROM s4),
-b AS (SELECT doc_id, lang, CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)"""
+b AS (SELECT doc_id, lang, source, CAST(s AS BIGINT) AS fp,
+    CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)"""
 
   private def simhashCtes: String =
     s"""${Osql.TokCte},
@@ -1219,6 +1232,23 @@ rates AS (SELECT lang,
   FROM cnt, mx)
 SELECT b.doc_id, b.lang, b.bucket FROM b JOIN rates r ON b.lang = r.lang
 WHERE b.bucket < r.rate_ppm""",
+
+    // fingerprint-ranked per-source quota (unbiased deterministic shuffle)
+    "q_source_cap" ->
+      s"""WITH $idBucketCtes
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk FROM b)
+WHERE rk <= 30""",
+
+    // global running token sum in (quality desc, id) order, budget prefix
+    "q_token_budget" ->
+      """WITH basew AS (SELECT doc_id, n_chars AS q,
+    len(string_split(text, ' '))::BIGINT AS w FROM documents),
+c AS (SELECT doc_id, q, w,
+    SUM(w) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM basew)
+SELECT doc_id, q, w, cum_tokens FROM c WHERE cum_tokens <= 10000""",
 
     // Full DuckDB replica of Boilerplate.stripHtml (WSDM'10 block heuristic)
     // over the materialized HTML fixture. RE2 has no backreferences, so the

@@ -131,6 +131,37 @@ object TrainingData {
       .filter(col("bucket") < col("rate_ppm"))
   }
 
+  /** Per-source quota cap ("at most `cap` docs per domain/source"): rank
+    * rows within each source by the deterministic id fingerprint (an
+    * unbiased, reproducible shuffle — NOT doc_id order, which would bias
+    * toward early crawl output) and keep the first `cap`. One window over
+    * the source partition; the skew caveat of any per-key window applies —
+    * a pathologically hot source serializes its own partition, mitigable by
+    * pre-filtering hot sources with an approximate count. */
+  def sourceCap(df: DataFrame, idCol: String, sourceCol: String,
+                cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = TextHashExpressions.fingerprint64(col(idCol).cast("string"))
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(rank, col(idCol))))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Token-budget corpus selection (data-constrained curation): order docs
+    * by a quality key, keep the prefix whose cumulative token count stays
+    * within `budgetTokens`. The running sum is a global-order window — one
+    * range-partitioned sort; rows only carry (id, weight) through it. */
+  def tokenBudget(df: DataFrame, idCol: String, weight: Column,
+                  qualityDesc: Column, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("q", qualityDesc)
+      .withColumn("cum_tokens", sum(col("w")).over(
+        Window.orderBy(desc("q"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Exact greedy sequence packing: within each group (ordered by
     * `orderCol`) assign docs to consecutive context-window bins of
     * `capacity` tokens; a doc that would overflow the open bin starts the

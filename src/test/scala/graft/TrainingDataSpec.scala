@@ -108,6 +108,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept2.count(_ == "xx") == 1)
   }
 
+  test("sourceCap: at most cap per source; selection is fingerprint-ranked, not id order") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = TrainingData.sourceCap(df, "doc_id", "source", cap = 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(out.length == 30)
+    assert(out.groupBy(_._2).forall(_._2.length == 10))
+    // fingerprint order ≠ id order: the kept set must not be ids 0..29
+    assert(out.map(_._1).toSet != (0L until 30L).toSet)
+    // deterministic under repartitioning
+    val again = TrainingData.sourceCap(df.repartition(7), "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
+  test("tokenBudget: keeps the quality-ordered prefix within the budget exactly") {
+    val df = Seq((1L, 5L, 100L), (2L, 7L, 90L), (3L, 4L, 80L), (4L, 10L, 70L))
+      .toDF("doc_id", "w", "qual")
+    // order by qual desc: 1(5),2(7),3(4),4(10) → cum 5,12,16,26; budget 16
+    val out = TrainingData.tokenBudget(df, "doc_id", col("w"), col("qual"), 16)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L, 2L -> 12L, 3L -> 16L))
+  }
+
   test("nearDupClusters: chain graph converges to min-reachable label; components separate") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
