@@ -92,19 +92,23 @@ object Bench {
     val thr4N = if (sec4N > 0) totalTurns / sec4N else -1.0
 
     // --- headline queries at local[4N] on the driver's sf dir ---
-    val spark = newSession(highCores)
+    // (under the harness lock: a background ScalingSample attempt's
+    // node-load spinner must never overlap a timed query)
     val results: Seq[(String, Double, Option[String])] =
-      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        var err: Option[String] = None
-        val sec = time {
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      ScalingHarness.withHarnessLock {
+        val spark = newSession(highCores)
+        try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          var err: Option[String] = None
+          val sec = time {
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
           }
-        }
-        (name, sec, err)
-      } finally spark.stop()
+          (name, sec, err)
+        } finally spark.stop()
+      }
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v, _) => Json.str(k) + f":$v%.3f" }

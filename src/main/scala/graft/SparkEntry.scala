@@ -1146,7 +1146,8 @@ FROM s4""",
              WHEN ends_with(LOWER(w), 'sses') THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-2)
              WHEN ends_with(LOWER(w), 'ing') AND LENGTH(w) > 5 THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-3)
              WHEN ends_with(LOWER(w), 'ed') AND LENGTH(w) > 4 THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-2)
-             WHEN ends_with(LOWER(w), 'es') AND LENGTH(w) > 4 THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-2)
+             WHEN LENGTH(w) > 4 AND (ends_with(LOWER(w), 'ches') OR ends_with(LOWER(w), 'shes')
+               OR ends_with(LOWER(w), 'xes') OR ends_with(LOWER(w), 'zes')) THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-2)
              WHEN ends_with(LOWER(w), 's') AND NOT ends_with(LOWER(w), 'ss') THEN SUBSTRING(LOWER(w), 1, LENGTH(w)-1)
              ELSE LOWER(w) END), ' ') AS lemmas
          FROM documents""",

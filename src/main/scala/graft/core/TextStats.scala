@@ -108,7 +108,12 @@ object TextStats {
     else if (s.endsWith("sses")) s.dropRight(2)
     else if (s.endsWith("ing") && s.length > 5) s.dropRight(3)
     else if (s.endsWith("ed") && s.length > 4) s.dropRight(2)
-    else if (s.endsWith("es") && s.length > 4) s.dropRight(2)
+    // strip "es" only after sibilant stems (morphy's ches/shes/xes/zes
+    // detachments); an e-stem plural like "tables" is e + s, where the
+    // correct detachment is the plain "s" rule below ("tables" -> "table",
+    // not "tabl")
+    else if (s.length > 4 && (s.endsWith("ches") || s.endsWith("shes") ||
+             s.endsWith("xes") || s.endsWith("zes"))) s.dropRight(2)
     else if (s.endsWith("s") && !s.endsWith("ss")) s.dropRight(1)
     else s
   }

@@ -212,13 +212,20 @@ object ScalingHarness {
     * session-min statistic needs each side's best clean run independently),
     * a recorded skip otherwise. Cross-process file lock: the background
     * sampler and a driver-run Bench never time against each other. */
-  def sampleOnce(lowCores: Int, highCores: Int): Sample = {
+  /** Cross-process exclusion for TIMED work: the background sampler holds it
+    * per attempt; Bench holds it across its query sweep so the sampler's
+    * node-load spinner can never overlap a timed query (r2 lesson: a sweep
+    * overlapping a sampler attempt recorded 8-40× inflated walls). */
+  def withHarnessLock[T](f: => T): T = {
     Files.createDirectories(Paths.get("/dev/shm/graft-bench"))
     val ch = java.nio.channels.FileChannel.open(
       Paths.get("/dev/shm/graft-bench/harness.lock"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock = ch.lock()
-    try {
+    try f finally { lock.release(); ch.close() }
+  }
+
+  def sampleOnce(lowCores: Int, highCores: Int): Sample = withHarnessLock {
       val pNb = probe(lowCores)
       val pHb = probe(highCores)
       val now = System.currentTimeMillis()
@@ -248,7 +255,6 @@ object ScalingHarness {
             -1.0, -1.0, -1.0, 0.0, 0.0, -1.0, -1.0, skipped = true)
       append(s)
       s
-    } finally { lock.release(); ch.close() }
   }
 
   def median(xs: Seq[Double]): Double = {
