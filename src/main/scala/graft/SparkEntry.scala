@@ -210,11 +210,16 @@ object SparkEntry {
 
     // LLM-pipeline: Gopher-style repetition signals (per-row expression
     // trees — no shuffle; Rae et al. 2021 §A1.1)
+    // single compiled pass (RepetitionStats); the HOF column forms
+    // (TF.dupNgramPpm/dupLineCharPpm) stay as the semantic reference and
+    // are equality-pinned against this kernel in TrainingDataSpec
     "q_repetition" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
-        TF.dupNgramPpm(col("text"), 2).as("dup2_ppm"),
-        TF.dupNgramPpm(col("text"), 3).as("dup3_ppm"),
-        TF.dupLineCharPpm(col("text")).as("dupline_ppm"))),
+        graft.expressions.TextHashExpressions.repetition_stats(col("text")).as("rs"))
+      .select(col("doc_id"),
+        col("rs").getItem(0).as("dup2_ppm"),
+        col("rs").getItem(1).as("dup3_ppm"),
+        col("rs").getItem(2).as("dupline_ppm"))),
 
     // dedup: MinHash+LSH near-dup candidates (verified jaccard)
     "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(

@@ -29,4 +29,7 @@ object Kernels {
 
   def sortedJaccard(a: ArrayData, b: ArrayData): Double =
     TextHashExpressions.SortedLongJaccard.compute(a, b)
+
+  def repetitionStats(text: String): Array[Long] =
+    graft.core.TextStats.repetitionStats(text)
 }

@@ -69,6 +69,23 @@ object TextHashExpressions {
   }
 
   /** text → 64-bit rolling document fingerprint (TextStats.fingerprint). */
+  /** text → [dup2gram_ppm, dup3gram_ppm, dupline_char_ppm] in ONE compiled
+    * pass (TextStats.repetitionStats; the HOF column trees in TextFunctions
+    * are CodegenFallback with per-element re-evaluation — 40s → sub-second
+    * for the sf0.1 repetition sweep). */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.repetitionStats(
+        v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.repetitionStats($v.toString()));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class Fingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
@@ -138,6 +155,8 @@ object TextHashExpressions {
   def simhash64(text: Column): Column = column(SimHash(expression(text)))
 
   def fingerprint64(text: Column): Column = column(Fingerprint(expression(text)))
+
+  def repetition_stats(text: Column): Column = column(RepetitionStats(expression(text)))
 
   def token_hashes(text: Column): Column = column(ShingleHashes(expression(text), 1))
 

@@ -131,6 +131,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out == Map(1L -> 5L, 2L -> 12L, 3L -> 16L))
   }
 
+  test("RepetitionStats kernel == HOF column trees on fixture docs and crafted edge cases") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val crafted = Seq((9001L, "a b a b a b"), (9002L, ""), (9003L, "  x  "),
+      (9004L, "l1\nl1\n l1 \nl2\n\nl3"), (9005L, "one two three two one two"))
+      .toDF("doc_id", "text")
+    val all = docs.unionAll(crafted)
+    val hof = all.select(col("doc_id"),
+        TF.dupNgramPpm(col("text"), 2).as("d2"),
+        TF.dupNgramPpm(col("text"), 3).as("d3"),
+        TF.dupLineCharPpm(col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val kernel = all.select(col("doc_id"),
+        graft.expressions.TextHashExpressions.repetition_stats(col("text")).as("rs"))
+      .collect().map { r =>
+        val a = r.getSeq[Long](1); r.getLong(0) -> (a(0), a(1), a(2))
+      }.toMap
+    assert(kernel == hof)
+  }
+
   test("nearDupClusters: chain graph converges to min-reachable label; components separate") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
