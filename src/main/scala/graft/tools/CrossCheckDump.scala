@@ -39,10 +39,85 @@ object CrossCheckDump {
     }
   }
 
+  /** Seeded adversarial fuzz: random page soups over the marker vocabulary —
+    * random marker order/duplication/truncation, CRLF and Unicode whitespace,
+    * colonless variants, footers mid-text — far outside the template fixture
+    * space. Any Scala/Python divergence on these is a real semantics bug in
+    * one of the twins. */
+  private def fuzzTurns(numConvs: Int, seed: Long): Seq[Turn] = {
+    val covers = Vector(
+      "CIS Red Hat Enterprise Linux 7\nBenchmark\nv3.1.1",
+      "CIS Debian Linux 11\nBenchmark\nv1.0.0",
+      "CIS Microsoft Windows Server 2019\nBenchmark\nv1.2.1",
+      "CIS Microsoft Windows 10 Enterprise\nBenchmark\nv1.12.0",
+      "CIS SomethingElse 99\nBenchmark",  // unknown type → conv invalid
+      "no cover markers at all")
+    val pieces = Vector(
+      "Profile Applicability:", "Description:", "Rationale:", "Rationale",
+      "Audit:", "\nAudit:", "Remediation:", "Default Value:", "CIS Controls:",
+      "P a g e", "| P a g e", "Recommendations 1 ", "Recommendations 1",
+      "(Automated)", "(Manual)", "(L1)", "(NG)", "1.1.1 Ensure thing",
+      "2.3.4 Ensure other", "10.1 (L1) Ensure win", "lorem ipsum", "x y z",
+      "Level 1 - Server", "v8", "1.2", "::", ":", " ", "",
+      "Description", "Profile Applicability", "Default Value", "CIS Controls")
+    val seps = Vector(" ", "\n", "\r\n", "  ", "\n ", " \n", "")
+    // near-valid rule page + random mutations: completes records often, so
+    // the fuzz exercises counter alignment / backfill / seen-dedup — not
+    // just the per-page slicing that pure soup reaches
+    def mutatedRulePage(r: scala.util.Random, k: Int): String = {
+      val base = Vector(s"1.1.$k Ensure fuzz rule $k (Automated)",
+        "Profile Applicability:", s" Level $k", "Description:", s" d$k",
+        "Rationale:", s" r$k", "Audit:", s" a$k", "Remediation:", s" m$k",
+        "Default Value:", s" v$k", "CIS Controls:", s" c$k", s"$k | P a g e")
+      var lines = base
+      (0 until r.nextInt(4)).foreach { _ =>
+        r.nextInt(6) match {
+          case 0 if lines.size > 2 => // drop a random line
+            val i = r.nextInt(lines.size); lines = lines.patch(i, Nil, 1)
+          case 1 => // duplicate a random line
+            val i = r.nextInt(lines.size); lines = lines.patch(i, Seq(lines(i), lines(i)), 1)
+          case 2 if lines.size > 2 => // swap two adjacent lines
+            val i = r.nextInt(lines.size - 1)
+            lines = lines.updated(i, lines(i + 1)).updated(i + 1, lines(i))
+          case 3 => // strip a colon somewhere
+            val i = r.nextInt(lines.size); lines = lines.updated(i, lines(i).replace(":", ""))
+          case 4 => // inject an early footer / gate token
+            val i = r.nextInt(lines.size)
+            lines = lines.patch(i, Seq(if (r.nextBoolean()) "P a g e" else "Recommendations 1 "), 0)
+          case _ => // splice in a soup fragment
+            val i = r.nextInt(lines.size)
+            lines = lines.patch(i, Seq(pieces(r.nextInt(pieces.size))), 0)
+        }
+      }
+      lines.mkString(if (r.nextInt(5) == 0) "\r\n" else "\n")
+    }
+    (0 until numConvs).map { c =>
+      val r = new scala.util.Random(seed ^ (c.toLong * 0x9E3779B97F4A7C15L))
+      val nPages = 2 + r.nextInt(9)
+      val gate = if (r.nextInt(5) > 0) Vector("Recommendations 1 Initial Setup") else Vector.empty
+      val pages = Vector(covers(r.nextInt(covers.size))) ++ gate ++
+        (0 until nPages).map { k =>
+          if (r.nextBoolean()) mutatedRulePage(r, k)
+          else {
+            val n = r.nextInt(14)
+            (0 until n).map(_ => pieces(r.nextInt(pieces.size)) +
+              seps(r.nextInt(seps.size))).mkString
+          }
+        }
+      pages.zipWithIndex.map { case (text, i) =>
+        Turn(f"convfuzz$c%05d", i, "user", text, null,
+          new java.sql.Timestamp(1700000000000L + i))
+      }
+    }.flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "target/crosscheck"
+    val fuzzConvs = if (args.length > 1) args(1).toInt else 400
+    val fuzzSeed = if (args.length > 2) args(2).toLong else 0xF0221L
     Files.createDirectories(Paths.get(outDir))
-    val turns = FixtureGen.turns(FixtureGen.TestProfile) ++ edgeTurns
+    val turns = FixtureGen.turns(FixtureGen.TestProfile) ++ edgeTurns ++
+      fuzzTurns(fuzzConvs, fuzzSeed)
     val byConv = turns.groupBy(_.conv_id).toSeq.sortBy(_._1)
 
     val pagesJson = Json.obj(byConv.map { case (cid, ts) =>
