@@ -252,9 +252,19 @@ object SparkEntry {
       Multimodal.resizePlan(feats, maxEdge = 256).drop("scale")
     }),
     // multimodal image plane: REAL PNG decode (javax.imageio) → perceptual
-    // aHash → pigeonhole Hamming near-dup join (exact recall)
+    // aHash → pigeonhole Hamming near-dup join (exact recall). Payloads are
+    // stored-deflate PNGs materialized to parquet, so the DuckDB oracle
+    // re-decodes the very same blobs with byte arithmetic.
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(
-      Multimodal.extractImageFeatures(Multimodal.synthImages(s, 300)), maxHamming = 4)),
+      Multimodal.extractImageFeatures(fixtureImages(s)), maxHamming = 4)),
+
+    // decode + feature extraction itself, oracle-checked: dimensions, exact
+    // per-channel pixel sums, and the 64-bit perceptual aHash
+    "q_image_features" -> ((s, d) =>
+      Multimodal.extractImageFeatures(fixtureImages(s)).toDF
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("ahash"))),
 
     // boilerplate strip over fixture HTML turns
     "q_boilerplate" -> ((s, d) => {
@@ -485,6 +495,20 @@ object SparkEntry {
   private def fixtureTable(s: SparkSession, convs: Int): DataFrame =
     s.read.parquet(fixtureParquet(s, convs))
 
+  /** Stored-deflate PNG fixture (media_id, payload) materialized once, so
+    * the image oracles read the same blobs the Spark queries decode. */
+  private def fixtureImages(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.ImageRow] = {
+    import s.implicits._
+    val path = s"$FixtureDir/img300"
+    synchronized {
+      if (!fixtureWritten.contains(path)) {
+        Multimodal.synthImages(s, 300).toDF.write.mode("overwrite").parquet(path)
+        fixtureWritten += path
+      }
+    }
+    s.read.parquet(path).as[graft.operators.Multimodal.ImageRow]
+  }
+
   /** HTML-payload fixture (q_boilerplate's input) materialized like the slim
     * fixtures, so the DuckDB oracle can replay `Boilerplate.stripHtml` over
     * the exact rows the Spark query consumed. */
@@ -576,6 +600,42 @@ sgn AS (SELECT doc_id, lang, source,
     CASE WHEN x >= 9223372036854775808::HUGEINT THEN x - 18446744073709551616::HUGEINT ELSE x END AS s FROM s4),
 b AS (SELECT doc_id, lang, source, CAST(s AS BIGINT) AS fp,
     CAST(((s % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM sgn)"""
+
+  /** CTE chain decoding the stored-deflate PNG fixture blobs with byte
+    * arithmetic alone (see ImageCodec.encodePngStored): hex → byte list,
+    * IHDR dims, per-channel pixel lists (scanline filter bytes + 5-byte
+    * stored-block headers skipped arithmetically), 8×8 area-average luma in
+    * the exact Scala fold order, aHash bit pack. A true cross-engine check
+    * of the DECODE path — DuckDB has no image codec. */
+  private def imageCtes: String = {
+    def chan(ch: Int): String = {
+      val j = s"((i//w)*(1+3*w) + 1 + 3*(i%w) + $ch)"
+      val off = s"(48 + ($j//65535)*65540 + ($j%65535))"
+      s"list_transform(generate_series(0, w*ht-1), i -> bytes[$off+1])"
+    }
+    s"""hb AS (SELECT media_id,
+  list_transform(regexp_extract_all(hex(payload), '..'),
+    s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS bytes
+  FROM read_parquet('$FixtureDir/img300/*.parquet')),
+dims AS (SELECT media_id, bytes,
+  bytes[18]*65536 + bytes[19]*256 + bytes[20] AS w,
+  bytes[23]*256 + bytes[24] AS ht FROM hb),
+lists AS (SELECT media_id, w, ht, ${chan(0)} AS rl, ${chan(1)} AS gl, ${chan(2)} AS bl FROM dims),
+pc AS (SELECT media_id, unnest(list_transform(generate_series(0, w*ht-1), i ->
+    {'ci': least(7, ((i//w)*8)//ht)*8 + least(7, ((i%w)*8)//w),
+      'r': rl[i+1], 'g': gl[i+1], 'b': bl[i+1]})) AS c
+  FROM lists),
+cells AS (SELECT media_id, c.ci AS ci, SUM(c.r)::BIGINT AS sr, SUM(c.g)::BIGINT AS sg,
+    SUM(c.b)::BIGINT AS sb, COUNT(*)::BIGINT AS n
+  FROM pc GROUP BY media_id, c.ci),
+luma AS (SELECT media_id, ci,
+  (0.299::DOUBLE*sr::DOUBLE + 0.587::DOUBLE*sg::DOUBLE + 0.114::DOUBLE*sb::DOUBLE)/n::DOUBLE AS lum FROM cells),
+m AS (SELECT media_id, list_reduce(list(lum ORDER BY ci), (a,b)->a+b)/64.0 AS mean FROM luma GROUP BY media_id),
+bitsu AS (SELECT l.media_id, SUM(CASE WHEN l.lum >= m.mean THEN (1::HUGEINT << l.ci) ELSE 0::HUGEINT END) AS u
+  FROM luma l JOIN m ON l.media_id = m.media_id GROUP BY l.media_id),
+ah AS (SELECT media_id,
+  CAST(${Osql.signed("u")} AS BIGINT) AS ahash FROM bitsu)"""
+  }
 
   private def simhashCtes: String =
     s"""${Osql.TokCte},
@@ -1238,6 +1298,22 @@ rates AS (SELECT lang,
   FROM cnt, mx)
 SELECT b.doc_id, b.lang, b.bucket FROM b JOIN rates r ON b.lang = r.lang
 WHERE b.bucket < r.rate_ppm""",
+
+    // full PNG re-decode in SQL (stored-deflate blobs): dims + exact pixel
+    // sums + perceptual aHash, then brute-force Hamming pairs
+    "q_image_features" ->
+      s"""WITH $imageCtes
+SELECT l.media_id, l.w AS width, l.ht AS height,
+  list_sum(l.rl)::BIGINT AS sum_r, list_sum(l.gl)::BIGINT AS sum_g,
+  list_sum(l.bl)::BIGINT AS sum_b, ah.ahash
+FROM lists l JOIN ah ON l.media_id = ah.media_id""",
+
+    "q_image_neardup" ->
+      s"""WITH $imageCtes
+SELECT l.media_id AS left_id, r.media_id AS right_id,
+  CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
+FROM ah l JOIN ah r ON l.media_id < r.media_id
+WHERE bit_count(xor(l.ahash, r.ahash)) <= 4""",
 
     // fingerprint-ranked per-source quota (unbiased deterministic shuffle)
     "q_source_cap" ->

@@ -17,7 +17,8 @@ object ImageCodec {
 
   case class ImageFeatures(width: Int, height: Int,
                            meanR: Double, meanG: Double, meanB: Double,
-                           aHash: Long)
+                           aHash: Long,
+                           sumR: Long, sumG: Long, sumB: Long)
 
   /** Deterministic synthetic PNG: seeded 8×8-block RGB field + fine noise.
     * Block-structured (not a shared gradient) so DIFFERENT seeds produce
@@ -26,7 +27,7 @@ object ImageCodec {
     * pairs "near-dups" and degenerated the Hamming-join fixture. Planted
     * copies stay pixel-identical, so near-dup recall is still exercised. */
   def synthPng(seed: Long, width: Int, height: Int): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
@@ -36,14 +37,74 @@ object ImageCodec {
         val r = (((cell >>> 8) & 0xFF) + ((h >>> 8) & 0x0F)).toInt & 0xFF
         val g = (((cell >>> 16) & 0xFF) + ((h >>> 16) & 0x0F)).toInt & 0xFF
         val b = (((cell >>> 24) & 0xFF) + ((h >>> 24) & 0x0F)).toInt & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        rgb(y * width + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePngStored(rgb, width, height)
+  }
+
+  /** Minimal PNG encoder with STORED (uncompressed) deflate blocks.
+    *
+    * Two properties the default `ImageIO.write` path cannot give:
+    *  1. byte-determinism across JDK builds — the fixture bytes are a pure
+    *     function of the pixels (no encoder-version drift);
+    *  2. SQL-parsability — with BTYPE=0 blocks the scanline stream sits at
+    *     fixed offsets inside the blob, so the DuckDB oracle can reconstruct
+    *     pixels with arithmetic alone and cross-check the DECODE path.
+    * Any PNG reader decodes it (stored blocks are core zlib). Layout: 8-byte
+    * signature; IHDR (8-bit RGB, no interlace); ONE IDAT = 2-byte zlib
+    * header + stored blocks of ≤65535 bytes + Adler-32; IEND. */
+  def encodePngStored(rgb: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + 3 * width)
+      raw(base) = 0 // filter type None
+      var x = 0
+      while (x < width) {
+        val p = rgb(y * width + x)
+        raw(base + 1 + 3 * x) = ((p >> 16) & 0xFF).toByte
+        raw(base + 2 + 3 * x) = ((p >> 8) & 0xFF).toByte
+        raw(base + 3 + 3 * x) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+        ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val body = tpe.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2 /* RGB */, 0, 0, 0))
+    val z = new ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // zlib header, fastest-compression hint
+    var off = 0
+    while (off < raw.length) {
+      val len = math.min(65535, raw.length - off)
+      val fin = if (off + len >= raw.length) 1 else 0
+      z.write(fin) // BFINAL | BTYPE=00 (stored)
+      z.write(len & 0xFF); z.write((len >>> 8) & 0xFF)
+      z.write(~len & 0xFF); z.write((~len >>> 8) & 0xFF)
+      z.write(raw, off, len)
+      off += len
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    z.write(be32(adler.getValue.toInt))
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
   }
 
   def decode(payload: Array[Byte]): Option[BufferedImage] =
@@ -100,7 +161,8 @@ object ImageCodec {
         y += 1
       }
       ImageFeatures(img.getWidth, img.getHeight,
-        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, aHash(img))
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, aHash(img),
+        sr, sg, sb)
     }
 
   /** Real bounded-edge resize (area average), re-encoded as PNG.

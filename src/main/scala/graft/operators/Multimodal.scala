@@ -79,7 +79,8 @@ object Multimodal {
 
   case class ImageRow(media_id: Long, payload: Array[Byte])
   case class ImageFeatureRow(media_id: Long, width: Int, height: Int,
-      mean_r: Double, mean_g: Double, mean_b: Double, ahash: Long)
+      mean_r: Double, mean_g: Double, mean_b: Double, ahash: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** Deterministic synthetic table of REAL PNG payloads. Every `dupEvery`-th
     * image is a pixel-identical copy of its predecessor (near-dup fixture). */
@@ -102,7 +103,7 @@ object Multimodal {
     images.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
       graft.core.ImageCodec.features(row.payload).map(f =>
         ImageFeatureRow(row.media_id, f.width, f.height,
-          f.meanR, f.meanG, f.meanB, f.aHash))
+          f.meanR, f.meanG, f.meanB, f.aHash, f.sumR, f.sumG, f.sumB))
     }))
   }
 
