@@ -185,18 +185,24 @@ object SparkEntry {
     // ---- rows-only (non-SQL-expressible; pinned by ScalaTest goldens) ----
 
     // flagship FSM over synthesized transcripts (north-rule operator)
+    // flagship FSM, both planes, reading MATERIALIZED fixture transcripts so
+    // the DuckDB oracle replays the same rows (fixed profiles — the oracle
+    // SQL embeds the fixture path, so the input must not vary with sf)
     "q_fsm_records" -> ((s, d) => {
-      val sf = sfScale(d)
-      val turns = graft.sources.TranscriptGen.generate(s,
-        FixtureGen.Profile(numConvs = math.max(50, (2000 * sf).toInt),
-          monsterEvery = 97, monsterTurns = 300, invalidEvery = 17), 8)
+      import s.implicits._
+      val turns = s.read.parquet(fixtureFsmParquet(s, "fsmrec60",
+          FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+            monsterTurns = 300, invalidEvery = 17)))
+        .as[graft.core.Turn]
       Extraction.records(Extraction.extractSkewAware(turns,
         Extraction.Config(numPartitions = 16, monsterThreshold = 200))).toDF
     }),
     "q_fsm_spans" -> ((s, d) => {
-      val turns = graft.sources.TranscriptGen.generate(s,
-        FixtureGen.Profile(numConvs = 100, monsterEvery = 41,
-          monsterTurns = 80, invalidEvery = 13), 8)
+      import s.implicits._
+      val turns = s.read.parquet(fixtureFsmParquet(s, "fsmspan100",
+          FixtureGen.Profile(numConvs = 100, monsterEvery = 41,
+            monsterTurns = 80, invalidEvery = 13)))
+        .as[graft.core.Turn]
       Extraction.spansLong(Extraction.extract(turns, Extraction.Config(numPartitions = 8)))
     }),
 
@@ -248,7 +254,7 @@ object SparkEntry {
 
     // multimodal plumbing: synth binary payloads → features → resize plan
     "q_multimodal_features" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(Multimodal.synth(s, 500))
+      val feats = Multimodal.extractFeatures(fixtureMedia(s))
       Multimodal.resizePlan(feats, maxEdge = 256).drop("scale")
     }),
     // multimodal image plane: REAL PNG decode (javax.imageio) → perceptual
@@ -494,6 +500,32 @@ object SparkEntry {
   }
   private def fixtureTable(s: SparkSession, convs: Int): DataFrame =
     s.read.parquet(fixtureParquet(s, convs))
+
+  /** Transcript fixture for the FSM queries, materialized once per profile. */
+  private def fixtureFsmParquet(s: SparkSession, name: String,
+                                profile: FixtureGen.Profile): String = synchronized {
+    val path = s"$FixtureDir/$name"
+    if (!fixtureWritten.contains(path)) {
+      graft.sources.TranscriptGen.generate(s, profile, 8)
+        .toDF.write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Synthetic media fixture (fake-header payloads) materialized once, so
+    * the stub-decode oracle can re-parse the same blobs. */
+  private def fixtureMedia(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = s"$FixtureDir/media500"
+    synchronized {
+      if (!fixtureWritten.contains(path)) {
+        Multimodal.synth(s, 500).toDF.write.mode("overwrite").parquet(path)
+        fixtureWritten += path
+      }
+    }
+    s.read.parquet(path).as[graft.operators.Multimodal.MediaRow]
+  }
 
   /** Stored-deflate PNG fixture (media_id, payload) materialized once, so
     * the image oracles read the same blobs the Spark queries decode. */
@@ -831,6 +863,11 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
   def oracleSql: Map[String, String] = Map(
     "q_simhash_neardup" -> simhashOracleSql,
     "q_neardup_clusters" -> neardupClustersOracleSql,
+    // flagship FSM replicas (see FsmOracleSql scaladoc)
+    "q_fsm_spans" ->
+      FsmOracleSql.spans.replace("__FIX__", s"$FixtureDir/fsmspan100/*.parquet"),
+    "q_fsm_records" ->
+      FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
     "q_minhash_lsh" -> minhashOracleSql,
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,
@@ -1298,6 +1335,28 @@ rates AS (SELECT lang,
   FROM cnt, mx)
 SELECT b.doc_id, b.lang, b.bucket FROM b JOIN rates r ON b.lang = r.lang
 WHERE b.bucket < r.rate_ppm""",
+
+    // stub-decode replica: fake-header parse + mod-2^64 rolling checksum +
+    // the resize-plan double math (all proven-exact ops)
+    "q_multimodal_features" ->
+      s"""WITH hb AS (SELECT media_id, modality, octet_length(payload)::INTEGER AS byte_len,
+  list_transform(regexp_extract_all(hex(payload), '..'),
+    s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS bytes
+  FROM read_parquet('$FixtureDir/media500/*.parquet')),
+f AS (SELECT media_id, modality, byte_len,
+  (bytes[1]*256 + bytes[2])::INTEGER AS width,
+  (bytes[3]*256 + bytes[4])::INTEGER AS height,
+  (CASE WHEN modality = 'video' THEN bytes[5]*256 + bytes[6] ELSE 1 END)::INTEGER AS n_frames,
+  list_reduce(list_prepend(0::HUGEINT, list_transform(bytes, b -> b::HUGEINT)),
+    (a, b) -> ((a * 131::HUGEINT + b) % 18446744073709551616::HUGEINT)) AS csu
+  FROM hb),
+g AS (SELECT *, CAST(${Osql.signed("csu")} AS BIGINT) AS checksum,
+  CASE WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
+       ELSE 256::DOUBLE / greatest(width, height)::DOUBLE END AS scale FROM f)
+SELECT media_id, modality, byte_len, width, height, n_frames, checksum,
+  CAST(FLOOR(width::DOUBLE * scale) AS INTEGER) AS out_width,
+  CAST(FLOOR(height::DOUBLE * scale) AS INTEGER) AS out_height
+FROM g""",
 
     // full PNG re-decode in SQL (stored-deflate blobs): dims + exact pixel
     // sums + perceptual aHash, then brute-force Hamming pairs
