@@ -118,7 +118,7 @@ object RuleFsm {
     * dominated multi-thread profiles (megamorphic `is()` call site) — this
     * loop is ~40× cheaper and byte-identical on all inputs (surrogate pairs:
     * both halves are disallowed chars in either formulation → same run). */
-  private[core] def scrub(s: String, allowDot: Boolean): String = {
+  private[graft] def scrub(s: String, allowDot: Boolean): String = {
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.core.{ImageCodec, PyStr, RuleFsm, TextStats}
+
+/** Property-based pins for the hand-rolled kernels the whole engine leans
+  * on — each checked against an independent straightforward model over
+  * generated (not fixture) inputs. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val anyString: Gen[String] = Gen.frequency(
+    3 -> Gen.asciiPrintableStr,
+    2 -> Gen.listOf(Gen.oneOf('a', 'Z', '0', '\n', '\t', '-', '.', ' ', ' ',
+      '', ' ', '中', 'é', ':', '|')).map(_.mkString),
+    1 -> Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString))
+
+  test("RuleFsm.scrub == java.util.regex char-class model on arbitrary strings") {
+    check(Prop.forAll(anyString, Gen.oneOf(true, false)) { (s, dot) =>
+      val cls = if (dot) "[^a-zA-Z0-9\\n.-]+" else "[^a-zA-Z0-9\\n-]+"
+      val viaRegex = java.util.regex.Pattern.compile(cls).matcher(s).replaceAll(" ")
+      RuleFsm.scrub(s, dot) == viaRegex
+    })
+  }
+
+  test("PyStr.strip == drop-ends-while-isPySpace model; idempotent; substring of input") {
+    check(Prop.forAll(anyString) { s =>
+      val t = PyStr.strip(s)
+      val model = s.dropWhile(PyStr.isPySpace).reverse.dropWhile(PyStr.isPySpace).reverse
+      t == model && PyStr.strip(t) == t && s.contains(t)
+    })
+  }
+
+  test("encodePngStored round-trips arbitrary pixels through ImageIO decode") {
+    val dims = for { w <- Gen.choose(1, 90); h <- Gen.choose(1, 90) } yield (w, h)
+    check(Prop.forAll(dims, Gen.long) { case ((w, h), seed) =>
+      val rgb = Array.tabulate(w * h)(i => (TextStats.mix64(seed ^ i) & 0xFFFFFF).toInt)
+      val img = ImageCodec.decode(ImageCodec.encodePngStored(rgb, w, h)).get
+      img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          (img.getRGB(x, y) & 0xFFFFFF) == rgb(y * w + x)))
+    }, n = 60)
+  }
+
+  test("repetitionStats == naive model (token multiset / line char accounting)") {
+    val texty = Gen.listOf(Gen.oneOf("a b", "a", "b c d", "\n", " ", "x y x y",
+      "l1\nl1", "w w w", "tab\t")).map(_.mkString(" "))
+    check(Prop.forAll(texty) { s =>
+      def trimSp(x: String) = x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val lt = trimSp(s.toLowerCase)
+      val toks = if (lt.isEmpty) Array.empty[String] else lt.split("\\s+")
+      def dup(n: Int): Long =
+        if (toks.length < n) 0L
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          math.floor((grams.size - grams.distinct.size).toDouble / grams.size * 1e6).toLong
+        }
+      val lines = s.split("\n", -1).map(trimSp).filter(_.nonEmpty)
+      val tot = lines.map(_.length.toLong).sum
+      val d = lines.filter(l => lines.count(_ == l) > 1).map(_.length.toLong).sum
+      val dl = if (tot == 0) 0L else math.floor(d.toDouble / tot * 1e6).toLong
+      TextStats.repetitionStats(s).toSeq == Seq(dup(2), dup(3), dl)
+    })
+  }
+
+  test("pigeonhole bands: any pair within maxHamming shares at least one band key") {
+    val gen = for {
+      a <- Gen.long
+      maxH <- Gen.choose(1, 7)
+      flips <- Gen.choose(0, 7)
+      bits <- Gen.listOfN(flips, Gen.choose(0, 63))
+    } yield (a, bits.foldLeft(a)((v, b) => v ^ (1L << b)), maxH)
+    def bandKeys(sim: Long, maxH: Int): Seq[Long] = {
+      val bands = maxH + 1
+      val width = 64 / bands
+      (0 until bands).map { b =>
+        val shifted = sim >>> (b * width)
+        if (b == bands - 1) shifted else shifted & ((1L << width) - 1)
+      }
+    }
+    check(Prop.forAll(gen) { case (a, b, maxH) =>
+      val ham = java.lang.Long.bitCount(a ^ b)
+      ham > maxH || bandKeys(a, maxH).zip(bandKeys(b, maxH)).exists(p => p._1 == p._2)
+    })
+  }
+}
