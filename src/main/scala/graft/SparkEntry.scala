@@ -272,6 +272,36 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("sum_r"), col("sum_g"), col("sum_b"), col("ahash"))),
 
+    // multimodal audio plane: REAL WAV (RIFF/PCM16) decode — fmt-chunk
+    // fields + all-integer sample statistics, every one recomputed by the
+    // DuckDB oracle from the same blobs via little-endian byte arithmetic
+    "q_audio_features" -> ((s, d) =>
+      Multimodal.extractAudioFeatures(fixtureAudio(s)).toDF
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("sum_abs"), col("sum_sq"),
+          col("zero_crossings").cast("long").as("zero_crossings"),
+          col("peak").cast("long").as("peak"))),
+
+    // multimodal video plane: REAL Y4M (YUV4MPEG2 C444) decode — header
+    // parse + frame walk; luma and inter-frame motion sums are integer-exact
+    "q_video_features" -> ((s, d) =>
+      Multimodal.extractVideoFeatures(fixtureVideos(s)).toDF
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("fps_num").cast("long").as("fps_num"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("luma_sum"), col("motion_sum"))),
+
+    // real frame sampling: every 2nd frame's luma sum (pixels touched)
+    "q_video_frame_sample" -> ((s, d) =>
+      Multimodal.sampleVideoFrames(fixtureVideos(s), stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_luma"))),
+
     // boilerplate strip over fixture HTML turns
     "q_boilerplate" -> ((s, d) => {
       import s.implicits._
@@ -541,6 +571,34 @@ object SparkEntry {
     s.read.parquet(path).as[graft.operators.Multimodal.ImageRow]
   }
 
+  /** WAV fixture (media_id, payload): real RIFF/PCM16 blobs, so the audio
+    * oracle re-decodes the exact bytes with LE byte arithmetic. */
+  private def fixtureAudio(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.AudioRow] = {
+    import s.implicits._
+    val path = s"$FixtureDir/wav200"
+    synchronized {
+      if (!fixtureWritten.contains(path)) {
+        Multimodal.synthAudio(s, 200).toDF.write.mode("overwrite").parquet(path)
+        fixtureWritten += path
+      }
+    }
+    s.read.parquet(path).as[graft.operators.Multimodal.AudioRow]
+  }
+
+  /** Y4M fixture (media_id, payload): real YUV4MPEG2 C444 blobs — ASCII
+    * header + raw planes, re-decodable by the oracle with byte math. */
+  private def fixtureVideos(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.VideoRow] = {
+    import s.implicits._
+    val path = s"$FixtureDir/y4m60"
+    synchronized {
+      if (!fixtureWritten.contains(path)) {
+        Multimodal.synthVideos(s, 60).toDF.write.mode("overwrite").parquet(path)
+        fixtureWritten += path
+      }
+    }
+    s.read.parquet(path).as[graft.operators.Multimodal.VideoRow]
+  }
+
   /** HTML-payload fixture (q_boilerplate's input) materialized like the slim
     * fixtures, so the DuckDB oracle can replay `Boilerplate.stripHtml` over
     * the exact rows the Spark query consumed. */
@@ -668,6 +726,66 @@ bitsu AS (SELECT l.media_id, SUM(CASE WHEN l.lum >= m.mean THEN (1::HUGEINT << l
 ah AS (SELECT media_id,
   CAST(${Osql.signed("u")} AS BIGINT) AS ahash FROM bitsu)"""
   }
+
+  /** CTE chain re-decoding the WAV fixture blobs with little-endian byte
+    * arithmetic (see AudioCodec.encodeWavPcm16's fixed canonical layout:
+    * fmt chunk at byte 13, data chunk at byte 37, samples from byte 45 —
+    * 1-indexed): channels/rate/data-length from the headers, int16 sample
+    * reconstruction with sign fold, then the same all-integer statistics
+    * the Spark decoder computes. A true cross-engine check of the audio
+    * DECODE path — DuckDB has no audio codec. */
+  private def audioCtes: String =
+    s"""hb AS (SELECT media_id,
+  list_transform(regexp_extract_all(hex(payload), '..'),
+    s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS bytes
+  FROM read_parquet('$FixtureDir/wav200/*.parquet')),
+fmt AS (SELECT media_id, bytes,
+  (bytes[23] + bytes[24]*256) AS channels,
+  (bytes[25] + bytes[26]*256 + bytes[27]*65536 + bytes[28]*16777216) AS sample_rate,
+  (bytes[41] + bytes[42]*256 + bytes[43]*65536 + bytes[44]*16777216) AS data_len
+  FROM hb),
+samp AS (SELECT media_id, channels, sample_rate, data_len // (2*channels) AS n_frames,
+  list_transform(generate_series(0, data_len//2 - 1), i ->
+    CASE WHEN bytes[45+2*i] + bytes[46+2*i]*256 >= 32768
+         THEN CAST(bytes[45+2*i] + bytes[46+2*i]*256 - 65536 AS BIGINT)
+         ELSE CAST(bytes[45+2*i] + bytes[46+2*i]*256 AS BIGINT) END) AS s
+  FROM fmt),
+afeat AS (SELECT media_id, sample_rate::BIGINT AS sample_rate,
+  channels::BIGINT AS channels, n_frames::BIGINT AS n_frames,
+  list_sum(list_transform(s, v -> abs(v)))::BIGINT AS sum_abs,
+  list_sum(list_transform(s, v -> v*v))::BIGINT AS sum_sq,
+  COALESCE(list_sum(list_transform(generate_series(1, n_frames - 1), f ->
+    CASE WHEN (s[1+(f-1)*channels] < 0) <> (s[1+f*channels] < 0) THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_crossings,
+  list_max(list_transform(s, v -> abs(v)))::BIGINT AS peak
+  FROM samp)"""
+
+  /** CTE chain re-decoding the Y4M fixture blobs (VideoCodec.encodeY4m):
+    * ASCII header reconstructed char-by-char up to the first 0x0A and
+    * regex-parsed for W/H/F; frame count derived from the byte length and
+    * the C444 stride (6-byte FRAME marker + 3 full planes); per-frame luma
+    * sums and inter-frame |ΔY| from raw plane bytes. */
+  private def videoCtes: String =
+    s"""vb AS (SELECT media_id,
+  list_transform(regexp_extract_all(hex(payload), '..'),
+    s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS bytes
+  FROM read_parquet('$FixtureDir/y4m60/*.parquet')),
+vhdr AS (SELECT media_id, bytes, list_position(bytes, 10) AS nl FROM vb),
+vdim AS (SELECT media_id, bytes, nl,
+  CAST(regexp_extract(array_to_string(list_transform(bytes[1:nl-1], b -> chr(b::INTEGER)), ''), ' W(\\d+)', 1) AS INTEGER) AS w,
+  CAST(regexp_extract(array_to_string(list_transform(bytes[1:nl-1], b -> chr(b::INTEGER)), ''), ' H(\\d+)', 1) AS INTEGER) AS h,
+  CAST(regexp_extract(array_to_string(list_transform(bytes[1:nl-1], b -> chr(b::INTEGER)), ''), ' F(\\d+):(\\d+)', 1) AS INTEGER) AS fps_num
+  FROM vhdr),
+vfc AS (SELECT *, (len(bytes) - nl) // (6 + 3*w*h) AS n_frames FROM vdim),
+vfr AS (SELECT media_id, w, h, fps_num, n_frames, nl, bytes,
+  unnest(generate_series(0, n_frames - 1)) AS f FROM vfc),
+vluma AS (SELECT media_id, w, h, fps_num, n_frames, f,
+  list_sum(list_transform(bytes[(nl + f*(6+3*w*h) + 7):(nl + f*(6+3*w*h) + 6 + w*h)], b -> CAST(b AS BIGINT)))::BIGINT AS luma
+  FROM vfr),
+vmot AS (SELECT media_id,
+  COALESCE(SUM(m), 0)::BIGINT AS motion_sum FROM (
+    SELECT media_id, list_sum(list_transform(generate_series(1, w*h), i ->
+      abs(CAST(bytes[nl + f*(6+3*w*h) + 6 + i] AS BIGINT) - bytes[nl + (f-1)*(6+3*w*h) + 6 + i]))) AS m
+    FROM vfr WHERE f >= 1) GROUP BY media_id)"""
 
   private def simhashCtes: String =
     s"""${Osql.TokCte},
@@ -1373,6 +1491,27 @@ SELECT l.media_id AS left_id, r.media_id AS right_id,
   CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
 FROM ah l JOIN ah r ON l.media_id < r.media_id
 WHERE bit_count(xor(l.ahash, r.ahash)) <= 4""",
+
+    // full WAV re-decode in SQL: header fields + int16 reconstruction +
+    // integer sample statistics
+    "q_audio_features" ->
+      s"""WITH $audioCtes
+SELECT media_id, sample_rate, channels, n_frames, sum_abs, sum_sq,
+  zero_crossings, peak FROM afeat""",
+
+    // full Y4M re-decode in SQL: ASCII header parse + frame walk
+    "q_video_features" ->
+      s"""WITH $videoCtes
+SELECT l.media_id, MIN(l.w)::BIGINT AS width, MIN(l.h)::BIGINT AS height,
+  MIN(l.fps_num)::BIGINT AS fps_num, MIN(l.n_frames)::BIGINT AS n_frames,
+  SUM(l.luma)::BIGINT AS luma_sum, MIN(m.motion_sum) AS motion_sum
+FROM vluma l JOIN vmot m ON l.media_id = m.media_id
+GROUP BY l.media_id""",
+
+    "q_video_frame_sample" ->
+      s"""WITH $videoCtes
+SELECT media_id, f::BIGINT AS frame_idx, luma AS frame_luma
+FROM vluma WHERE f % 2 = 0""",
 
     // fingerprint-ranked per-source quota (unbiased deterministic shuffle)
     "q_source_cap" ->

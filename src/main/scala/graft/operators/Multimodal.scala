@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed per partition in bounded batches.
   *
-  * IMAGES are handled by a REAL codec (`graft.core.ImageCodec` on JDK
-  * javax.imageio — PNG decode, channel-mean features, 64-bit perceptual
-  * aHash, exact area-average resize re-encoded to PNG). AUDIO/VIDEO codec
-  * work remains STUBBED (those libs genuinely are not in this container):
-  * `decodeStub` derives deterministic fake features from the payload header
-  * bytes. Everything around the stub — schema, partitioning, batch shape,
-  * the mapPartitions plumbing a real decoder slots into — is identical to
-  * the real image path and tested. */
+  * ALL THREE modalities have REAL codecs, zero external dependencies:
+  * images via `graft.core.ImageCodec` (JDK javax.imageio PNG decode +
+  * stored-deflate encoder), audio via `graft.core.AudioCodec` (WAV =
+  * RIFF/PCM16, pure byte arithmetic), video via `graft.core.VideoCodec`
+  * (Y4M = YUV4MPEG2 C444, ASCII header + raw planes). `decodeStub` below
+  * is retained as the generic opaque-payload plumbing exemplar (the shape
+  * a black-box third-party codec slots into) and for the fake-header
+  * fixture query; the typed planes underneath it do true decode work. */
 object Multimodal {
 
   case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
@@ -122,4 +122,99 @@ object Multimodal {
     Dedup.hammingNearDup(
       features.toDF.select(col("media_id").as("id"), col("ahash").as("sim")),
       maxHamming)
+
+  // ---- REAL audio plane (WAV = RIFF/PCM16, pure byte arithmetic — see
+  // graft.core.AudioCodec; nothing stubbed) --------------------------------
+
+  case class AudioRow(media_id: Long, payload: Array[Byte])
+  case class AudioFeatureRow(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, sum_abs: Long, sum_sq: Long, zero_crossings: Int, peak: Int)
+
+  /** Deterministic synthetic table of REAL WAV payloads (varied rate /
+    * length / channel count). */
+  def synthAudio(spark: SparkSession, n: Long, parallelism: Int = 8): Dataset[AudioRow] = {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    spark.range(0, n, 1, parallelism).map { i =>
+      val r = new java.util.Random(0xACEDL ^ i)
+      AudioRow(i, graft.core.AudioCodec.synthWav(
+        seed = 0xACEDL ^ i,
+        sampleRate = rates(r.nextInt(rates.length)),
+        nFrames = 400 + r.nextInt(2600),
+        channels = 1 + r.nextInt(2)))
+    }
+  }
+
+  /** True WAV decode + all-integer features, batched per partition like the
+    * image path. Undecodable payloads dropped (skip-and-count policy). */
+  def extractAudioFeatures(audio: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioFeatureRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      graft.core.AudioCodec.features(row.payload).map(f =>
+        AudioFeatureRow(row.media_id, f.sampleRate, f.channels, f.nFrames,
+          f.sumAbs, f.sumSq, f.zeroCrossings, f.peak))
+    }))
+  }
+
+  /** Real resample-down (integer decimation): payload bytes out are a real
+    * re-encoded WAV at rate/factor. */
+  def resampleAudio(audio: Dataset[AudioRow], factor: Int): Dataset[AudioRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.flatMap { row =>
+      graft.core.AudioCodec.decimate(row.payload, factor).map(b => AudioRow(row.media_id, b))
+    })
+  }
+
+  // ---- REAL video plane (Y4M = YUV4MPEG2 C444, ASCII header + raw planes —
+  // see graft.core.VideoCodec; nothing stubbed) ----------------------------
+
+  case class VideoRow(media_id: Long, payload: Array[Byte])
+  case class VideoFeatureRow(media_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Int, luma_sum: Long, motion_sum: Long)
+
+  /** Deterministic synthetic table of REAL Y4M payloads (scrolling seeded
+    * texture, so inter-frame motion is non-trivial). */
+  def synthVideos(spark: SparkSession, n: Long, parallelism: Int = 8): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parallelism).map { i =>
+      val r = new java.util.Random(0xD1DE0L ^ i)
+      VideoRow(i, graft.core.VideoCodec.synthY4m(
+        seed = 0xD1DE0L ^ i,
+        width = 8 + r.nextInt(17),
+        height = 8 + r.nextInt(17),
+        nFrames = 2 + r.nextInt(9),
+        fpsNum = Seq(24, 25, 30)(r.nextInt(3))))
+    }
+  }
+
+  /** True Y4M decode + all-integer features (dims, fps, frame count, total
+    * luma, inter-frame motion), batched per partition. */
+  def extractVideoFeatures(videos: Dataset[VideoRow], batchSize: Int = 16): Dataset[VideoFeatureRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      graft.core.VideoCodec.features(row.payload).map(f =>
+        VideoFeatureRow(row.media_id, f.width, f.height, f.fpsNum, f.fpsDen,
+          f.nFrames, f.lumaSum, f.motionSum))
+    }))
+  }
+
+  /** Real frame sampling: every `stride`-th frame's luma sum, one output row
+    * per sampled frame (pixels touched, not just indices planned). */
+  def sampleVideoFrames(videos: Dataset[VideoRow], stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.flatMap { row =>
+      graft.core.VideoCodec.sampleFrameLuma(row.payload, stride)
+        .map { case (f, s) => (row.media_id, f, s) }
+    }.toDF("media_id", "frame_idx", "frame_luma")
+  }
+
+  /** Thumbnail extract: frame 0 → grayscale stored-deflate PNG, feeding the
+    * image plane (features / aHash near-dup / resize compose directly). */
+  def videoThumbnails(videos: Dataset[VideoRow], frameIdx: Int = 0): Dataset[ImageRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { row =>
+      graft.core.VideoCodec.frameToPng(row.payload, frameIdx)
+        .map(b => ImageRow(row.media_id, b))
+    })
+  }
 }

@@ -171,6 +171,102 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
+  test("AudioCodec: WAV roundtrip, chunk-walking decode, features, decimation") {
+    import graft.core.AudioCodec
+    // encode → decode roundtrip is exact
+    val samples = AudioCodec.synthSamples(7L, 500, 2)
+    val clip = AudioCodec.decode(AudioCodec.encodeWavPcm16(samples, 16000, 2)).get
+    assert(clip.sampleRate == 16000 && clip.channels == 2)
+    assert(clip.samples.toSeq == samples.toSeq)
+    // decoder walks unknown chunks (not just our writer's layout): splice a
+    // LIST chunk between fmt and data
+    val wav = AudioCodec.encodeWavPcm16(samples, 16000, 2)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // patch RIFF size (+12)
+    val riffLen = java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riffLen.putInt(36 + 12 + samples.length * 2)
+    val viaList = AudioCodec.decode(spliced).get
+    assert(viaList.samples.toSeq == samples.toSeq, "LIST chunk must be skipped")
+    // features match a direct recompute
+    val f = AudioCodec.features(wav).get
+    assert(f.nFrames == 500 && f.channels == 2)
+    assert(f.sumAbs == samples.map(s => math.abs(s.toInt).toLong).sum)
+    assert(f.sumSq == samples.map(s => s.toLong * s).sum)
+    assert(f.peak == samples.map(s => math.abs(s.toInt)).max)
+    val ch0 = (0 until 500).map(i => samples(i * 2))
+    assert(f.zeroCrossings == ch0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // decimation: every 2nd frame, half rate, exact samples
+    val dec = AudioCodec.decode(AudioCodec.decimate(wav, 2).get).get
+    assert(dec.sampleRate == 8000 && dec.samples.length == 250 * 2)
+    assert(dec.samples(2) == samples(4) && dec.samples(3) == samples(5))
+    // corrupt payloads refuse cleanly
+    assert(AudioCodec.decode("nope".getBytes).isEmpty)
+    assert(AudioCodec.decode(wav.take(30)).isEmpty)
+    // distributed plane: every synthetic clip decodes, deterministic twice
+    val feats = graft.operators.Multimodal.extractAudioFeatures(
+      graft.operators.Multimodal.synthAudio(spark, 80)).collect()
+    assert(feats.length == 80)
+    val again = graft.operators.Multimodal.extractAudioFeatures(
+      graft.operators.Multimodal.synthAudio(spark, 80)).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    // resample plane halves the frame count (±1) and keeps decodability
+    val res = graft.operators.Multimodal.extractAudioFeatures(
+      graft.operators.Multimodal.resampleAudio(
+        graft.operators.Multimodal.synthAudio(spark, 20), 2)).collect()
+    val orig = feats.filter(_.media_id < 20).map(x => x.media_id -> x.n_frames).toMap
+    res.foreach(r => assert(r.n_frames == (orig(r.media_id) + 1) / 2, s"clip ${r.media_id}"))
+  }
+
+  test("VideoCodec: Y4M roundtrip, header variants, features, frame ops") {
+    import graft.core.VideoCodec
+    val payload = VideoCodec.synthY4m(11L, 12, 10, 4, fpsNum = 30)
+    val v = VideoCodec.decode(payload).get
+    assert(v.width == 12 && v.height == 10 && v.fpsNum == 30 && v.frames.length == 4)
+    // roundtrip re-encode is byte-identical
+    assert(VideoCodec.encodeY4m(v).toSeq == payload.toSeq)
+    // header param order is free; unknown X-tags skipped
+    val reordered = ("YUV4MPEG2 C444 Xfoo=1 H10 W12 F30:1\n").getBytes("US-ASCII") ++
+      payload.drop(payload.indexOf('\n'.toByte) + 1)
+    val v2 = VideoCodec.decode(reordered).get
+    assert(v2.width == 12 && v2.height == 10 && v2.frames.length == 4)
+    // features match a direct recompute
+    val f = VideoCodec.features(payload).get
+    val luma = v.frames.map(_(0).map(_ & 0xFF).map(_.toLong).sum).sum
+    assert(f.lumaSum == luma && f.nFrames == 4)
+    val motion = (1 until 4).map { fi =>
+      v.frames(fi)(0).zip(v.frames(fi - 1)(0))
+        .map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)).toLong }.sum
+    }.sum
+    assert(f.motionSum == motion && f.motionSum > 0, "scrolling texture must move")
+    // frame sampling touches the right frames
+    val sampled = VideoCodec.sampleFrameLuma(payload, 2)
+    assert(sampled.map(_._1) == Seq(0, 2))
+    assert(sampled.head._2 == v.frames(0)(0).map(_ & 0xFF).map(_.toLong).sum)
+    // frame → PNG thumbnail decodes with the image codec at the right dims
+    val png = VideoCodec.frameToPng(payload, 1).get
+    val img = graft.core.ImageCodec.decode(png).get
+    assert(img.getWidth == 12 && img.getHeight == 10)
+    // refusals: non-C444, truncation, bad marker
+    assert(VideoCodec.decode("YUV4MPEG2 W4 H4 F25:1 C420\n".getBytes).isEmpty)
+    assert(VideoCodec.decode(payload.take(payload.length - 3)).isEmpty)
+    val broken = payload.clone()
+    broken(payload.indexOf('\n'.toByte) + 1) = 'G'.toByte
+    assert(VideoCodec.decode(broken).isEmpty)
+    // distributed plane: all clips decode; determinism; thumbnails feed the
+    // image near-dup operator without modification
+    val feats = graft.operators.Multimodal.extractVideoFeatures(
+      graft.operators.Multimodal.synthVideos(spark, 30)).collect()
+    assert(feats.length == 30)
+    val thumbs = graft.operators.Multimodal.extractImageFeatures(
+      graft.operators.Multimodal.videoThumbnails(
+        graft.operators.Multimodal.synthVideos(spark, 30))).collect()
+    assert(thumbs.length == 30)
+    val dims = feats.map(x => x.media_id -> ((x.width, x.height))).toMap
+    thumbs.foreach(t => assert(dims(t.media_id) == ((t.width, t.height))))
+  }
+
   test("Clean.applyToAllColumns (F7) and fileStem (F9)") {
     import spark.implicits._
     val df = Seq(("Ab1", "C-d2")).toDF("x", "y")
