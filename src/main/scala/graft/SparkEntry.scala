@@ -252,6 +252,18 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
     }),
 
+    // similarity search: IVF ANN (codegen'd one-pass list assignment, no
+    // corpus shuffle). lloydIters = 0 keeps centroids = exact corpus vectors
+    // (fingerprint-ranked medoid seeds), so DuckDB replays the ENTIRE
+    // operator — seeding, assignment, probing, re-rank; the Lloyd-refined
+    // path is recall-gated in DedupRecallSpec instead
+    "q_embedding_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.ivfTopK(emb.filter(col("id") < 20), emb, 3,
+          nlist = 16, nprobe = 4, lloydIters = 0)
+        .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
+    }),
+
     // multimodal plumbing: synth binary payloads → features → resize plan
     "q_multimodal_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(fixtureMedia(s))
@@ -944,6 +956,46 @@ rnk AS (SELECT query_id, corpus_id, cos,
 SELECT query_id, corpus_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS score_ppm, CAST(rn AS INT) AS rn
 FROM rnk WHERE rn <= 3"""
 
+  /** Independent DuckDB replay of `SimilaritySearch.ivfTopK` at
+    * lloydIters = 0 (nlist=16, nprobe=4, k=3): fingerprint-ranked medoid
+    * seeding (the TextStats id-hash chain in HUGEINT arithmetic), one-pass
+    * max-cosine list assignment with lowest-index ties, query probing, and
+    * the exact cosine re-rank — the ENTIRE approximate operator is
+    * recomputed cross-engine, not just its output schema. */
+  private def ivfOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+e0 AS (SELECT vec_id, embedding,
+  list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(CAST(vec_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM emb),
+${Osql.mixCtes("e", "x")},
+efp AS (SELECT vec_id, embedding, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM ed),
+cent AS (SELECT embedding AS centv,
+    ROW_NUMBER() OVER (ORDER BY fp, vec_id) - 1 AS cluster,
+    list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b) AS cn
+  FROM (SELECT * FROM efp ORDER BY fp, vec_id LIMIT 16)),
+${normCte(64)},
+asn0 AS (SELECT e.vec_id AS corpus_id, e.embedding AS cv, n.nn AS cvn, c.cluster,
+    ${cosExpr("e.embedding", "c.centv", "n.nn", "c.cn", 64)} AS s
+  FROM emb e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN cent c),
+asn AS (SELECT corpus_id, cv, cvn, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY s DESC, cluster) AS arn FROM asn0)
+  WHERE arn = 1),
+qp AS (SELECT query_id, qv, qvn, cluster FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, n.nn AS qvn, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ${cosExpr("e.embedding", "c.centv", "n.nn", "c.cn", 64)} DESC, c.cluster) AS crn
+    FROM emb e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN cent c WHERE e.vec_id < 20)
+  WHERE crn <= 4),
+sc AS (SELECT q.query_id, a.corpus_id,
+    ${cosExpr("q.qv", "a.cv", "q.qvn", "a.cvn", 64)} AS cos
+  FROM qp q JOIN asn a ON q.cluster = a.cluster WHERE q.query_id <> a.corpus_id)
+SELECT query_id, corpus_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS score_ppm, CAST(rn AS INT) AS rn
+FROM (SELECT query_id, corpus_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
+WHERE rn <= 3"""
+
   /** Independent DuckDB recomputation of `TfIdfMatch.bestMatchExact`: the
     * 1e-4 weight quantization makes every aggregate an exact integer, so the
     * two engines' sums cannot diverge by summation order. */
@@ -990,6 +1042,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,
     "q_embedding_ann_lsh" -> annLshOracleSql,
+    "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_repeated_lines" ->
       s"""WITH t AS (SELECT conv_id || '#' || turn_idx AS id, text
   FROM read_parquet('$FixtureDir/slim150/*.parquet')),

@@ -32,4 +32,7 @@ object Kernels {
 
   def repetitionStats(text: String): Array[Long] =
     graft.core.TextStats.repetitionStats(text)
+
+  def centroidArgmax(v: ArrayData, centroids: Array[Array[Float]]): Int =
+    VectorExpressions.CentroidArgmax.compute(v, centroids)
 }

@@ -127,10 +127,62 @@ object VectorExpressions {
     }
   }
 
+  /** IVF list assignment: index of the max-cosine centroid for an
+    * array<float> vector → int. The centroid matrix is a bound reference
+    * object (data-dependent, computed at plan-build time by
+    * `SimilaritySearch.trainIvfCentroids`), so the corpus is assigned in
+    * ONE codegen'd pass — no nlist× row blowup, no shuffle. Cosine per
+    * centroid is bit-identical to [[FloatCosine]] (double accumulate in
+    * element order); ties keep the lowest index. */
+  case class CentroidArgmax(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(v: Any): Any =
+      CentroidArgmax.compute(v.asInstanceOf[ArrayData], centroids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.expressions.Kernels.centroidArgmax($v, $centRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object CentroidArgmax {
+    def compute(a: ArrayData, centroids: Array[Array[Float]]): Int = {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(a.numElements(), cent.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = a.getFloat(i).toDouble
+          val y = cent(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
   // ---- Column-level API ----------------------------------------------------
   def float_cosine(a: Column, b: Column): Column =
     column(FloatCosine(expression(a), expression(b)))
 
   def hyperplane_bucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
     column(HyperplaneBucket(expression(v), bits, dim, seed))
+
+  def centroid_argmax(v: Column, centroids: Array[Array[Float]]): Column =
+    column(CentroidArgmax(expression(v), centroids))
 }

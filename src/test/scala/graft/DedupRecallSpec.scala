@@ -132,6 +132,28 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"ANN recall@3 $recall%.3f < 0.9")
   }
 
+  test("ivfTopK recall@3 >= 0.9 vs bruteForceTopK (medoid seeds and Lloyd-refined)") {
+    val emb = plantedEmbeddings(perQuery = 3, noise = 0.05f)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("id") < 20)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, 3)
+      .select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (iters <- Seq(0, 2)) {
+      val approx = SimilaritySearch.ivfTopK(queries, emb, 3,
+          nlist = 16, nprobe = 4, lloydIters = iters)
+        .select(col("query_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute intersect approx).size.toDouble / brute.size
+      info(f"ivf recall@3=$recall%.3f (nlist=16, nprobe=4, lloydIters=$iters, ${brute.size} truth pairs)")
+      assert(recall >= 0.9, f"IVF recall@3 $recall%.3f < 0.9 at lloydIters=$iters")
+    }
+    // training determinism: same corpus → identical centroids
+    val c1 = SimilaritySearch.trainIvfCentroids(emb, 16, lloydIters = 2)
+    val c2 = SimilaritySearch.trainIvfCentroids(emb, 16, lloydIters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("embeddingNearDup measured recall >= 0.9 at both similarity regimes") {
     import spark.implicits._
     // regime 1: the corpus's own loose regime (threshold 0.3; OR-amplified
