@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.FixtureGen
 import graft.functions.{Clean, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Extraction, Matching, Multimodal, SimilaritySearch, TrainingData}
+import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, SimilaritySearch, TrainingData}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2), with DuckDB-checkable `oracleSql` wherever the semantics
@@ -250,6 +250,21 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb.filter(col("id") < 20), emb, 3, dim = 64,
           bits = 4, probeHamming = 1)
         .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
+    }),
+
+    // A7: Q-learning match fold (row-independent episode folds, broadcast
+    // control side). The seeded RNG + IEEE-ordered update arithmetic make
+    // the whole 200-episode learning process bit-replayable — the DuckDB
+    // oracle re-runs it via a recursive CTE carrying the Q row as a list
+    "q_qlearning_match" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      QLearning.bestMatches(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .select(col("guideline_id"), col("control_id"),
+          ppm(col("q_value")).as("q_ppm"), ppm(col("best_score")).as("score_ppm"))
     }),
 
     // similarity search: IVF ANN (codegen'd one-pass list assignment, no
@@ -996,6 +1011,56 @@ FROM (SELECT query_id, corpus_id, cos,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
 WHERE rn <= 3"""
 
+  /** Independent DuckDB replay of `QLearning.bestMatches` (episodes=200,
+    * lr=0.1, γ=0.9, ε=0.1, seed=0x51AB): the reward matrix (ordered-fold
+    * cosines), the splitmix64 epsilon/action draws (HUGEINT arithmetic),
+    * and the full 200-step Q fold — a RECURSIVE CTE carrying each
+    * guideline's Q row as a DOUBLE list, with np.argmax's first-max-index
+    * semantics via list_position(q, list_max(q)). Every update is IEEE
+    * left-to-right in both engines, so the learned Q rows (and therefore
+    * the argmax readout) are bit-identical. */
+  private def qlearnOracleSql: String = {
+    val qUpd = "t.q[t.act] + 0.1*(t.rewards[t.act] + 0.9*t.mq - t.q[t.act])"
+    s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+g AS (SELECT vec_id AS gid, embedding AS gv FROM emb WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, embedding AS cv,
+    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS ci
+  FROM emb WHERE vec_id >= 100 AND vec_id < 130),
+gn AS (SELECT gid, list_reduce(list_transform(generate_series(1, 64), i -> gv[i]::DOUBLE * gv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM g),
+cn AS (SELECT cid, list_reduce(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM c),
+rw AS (SELECT g.gid, list(${cosExpr("g.gv", "c.cv", "gn.nn", "cn.nn", 64)} ORDER BY c.ci) AS rewards
+  FROM g JOIN gn ON gn.gid = g.gid CROSS JOIN c JOIN cn ON cn.cid = c.cid
+  GROUP BY g.gid),
+r0 AS (SELECT gid, e, kind,
+    xor(xor(20907::HUGEINT, ((gid * 2654435761)::HUGEINT) % ${Osql.Mod}), (2*e + kind)::HUGEINT) AS x
+  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS e) es
+  CROSS JOIN (SELECT unnest([0, 1]) AS kind) ks),
+${Osql.mixCtes("r", "x")},
+rnd AS (SELECT gid, e,
+    MAX(CASE WHEN kind = 0 THEN (x // 2048::HUGEINT)::DOUBLE / 9007199254740992.0 END) AS u,
+    MAX(CASE WHEN kind = 1 THEN CAST(x % 30::HUGEINT AS INTEGER) END) AS ra
+  FROM rd GROUP BY gid, e),
+rec AS (
+  SELECT gid, 0 AS e, list_transform(generate_series(1, 30), i -> 0.0::DOUBLE) AS q FROM g
+  UNION ALL
+  SELECT t.gid, t.e + 1,
+    list_transform(generate_series(1, 30), i ->
+      CASE WHEN i = t.act THEN $qUpd ELSE t.q[i] END) AS q
+  FROM (
+    SELECT rec.gid, rec.e, rec.q, w.rewards, list_max(rec.q) AS mq,
+      CASE WHEN n.u < 0.1 THEN n.ra + 1
+           ELSE CAST(list_position(rec.q, list_max(rec.q)) AS INTEGER) END AS act
+    FROM rec JOIN rnd n ON n.gid = rec.gid AND n.e = rec.e
+    JOIN rw w ON w.gid = rec.gid
+    WHERE rec.e < 200) t),
+fin AS (SELECT gid, q, CAST(list_position(q, list_max(q)) AS INTEGER) AS best
+  FROM rec WHERE e = 200)
+SELECT f.gid AS guideline_id, c.cid AS control_id,
+  CAST(FLOOR(f.q[f.best] * 1000000) AS BIGINT) AS q_ppm,
+  CAST(FLOOR(w.rewards[f.best] * 1000000) AS BIGINT) AS score_ppm
+FROM fin f JOIN c ON c.ci = f.best JOIN rw w ON w.gid = f.gid"""
+  }
+
   /** Independent DuckDB recomputation of `TfIdfMatch.bestMatchExact`: the
     * 1e-4 weight quantization makes every aggregate an exact integer, so the
     * two engines' sums cannot diverge by summation order. */
@@ -1043,6 +1108,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_embedding_neardup" -> embNearDupOracleSql,
     "q_embedding_ann_lsh" -> annLshOracleSql,
     "q_embedding_ann_ivf" -> ivfOracleSql,
+    "q_qlearning_match" -> qlearnOracleSql,
     "q_repeated_lines" ->
       s"""WITH t AS (SELECT conv_id || '#' || turn_idx AS id, text
   FROM read_parquet('$FixtureDir/slim150/*.parquet')),

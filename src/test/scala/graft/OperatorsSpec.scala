@@ -267,6 +267,56 @@ class OperatorsSpec extends AnyFunSuite {
     thumbs.foreach(t => assert(dims(t.media_id) == ((t.width, t.height))))
   }
 
+  test("QLearning.bestMatches == episodes-outer reference-shaped fold; partition-invariant") {
+    import spark.implicits._
+    import graft.core.TextStats
+    // deterministic embedding fixture
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (TextStats.mix64(seed ^ i).toDouble / Long.MaxValue).toFloat)
+    val g = (0L until 12L).map(i => (i, vec(0x6AL ^ i)))
+    val c = (100L until 115L).map(i => (i, vec(0xC7L ^ i)))
+    val gDf = g.toDF("id", "vec")
+    val cDf = c.toDF("id", "vec")
+    val p = graft.operators.QLearning.Params()
+
+    // independent replica, shaped like the REFERENCE loop (episodes outer,
+    // guidelines inner — Reinforcement_Learning.py:44-66) rather than the
+    // operator's per-row fold: agreement pins the row-independence claim
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nC = c.length
+    val q = Array.fill(g.length, nC)(0.0)
+    for (e <- 0 until p.episodes; gi <- g.indices) {
+      val gid = g(gi)._1
+      val base = p.seed ^ (gid * 2654435761L)
+      val u = (TextStats.mix64(base ^ (2L * e)) >>> 11).toDouble / 9007199254740992.0
+      val action =
+        if (u < p.epsilon)
+          java.lang.Long.remainderUnsigned(TextStats.mix64(base ^ (2L * e + 1L)), nC.toLong).toInt
+        else q(gi).zipWithIndex.maxBy { case (v, i) => (v, -i) }._2
+      val reward = cos(g(gi)._2, c(action)._2)
+      val maxq = q(gi).max
+      q(gi)(action) = q(gi)(action) + p.lr * (reward + p.gamma * maxq - q(gi)(action))
+    }
+    val expected = g.indices.map { gi =>
+      val best = q(gi).zipWithIndex.maxBy { case (v, i) => (v, -i) }._2
+      (g(gi)._1, c(best)._1, q(gi)(best), cos(g(gi)._2, c(best)._2))
+    }.toSet
+
+    val got = graft.operators.QLearning.bestMatches(gDf, cDf, p)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected, s"fold mismatch: ${(expected -- got).take(2)}")
+    // partition invariance
+    val got7 = graft.operators.QLearning.bestMatches(gDf.repartition(7), cDf, p)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got7 == got)
+    // learning is non-degenerate: not every guideline just keeps action 0
+    assert(got.map(_._2).size > 1, "Q fold degenerated to a single control")
+  }
+
   test("Clean.applyToAllColumns (F7) and fileStem (F9)") {
     import spark.implicits._
     val df = Seq(("Ab1", "C-d2")).toDF("x", "y")
