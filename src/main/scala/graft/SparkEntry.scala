@@ -1306,7 +1306,7 @@ FROM lstats""",
     // query consumed (materialized by fixtureParquet at a fixed path) -------
     "q_ordering_audit" ->
       s"""SELECT conv_id, violations FROM (
-           SELECT conv_id, SUM(CASE WHEN rn - 1 <> turn_idx THEN 1 ELSE 0 END) AS violations
+           SELECT conv_id, SUM(CASE WHEN rn - 1 <> turn_idx THEN 1 ELSE 0 END)::BIGINT AS violations
            FROM (SELECT conv_id, turn_idx,
                    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) rn
                  FROM read_parquet('$FixtureDir/slim200/*.parquet'))
@@ -1491,7 +1491,8 @@ FROM s4""",
              ELSE LOWER(w) END), ' ') AS lemmas
          FROM documents""",
     "q_meanpool_by_label" ->
-      """SELECT label, dim, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micro,
+      """SELECT label, CAST(dim AS INTEGER) AS dim,
+           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))::BIGINT AS sum_micro,
            COUNT(*) AS cnt
          FROM (SELECT label, unnest(embedding) AS v,
                  unnest(generate_series(0, LEN(embedding) - 1)) AS dim
@@ -1645,7 +1646,7 @@ WHERE rk <= 30""",
       """WITH basew AS (SELECT doc_id, n_chars AS q,
     len(string_split(text, ' '))::BIGINT AS w FROM documents),
 c AS (SELECT doc_id, q, w,
-    SUM(w) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    SUM(w) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
   FROM basew)
 SELECT doc_id, q, w, cum_tokens FROM c WHERE cum_tokens <= 10000""",
 

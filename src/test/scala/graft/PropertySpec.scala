@@ -47,6 +47,35 @@ class PropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("WAV encode/decode round-trips arbitrary PCM16 payloads") {
+    val params = for {
+      n <- Gen.choose(1, 400)
+      ch <- Gen.choose(1, 4)
+      rate <- Gen.oneOf(8000, 11025, 44100, 96000)
+    } yield (n, ch, rate)
+    check(Prop.forAll(params, Gen.long) { case ((n, ch, rate), seed) =>
+      val samples = Array.tabulate(n * ch)(i => TextStats.mix64(seed ^ i).toShort)
+      val clip = graft.core.AudioCodec.decode(
+        graft.core.AudioCodec.encodeWavPcm16(samples, rate, ch)).get
+      clip.sampleRate == rate && clip.channels == ch &&
+        clip.samples.toSeq == samples.toSeq
+    }, n = 120)
+  }
+
+  test("Y4M encode/decode round-trips arbitrary frame planes") {
+    val params = for {
+      w <- Gen.choose(1, 32); h <- Gen.choose(1, 32); f <- Gen.choose(1, 6)
+    } yield (w, h, f)
+    check(Prop.forAll(params, Gen.long) { case ((w, h, nf), seed) =>
+      val frames = Array.tabulate(nf, 3, w * h)((f, p, i) =>
+        TextStats.mix64(seed ^ (f.toLong << 40) ^ (p.toLong << 32) ^ i).toByte)
+      val v = graft.core.VideoCodec.Video(w, h, 30, 1, frames)
+      val back = graft.core.VideoCodec.decode(graft.core.VideoCodec.encodeY4m(v)).get
+      back.width == w && back.height == h && back.frames.length == nf &&
+        back.frames.flatten.map(_.toSeq).toSeq == frames.flatten.map(_.toSeq).toSeq
+    }, n = 80)
+  }
+
   test("repetitionStats == naive model (token multiset / line char accounting)") {
     val texty = Gen.listOf(Gen.oneOf("a b", "a", "b c d", "\n", " ", "x y x y",
       "l1\nl1", "w w w", "tab\t")).map(_.mkString(" "))
