@@ -501,6 +501,13 @@ object SparkEntry {
         defaultPpm = 50000)
       .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // CCNet-style bigram-LM quality score: Laplace bigram model trained on
+    // the corpus (top-20 vocab of 31 types, so the <unk> fold is exercised),
+    // per-position log-prob quantized to 1e-4 BEFORE summation — the output
+    // is all-integer, and DuckDB retrains + rescores independently
+    "q_lm_score" -> ((s, d) => TrainingData.ngramLmScore(
+      t(s, d, "documents"), "doc_id", "text", topVocab = 20)),
+
     // exact greedy sequence packing into 256-token context bins per lang
     "q_seq_packing" -> ((s, d) => TrainingData.sequencePack(
       t(s, d, "documents"), "lang", "doc_id",
@@ -1553,6 +1560,35 @@ bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0)
 SELECT f.doc_id, count(DISTINCT f.g) AS n_contam
 FROM flat f JOIN bench b ON f.g = b.g
 GROUP BY f.doc_id""",
+
+    // independent LM retrain + rescore: unigram/bigram counts, top-20 vocab
+    // with the same (count desc, token) tie-break, Laplace smoothing, and
+    // the 1e-4 pre-sum quantization of each position's ln — all-integer out
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+           CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                THEN []::VARCHAR[]
+                ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+         FROM documents),
+at AS (SELECT unnest(ts) AS tok FROM toks),
+uni AS (SELECT tok, COUNT(*)::BIGINT AS c FROM at GROUP BY tok),
+voc AS (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 20),
+vl AS (SELECT list(tok) AS vt, COUNT(*)::BIGINT AS nv FROM voc),
+m AS (SELECT doc_id,
+    list_transform(ts, t -> CASE WHEN list_contains(vl.vt, t) THEN t ELSE '<unk>' END) AS ms
+  FROM toks CROSS JOIN vl),
+u1 AS (SELECT tok, COUNT(*)::BIGINT AS c1 FROM (SELECT unnest(ms) AS tok FROM m) GROUP BY tok),
+bg AS (SELECT doc_id, ms[i] AS w1, ms[i+1] AS w2
+  FROM (SELECT doc_id, ms, unnest(generate_series(1, len(ms)-1)) AS i FROM m WHERE len(ms) >= 2)),
+b2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+sc AS (SELECT bg.doc_id, COUNT(*)::BIGINT AS n_pos,
+    SUM(CAST(FLOOR(ln((b2.c12 + 1)::DOUBLE / (u1.c1 + vl.nv + 1)::DOUBLE) * 10000) AS BIGINT))::BIGINT AS lm_q4_sum
+  FROM bg JOIN b2 ON bg.w1 = b2.w1 AND bg.w2 = b2.w2
+  JOIN u1 ON u1.tok = bg.w1 CROSS JOIN vl
+  GROUP BY bg.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_pos, 0)::BIGINT AS n_pos,
+  COALESCE(sc.lm_q4_sum, 0)::BIGINT AS lm_q4_sum
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // fingerprint64(cast(doc_id)) replica (q_fingerprint technique) →
     // signed pmod bucket → per-lang ppm rate

@@ -88,6 +88,68 @@ object TrainingData {
       .agg(count_distinct(col("g")).as("n_contam"))
   }
 
+  /** CCNet-style n-gram LM quality score: train a Laplace-smoothed bigram
+    * LM on the corpus (top-`topVocab` unigrams; everything else folds to
+    * `<unk>`), then score each document by its summed bigram log-probability
+    * — the LM-perplexity filter of CCNet/Gopher, integer-exact for the
+    * cross-engine oracle (each position's log-prob is quantized to 1e-4
+    * BEFORE summation, the `TfIdfMatch` technique, so engine libm ulps
+    * cannot accumulate; no division in the output — callers derive
+    * perplexity from (lm_q4_sum, n_pos)).
+    *
+    * Scale shape: training is two hash-aggregations (unigram + bigram
+    * counts — at 100 TB you train on a deterministic sample, e.g.
+    * [[stratifiedSample]]'s output); the model broadcasts (vocab is capped
+    * by `topVocab`); SCORING is a zero-shuffle per-partition fold over
+    * broadcast maps — the corpus streams exactly once. Vocab ties at the
+    * count boundary break by token string ascending (corpus tokens are
+    * collation-stable). */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
+                   topVocab: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksOf = (s: String) => graft.core.TextStats.wsTokens(String.valueOf(s).toLowerCase)
+    val docs = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    val uni = docs.flatMap { case (_, t) => toksOf(t) }.toDF("tok")
+      .groupBy("tok").count()
+    val vocab: Array[(String, Long)] = uni
+      .orderBy(desc("count"), col("tok")).limit(topVocab)
+      .as[(String, Long)].collect()
+    val totalTokens = uni.agg(sum("count")).as[Long].head()
+    val unkCount = totalTokens - vocab.map(_._2).sum
+    val vocabSet = vocab.map(_._1).toSet
+    val s = vocab.length + 1 // smoothing denominator: vocab + <unk>
+    val mapTok = (t: String) => if (vocabSet.contains(t)) t else "<unk>"
+    val c1: Map[String, Long] = vocab.toMap + ("<unk>" -> unkCount)
+    val big: Map[(String, String), Long] = docs
+      .flatMap { case (_, t) =>
+        val m = toksOf(t).map(mapTok)
+        m.indices.dropRight(1).map(i => (m(i), m(i + 1)))
+      }
+      .groupByKey(identity).count().collect()
+      .map { case (k, v) => k -> v }.toMap
+    val bcV = spark.sparkContext.broadcast(vocabSet)
+    val bc1 = spark.sparkContext.broadcast(c1)
+    val bc2 = spark.sparkContext.broadcast(big)
+    docs.mapPartitions { it =>
+      val v = bcV.value; val u = bc1.value; val b = bc2.value
+      it.map { case (id, t) =>
+        val m = graft.core.TextStats.wsTokens(String.valueOf(t).toLowerCase)
+          .map(tk => if (v.contains(tk)) tk else "<unk>")
+        var sumQ = 0L
+        var i = 1
+        while (i < m.length) {
+          val c12 = b.getOrElse((m(i - 1), m(i)), 0L)
+          val p = (c12 + 1).toDouble / (u.getOrElse(m(i - 1), 0L) + s).toDouble
+          sumQ += math.floor(math.log(p) * 10000.0).toLong
+          i += 1
+        }
+        (id, math.max(0, m.length - 1).toLong, sumQ)
+      }
+    }.toDF(idCol, "n_pos", "lm_q4_sum")
+  }
+
   /** Deterministic stratified sampling: a per-row keep decision from a
     * 64-bit fingerprint of the row id (uniform bucket in [0, 10^6)) against
     * a per-stratum rate. No shuffle, no RNG state, reproducible under any

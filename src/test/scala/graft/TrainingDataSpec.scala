@@ -24,6 +24,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r2.getString(5) == "no pii here, just words and 42 numbers")
   }
 
+  test("ngramLmScore == naive local bigram LM; unk fold; partition-invariant") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the cat"),
+      (3L, "a rare pangolin token"),   // mostly out-of-vocab at topVocab=4
+      (4L, "solo"),                    // single token: 0 positions
+      (5L, "   ")                      // whitespace-only: 0 positions
+    ).toDF("doc_id", "text")
+    val got = TrainingData.ngramLmScore(df, "doc_id", "text", topVocab = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // naive local model, written independently of the operator
+    val toks = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat sat on the cat",
+      3L -> "a rare pangolin token", 4L -> "solo", 5L -> "   "
+    ).view.mapValues(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(4).map(_._1).toSet
+    val mapped = toks.view.mapValues(_.map(t => if (vocab(t)) t else "<unk>")).toMap
+    val u1 = mapped.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val b2 = mapped.values.flatMap(m => m.zip(m.drop(1))).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val s = vocab.size + 1
+    val expect = mapped.map { case (id, m) =>
+      val qs = m.zip(m.drop(1)).map { p =>
+        math.floor(math.log((b2(p) + 1).toDouble / (u1(p._1) + s).toDouble) * 10000.0).toLong
+      }
+      id -> ((qs.size.toLong, qs.sum))
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got(4L) == ((0L, 0L)) && got(5L) == ((0L, 0L)))
+    // repartition invariance
+    val got5 = TrainingData.ngramLmScore(df.repartition(5), "doc_id", "text", topVocab = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got5 == got)
+    // a natural doc scores strictly better per position than a rare-token doc
+    def avg(x: (Long, Long)) = if (x._1 == 0) 0.0 else x._2.toDouble / x._1
+    assert(avg(got(1L)) > avg(got(3L)), "LM must separate in-vocab from oov text")
+  }
+
   test("chunkDedup: duplicate chunks keep first (id, idx); uniques survive") {
     val words = (1 to 50).map(i => s"w$i").mkString(" ") // 2 chunks of 25
     val df = Seq(
