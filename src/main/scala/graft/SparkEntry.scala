@@ -252,6 +252,19 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
     }),
 
+    // deterministic PLSA-EM topic matcher: the cross-engine-verifiable
+    // sibling of q_topic_match (which keeps the reference's Spark ML LDA).
+    // The full 5-iteration EM fit replays in DuckDB as an unrolled CTE chain
+    "q_plsa_match" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TopicModel.plsaBestMatch(
+          docs.filter(col("doc_id") < 50)
+            .select(col("doc_id").as("id"), col("text")),
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 200)
+            .select(col("doc_id").as("id"), col("text")))
+        .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
+    }),
+
     // A7: Q-learning match fold (row-independent episode folds, broadcast
     // control side). The seeded RNG + IEEE-ordered update arithmetic make
     // the whole 200-episode learning process bit-replayable — the DuckDB
@@ -1018,6 +1031,81 @@ FROM (SELECT query_id, corpus_id, cos,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
 WHERE rn <= 3"""
 
+  /** Independent DuckDB replay of `TopicModel.plsaBestMatch` (k=10,
+    * iters=5): the COMPLETE PLSA-EM fit — modular-pattern init, five exact
+    * EM steps as an unrolled CTE chain over flat list-of-doubles state
+    * (θ: doc-major width k; φ: topic-major width V), zero-row guard, and
+    * the topic-space cosine argmax. Every sum is an ascending-order
+    * list_reduce, matching the Scala fold order term for term, so the
+    * learned topic mixtures are bit-identical cross-engine. */
+  private def plsaOracleSql(k: Int = 10, iters: Int = 5): String = {
+    // rowsum over row (i // w) of width `w` in flat list `l`
+    def rowSum(l: String, w: String) =
+      s"list_reduce($l[(i // $w) * $w + 1 : (i // $w) * $w + $w], (a, b) -> a + b)"
+    def normed(src: String, w: String, keep: String) =
+      s"""list_transform(generate_series(0, len($src) - 1), i ->
+      CASE WHEN ${rowSum(src, w)} = 0.0 THEN $keep[i + 1]
+           ELSE $src[i + 1] / ${rowSum(src, w)} END)"""
+    val iterBlocks = (1 to iters).map { t =>
+      val p = if (t == 1) "s0" else s"i${t - 1}"
+      s"""i${t}a AS (SELECT nf, dn, vn, ids, th, ph,
+  list_transform(generate_series(0, dn * vn - 1), i ->
+    list_reduce(list_transform(generate_series(0, ${k - 1}), z ->
+      th[(i // vn) * $k + z + 1] * ph[z * vn + (i % vn) + 1]), (a, b) -> a + b)) AS dnm
+  FROM $p),
+i${t}b AS (SELECT *, list_transform(generate_series(0, dn * $k - 1), i ->
+    list_reduce(list_transform(generate_series(0, vn - 1), w ->
+      nf[(i // $k) * vn + w + 1] * th[i + 1] * ph[(i % $k) * vn + w + 1] / dnm[(i // $k) * vn + w + 1]),
+      (a, b) -> a + b)) AS tn
+  FROM i${t}a),
+i${t}c AS (SELECT *, list_transform(generate_series(0, $k * vn - 1), i ->
+    list_reduce(list_transform(generate_series(0, dn - 1), dd ->
+      nf[dd * vn + (i % vn) + 1] * th[dd * $k + (i // vn) + 1] * ph[i + 1] / dnm[dd * vn + (i % vn) + 1]),
+      (a, b) -> a + b)) AS pn
+  FROM i${t}b),
+i$t AS (SELECT nf, dn, vn, ids,
+  ${normed("tn", k.toString, "th")} AS th,
+  ${normed("pn", "vn", "ph")} AS ph
+  FROM i${t}c)"""
+    }.mkString(",\n")
+    def cos(a: String, b: String) =
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $a[i]), (x, y) -> x + y) = 0.0
+           OR list_reduce(list_transform(generate_series(1, $k), i -> $b[i] * $b[i]), (x, y) -> x + y) = 0.0 THEN 0.0
+         ELSE list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $b[i]), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $a[i]), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(generate_series(1, $k), i -> $b[i] * $b[i]), (x, y) -> x + y))) END"""
+    s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w\\w+') AS tk
+  FROM documents WHERE doc_id < 200),
+ds AS (SELECT doc_id, tk, ROW_NUMBER() OVER (ORDER BY doc_id) AS di FROM d0),
+vz AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS w
+  FROM (SELECT DISTINCT unnest(tk) AS tok FROM ds)),
+nrows AS (SELECT ds.di, vz.w, len(list_filter(ds.tk, t -> t = vz.tok))::DOUBLE AS c
+  FROM ds CROSS JOIN vz),
+base AS (SELECT
+  (SELECT list(c ORDER BY di, w) FROM nrows) AS nf,
+  (SELECT COUNT(*)::INTEGER FROM ds) AS dn,
+  (SELECT COUNT(*)::INTEGER FROM vz) AS vn,
+  (SELECT list(doc_id ORDER BY doc_id) FROM ds) AS ids),
+b1 AS (SELECT *, list_transform(generate_series(0, dn * $k - 1), i ->
+    1.0 + CAST((ids[i // $k + 1] * 31 + (i % $k) * 17) % 97 AS DOUBLE) / 1000.0) AS thr,
+  list_transform(generate_series(0, $k * vn - 1), i ->
+    1.0 + CAST(((i // vn) * 13 + (i % vn) * 7) % 89 AS DOUBLE) / 1000.0) AS phr
+  FROM base),
+s0 AS (SELECT nf, dn, vn, ids,
+  ${normed("thr", k.toString, "thr")} AS th,
+  ${normed("phr", "vn", "phr")} AS ph
+  FROM b1),
+$iterBlocks,
+emb AS (SELECT ids[di] AS id,
+    list_transform(generate_series(0, ${k - 1}), z -> th[(di - 1) * $k + z + 1]) AS tv
+  FROM (SELECT *, unnest(generate_series(1, dn)) AS di FROM i$iters)),
+sc AS (SELECT l.id AS left_id, r.id AS right_id, ${cos("l.tv", "r.tv")} AS score
+  FROM emb l CROSS JOIN emb r WHERE l.id < 50 AND r.id >= 50)
+SELECT left_id, right_id, CAST(FLOOR(score * 1000000) AS BIGINT) AS score_ppm
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rn FROM sc)
+WHERE rn = 1"""
+  }
+
   /** Independent DuckDB replay of `QLearning.bestMatches` (episodes=200,
     * lr=0.1, γ=0.9, ε=0.1, seed=0x51AB): the reward matrix (ordered-fold
     * cosines), the splitmix64 epsilon/action draws (HUGEINT arithmetic),
@@ -1116,6 +1204,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_embedding_ann_lsh" -> annLshOracleSql,
     "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_qlearning_match" -> qlearnOracleSql,
+    "q_plsa_match" -> plsaOracleSql(),
     "q_repeated_lines" ->
       s"""WITH t AS (SELECT conv_id || '#' || turn_idx AS id, text
   FROM read_parquet('$FixtureDir/slim150/*.parquet')),

@@ -267,6 +267,28 @@ class OperatorsSpec extends AnyFunSuite {
     thumbs.foreach(t => assert(dims(t.media_id) == ((t.width, t.height))))
   }
 
+  test("TopicModel.plsaBestMatch separates topic groups; deterministic") {
+    import spark.implicits._
+    // two planted topics with disjoint vocabularies
+    val food = Seq("pasta sauce tomato basil olive", "tomato pasta olive garlic basil",
+      "basil olive sauce garlic pasta")
+    val space = Seq("rocket orbit launch booster stage", "orbit booster rocket stage launch",
+      "launch stage orbit rocket booster")
+    val left = Seq((0L, food(0)), (1L, space(0))).toDF("id", "text")
+    val right = Seq((10L, food(1)), (11L, space(1)), (12L, food(2)), (13L, space(2)))
+      .toDF("id", "text")
+    val got = graft.operators.TopicModel.plsaBestMatch(left, right)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toMap
+    assert(Set(10L, 12L).contains(got(0L)), s"food doc matched ${got(0L)}")
+    assert(Set(11L, 13L).contains(got(1L)), s"space doc matched ${got(1L)}")
+    // determinism: bit-identical scores across runs
+    val s1 = graft.operators.TopicModel.plsaBestMatch(left, right)
+      .select("left_id", "right_id", "score").collect().map(_.toSeq).toSet
+    val s2 = graft.operators.TopicModel.plsaBestMatch(left.repartition(3), right)
+      .select("left_id", "right_id", "score").collect().map(_.toSeq).toSet
+    assert(s1 == s2)
+  }
+
   test("QLearning.bestMatches == episodes-outer reference-shaped fold; partition-invariant") {
     import spark.implicits._
     import graft.core.TextStats
