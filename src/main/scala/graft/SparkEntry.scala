@@ -280,6 +280,15 @@ object SparkEntry {
           ppm(col("q_value")).as("q_ppm"), ppm(col("best_score")).as("score_ppm"))
     }),
 
+    // int8-quantized ANN sweep (4x corpus memory reduction): symmetric
+    // per-vector quantization, integer dot/norm scoring — DuckDB replays
+    // the quantizer AND the integer cosine exactly
+    "q_embedding_quantized_top3" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.quantizedTopK(emb.filter(col("id") < 20), emb, 3)
+        .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
+    }),
+
     // similarity search: IVF ANN (codegen'd one-pass list assignment, no
     // corpus shuffle). lloydIters = 0 keeps centroids = exact corpus vectors
     // (fingerprint-ranked medoid seeds), so DuckDB replays the ENTIRE
@@ -1205,6 +1214,31 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_qlearning_match" -> qlearnOracleSql,
     "q_plsa_match" -> plsaOracleSql(),
+    // int8 quantizer replica: per-vector scale = max|v|/127, floor(x+0.5)
+    // clamp ±127, then exact integer dot/norm cosine
+    "q_embedding_quantized_top3" ->
+      """WITH sc AS (SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         FROM embeddings),
+qz AS (SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding, x ->
+           CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)) END AS q
+  FROM sc),
+pr AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+    list_reduce(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i]), (x, y) -> x + y) AS dot,
+    list_reduce(list_transform(generate_series(1, 64), i -> a.q[i] * a.q[i]), (x, y) -> x + y) AS na,
+    list_reduce(list_transform(generate_series(1, 64), i -> b.q[i] * b.q[i]), (x, y) -> x + y) AS nb
+  FROM qz a CROSS JOIN qz b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+scd AS (SELECT query_id, corpus_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         ELSE dot::DOUBLE / (SQRT(na::DOUBLE) * SQRT(nb::DOUBLE)) END AS score
+  FROM pr)
+SELECT query_id, corpus_id, CAST(FLOOR(score * 1000000) AS BIGINT) AS score_ppm,
+  CAST(rn AS INT) AS rn
+FROM (SELECT query_id, corpus_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rn FROM scd)
+WHERE rn <= 3""",
     "q_repeated_lines" ->
       s"""WITH t AS (SELECT conv_id || '#' || turn_idx AS id, text
   FROM read_parquet('$FixtureDir/slim150/*.parquet')),

@@ -35,4 +35,10 @@ object Kernels {
 
   def centroidArgmax(v: ArrayData, centroids: Array[Array[Float]]): Int =
     VectorExpressions.CentroidArgmax.compute(v, centroids)
+
+  def quantizeInt8(v: ArrayData): ArrayData =
+    VectorExpressions.QuantizeInt8.compute(v)
+
+  def byteCosine(a: ArrayData, b: ArrayData): Double =
+    VectorExpressions.ByteCosine.compute(a, b)
 }

@@ -176,9 +176,91 @@ object VectorExpressions {
     }
   }
 
+  /** Symmetric int8 quantization of an array<float> vector: per-vector
+    * scale = max|v|/127, q_i = floor(v_i/scale + 0.5) clamped to ±127 —
+    * floor(x + 0.5) (not round()) so half-value behavior is identical in
+    * both engines. 4× memory reduction for the 100 TB ANN corpus; scales
+    * cancel in cosine, so scoring needs only the int8 payload. */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any =
+      QuantizeInt8.compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.expressions.Kernels.quantizeInt8($v);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object QuantizeInt8 {
+    def compute(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      var max = 0.0
+      var i = 0
+      while (i < n) {
+        val m = math.abs(a.getFloat(i).toDouble)
+        if (m > max) max = m
+        i += 1
+      }
+      val scale = max / 127.0
+      val out = new Array[Byte](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) {
+          val q = math.floor(a.getFloat(i).toDouble / scale + 0.5)
+          out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+          i += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** Cosine of two int8-quantized vectors: integer dot/norms accumulated in
+    * long (exact), one double division at the end. */
+  case class ByteCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ByteCosine.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.Kernels.byteCosine($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object ByteCosine {
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < n) {
+        val x = a.getByte(i).toLong
+        val y = b.getByte(i).toLong
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+  }
+
   // ---- Column-level API ----------------------------------------------------
   def float_cosine(a: Column, b: Column): Column =
     column(FloatCosine(expression(a), expression(b)))
+
+  def quantize_int8(v: Column): Column = column(QuantizeInt8(expression(v)))
+
+  def byte_cosine(a: Column, b: Column): Column =
+    column(ByteCosine(expression(a), expression(b)))
 
   def hyperplane_bucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
     column(HyperplaneBucket(expression(v), bits, dim, seed))

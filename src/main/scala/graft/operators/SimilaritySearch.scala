@@ -60,6 +60,28 @@ object SimilaritySearch {
       .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
   }
 
+  /** Int8-quantized brute-force top-k: both sides symmetric-quantized
+    * (4× smaller corpus residency — the difference between an in-memory and
+    * a spilling ANN sweep at 100 TB), scored by exact integer dot/norms
+    * with one double division. The per-vector scales cancel in cosine, so
+    * only the int8 payloads flow through the join. Score error vs the
+    * float path is bounded and measured in DedupRecallSpec. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.{byte_cosine, quantize_int8}
+    val q = queries.select(col("id").as("query_id"),
+      quantize_int8(col("vec")).as("qq"))
+    val c = corpus.select(col("id").as("corpus_id"),
+      quantize_int8(col("vec")).as("cq"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", byte_cosine(col("qq"), col("cq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), col("corpus_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+  }
+
   /** Deterministic IVF centroid training. Seeds = the `nlist` corpus vectors
     * ranked by the 64-bit id fingerprint (an unbiased deterministic sample —
     * same chain as TrainingData's sampling, replayable by the SQL oracle),

@@ -154,6 +154,31 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("quantizedTopK: int8 scores within 0.02 of float cosine; recall@3 >= 0.9") {
+    val emb = plantedEmbeddings(perQuery = 3, noise = 0.05f)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("id") < 20)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, 3)
+    val bruteSet = brute.select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilaritySearch.quantizedTopK(queries, emb, 3)
+    val quantSet = quant.select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet intersect quantSet).size.toDouble / bruteSet.size
+    info(f"int8 recall@3=$recall%.3f (${bruteSet.size} truth pairs)")
+    assert(recall >= 0.9, f"int8 recall@3 $recall%.3f < 0.9")
+    // pairwise score error bound: int8 cosine stays within 0.02 of float
+    val err = queries.as("l").crossJoin(emb.limit(100).as("r"))
+      .select(
+        graft.expressions.VectorExpressions.float_cosine(col("l.vec"), col("r.vec")).as("f"),
+        graft.expressions.VectorExpressions.byte_cosine(
+          graft.expressions.VectorExpressions.quantize_int8(col("l.vec")),
+          graft.expressions.VectorExpressions.quantize_int8(col("r.vec"))).as("b"))
+      .agg(max(abs(col("f") - col("b")))).collect()(0).getDouble(0)
+    info(f"max |float - int8| cosine error = $err%.5f")
+    assert(err <= 0.02, f"quantization error $err%.5f > 0.02")
+  }
+
   test("embeddingNearDup measured recall >= 0.9 at both similarity regimes") {
     import spark.implicits._
     // regime 1: the corpus's own loose regime (threshold 0.3; OR-amplified
