@@ -130,6 +130,52 @@ object Snapshot {
     Files.readString(table.resolve(s"manifest-v$k.json"))
   }
 
+  /** Compaction: rewrite the CURRENT snapshot as a new snapshot whose chunks
+    * hold one file each (`filesPerChunk` tasks per chunk) — the Iceberg
+    * `rewrite_data_files` maintenance action. Long-running ingestion leaves
+    * a small-files tail (every incremental commit adds per-chunk part
+    * files); at scale the scan's task count — and the namenode/listing
+    * load — tracks file count, not byte count, so periodic compaction is
+    * what keeps a 10^12-turn table scannable. Runs through the same staged
+    * commit protocol (kill-safe, idempotent); readers see either the old or
+    * the new snapshot, never a mix. Chunking key/count are taken from the
+    * current manifest, so co-location invariants survive compaction. */
+  def compact(spark: SparkSession, tablePath: String): Map[String, Long] = {
+    val table = Paths.get(tablePath)
+    val k = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    val m = manifestJson(tablePath, k)
+    val chunkKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(m)
+      .map(_.group(1)).getOrElse(throw new IllegalStateException("manifest missing chunk_key"))
+    val numChunks = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(m)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException("manifest missing num_chunks"))
+    // repartition by the CHUNK expression (not the raw key): every chunk
+    // then lives in exactly one task, so each chunk dir lands as one file
+    val data = read(spark, tablePath, k).repartition(numChunks,
+      pmod(xxhash64(col(chunkKey)), lit(numChunks)))
+    write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1)
+  }
+
+  /** Snapshot expiry (Iceberg `expire_snapshots`): drop all but the last
+    * `keep` committed snapshots — data dirs and manifests. Time-travel
+    * reads of the kept versions are untouched; CURRENT never expires. */
+  def expireSnapshots(tablePath: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val table = Paths.get(tablePath)
+    val versions = Files.list(table).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+    val cur = currentVersion(table).getOrElse(return Seq.empty)
+    val expire = versions.filter(_ != cur).dropRight(math.max(0, keep - 1))
+    expire.foreach { v =>
+      deleteRecursively(table.resolve(s"v$v"))
+      Files.deleteIfExists(table.resolve(s"manifest-v$v.json"))
+    }
+    expire
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

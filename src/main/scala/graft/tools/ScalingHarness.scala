@@ -299,7 +299,10 @@ object ScalingHarness {
           else (cleanN.min / clean4N.min) / ratio
         DimStats(n, h, quiet.size, ss.size,
           median(quiet.map(_.eff)),
-          if (ss.exists(_.eff > 0)) ss.map(_.eff).filter(_ > 0).max else -1.0,
+          // best over QUIET pairs only: a pair whose N side ran into a
+          // contention burst that started after the gate probe shows an
+          // absurd eff > 1 — real as a raw sample, meaningless as a "best"
+          if (quiet.nonEmpty) quiet.map(_.eff).max else -1.0,
           if (cleanN.isEmpty) -1.0 else cleanN.min,
           if (clean4N.isEmpty) -1.0 else clean4N.min,
           minEff,

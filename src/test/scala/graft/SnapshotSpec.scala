@@ -32,6 +32,35 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).count() == 1000)
   }
 
+  test("compact: one file per chunk, identical content, expiry keeps CURRENT readable") {
+    import spark.implicits._
+    val table = freshDir("snap-compact")
+    // fragmented ingestion: many tasks → many part files per chunk
+    val df = (0 until 2000).map(i => (s"c${i % 11}", i)).toDF("conv_id", "n")
+      .repartition(16)
+    Snapshot.write(df, table, "conv_id", numChunks = 4)
+    def filesOf(version: Int): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(table, s"v$version")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    val before = filesOf(0).size
+    assert(before > 4, s"fragmented fixture expected, got $before files")
+    Snapshot.compact(spark, table)
+    // new CURRENT, one file per chunk, byte-identical content
+    assert(Snapshot.manifestJson(table).replace(" ", "").contains("\"snapshot\":1"))
+    val after = filesOf(1).size
+    assert(after == 4, s"expected 1 file per chunk, got $after")
+    val a = Snapshot.read(spark, table).as[(String, Int)].collect().sorted.toSeq
+    val b = Snapshot.read(spark, table, version = 0).as[(String, Int)].collect().sorted.toSeq
+    assert(a == b, "compaction must not change table content")
+    // expiry: drop all but CURRENT; old version gone, CURRENT still reads
+    val expired = Snapshot.expireSnapshots(table, keep = 1)
+    assert(expired == Seq(0))
+    assert(!Files.exists(Paths.get(table, "v0")))
+    assert(Snapshot.read(spark, table).count() == 2000)
+  }
+
   test("resume after kill mid-commit: no duplicate, no missing chunks") {
     import spark.implicits._
     val df = (0 until 500).map(i => (s"c${i % 23}", i)).toDF("conv_id", "n")
