@@ -112,6 +112,23 @@ object Extraction {
   }
 
   /** Flattened assembled-records view (the reference's CSV row table). */
+  /** Batch-incremental commit: extract ONLY the newly arrived conversations
+    * and delta-append their per-turn results to the snapshot table
+    * (`Snapshot.append` hard-links every existing data file — metadata-only
+    * reuse, no recompute and no rewrite of prior work). Conversations are
+    * the unit of increment: the FSM's state never crosses a conv_id, so an
+    * append-only transcript corpus (the realistic case — finished
+    * conversations don't mutate) makes incremental == full recompute, which
+    * ExtractionSpec asserts. Returns the committed snapshot's metrics. */
+  def incrementalCommit(newTurns: Dataset[Turn], tablePath: String,
+                        cfg: Config = Config(),
+                        numChunks: Int = 32): Map[String, Long] = {
+    val results = extractSkewAware(newTurns, cfg)
+    val (observedDf, obs) = observed(results)
+    graft.sources.Snapshot.append(observedDf, tablePath, "conv_id", numChunks,
+      observation = Some(obs))
+  }
+
   def records(results: Dataset[TurnResult]): Dataset[RecordRow] = {
     val spark = results.sparkSession
     import spark.implicits._

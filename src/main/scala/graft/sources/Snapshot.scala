@@ -156,6 +156,93 @@ object Snapshot {
     write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1)
   }
 
+  /** Delta-append commit (Iceberg append semantics): a new snapshot that
+    * REUSES every data file of the current one via hard links (metadata-only,
+    * no data rewrite — the property that makes daily commits to a 10^12-turn
+    * table affordable) and adds only the staged new rows, prefixed
+    * `s<k>-` so names never collide. Each version directory stays
+    * self-contained, so time travel, compaction, and expiry are unchanged
+    * (expiring an old snapshot unlinks its directory; shared file inodes
+    * survive in newer versions). Same staged protocol: kill-safe at every
+    * step, manifest commits last. */
+  def append(df: DataFrame, tablePath: String, chunkKey: String,
+             numChunks: Int,
+             observation: Option[org.apache.spark.sql.Observation] = None): Map[String, Long] = {
+    val spark = df.sparkSession
+    val table = Paths.get(tablePath)
+    val parentVersion = currentVersion(table).getOrElse(
+      return write(df, tablePath, chunkKey, numChunks, observation = observation))
+    val k = parentVersion + 1
+    val manifest = table.resolve(s"manifest-v$k.json")
+    if (Files.exists(manifest)) return Map.empty
+
+    val staging = table.resolve(s"_staging-v$k")
+    val stagedMarker = staging.resolve("_STAGED")
+    var observed = Map.empty[String, Long]
+    if (!Files.exists(stagedMarker)) {
+      if (Files.exists(staging)) deleteRecursively(staging)
+      df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks)))
+        .write.partitionBy("_chunk").mode("overwrite")
+        .parquet(staging.resolve("data").toString)
+      observed = observation.map(_.get.collect {
+        case (key, v: Long) => key -> v
+        case (key, v: Int) => key -> v.toLong
+      }).getOrElse(Map.empty)
+      Files.writeString(stagedMarker, "ok")
+    }
+
+    // link every parent data file into v<k> (idempotent)
+    val parentDir = table.resolve(s"v$parentVersion")
+    val dataDir = table.resolve(s"v$k")
+    Files.list(parentDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_chunk=")).foreach { cd =>
+        val dst = dataDir.resolve(cd.getFileName.toString)
+        Files.createDirectories(dst)
+        Files.list(cd).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+            val lnk = dst.resolve(f.getFileName.toString)
+            if (!Files.exists(lnk)) Files.createLink(lnk, f)
+          }
+      }
+    // promote staged files under an s<k>- prefix (idempotent)
+    val stagedData = staging.resolve("data")
+    if (Files.exists(stagedData))
+      Files.list(stagedData).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_chunk=")).foreach { cd =>
+          val dst = dataDir.resolve(cd.getFileName.toString)
+          Files.createDirectories(dst)
+          Files.list(cd).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+              val moved = dst.resolve(s"s$k-${f.getFileName.toString}")
+              if (!Files.exists(moved))
+                Files.move(f, moved, StandardCopyOption.ATOMIC_MOVE)
+            }
+        }
+
+    val perChunk = spark.read.parquet(dataDir.toString)
+      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
+      val files = Files.list(dataDir.resolve(s"_chunk=$c")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      c.toString -> Json.obj(
+        "rows" -> rows.toString,
+        "files" -> Json.arr(files.map(Json.str)))
+    }
+    atomicWrite(manifest, Json.obj(
+      "snapshot" -> k.toString,
+      "parent" -> parentVersion.toString,
+      "append" -> "true",
+      "chunk_key" -> Json.str(chunkKey),
+      "num_chunks" -> numChunks.toString,
+      "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
+        .map { case (key, v) => key -> v.toString }: _*),
+      "chunks" -> Json.obj(chunkJson: _*)))
+    atomicWrite(table.resolve("CURRENT"), k.toString)
+    deleteRecursively(staging)
+    observed
+  }
+
   /** Snapshot expiry (Iceberg `expire_snapshots`): drop all but the last
     * `keep` committed snapshots — data dirs and manifests. Time-travel
     * reads of the kept versions are untouched; CURRENT never expires. */

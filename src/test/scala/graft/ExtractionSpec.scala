@@ -52,6 +52,40 @@ class ExtractionSpec extends AnyFunSuite {
     assert(spanCount == oracle.map(_.spans.size).sum)
   }
 
+  test("incrementalCommit: two delta appends == one full recompute; files reused") {
+    import org.apache.spark.sql.functions.col
+    val p = FixtureGen.Profile(numConvs = 40, monsterEvery = 19,
+      monsterTurns = 60, invalidEvery = 11)
+    val all = TranscriptGen.generate(spark, p, parallelism = 4)
+    val table = java.nio.file.Files.createTempDirectory("inc-extract").toString
+    val cfg = Extraction.Config(numPartitions = 4)
+    // day 1: first 20 conversations; day 2: the remaining 20
+    Extraction.incrementalCommit(
+      all.filter(col("conv_id") < "conv00000020"), table, cfg, numChunks = 4)
+    Extraction.incrementalCommit(
+      all.filter(col("conv_id") >= "conv00000020"), table, cfg, numChunks = 4)
+    val incremental = graft.sources.Snapshot.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    val full = {
+      val (df, _) = Extraction.observed(Extraction.extractSkewAware(all, cfg))
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    assert(incremental == full, "delta appends must equal the full recompute")
+    // append reused day-1 files via hard links: every v0 parquet file name
+    // appears unchanged in v1 alongside the s1- prefixed delta files
+    import scala.jdk.CollectionConverters._
+    def names(v: Int) = java.nio.file.Files.walk(java.nio.file.Paths.get(table, s"v$v"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    val (v0, v1) = (names(0), names(1))
+    assert(v0.subsetOf(v1), "append must reuse every parent data file")
+    assert((v1 -- v0).nonEmpty && (v1 -- v0).forall(_.startsWith("s1-")))
+    // time travel: v0 holds only day-1 conversations
+    val day1 = graft.sources.Snapshot.read(spark, table, version = 0)
+      .select("conv_id").distinct().collect().map(_.getString(0)).toSet
+    assert(day1.forall(_ < "conv00000020") && day1.nonEmpty)
+  }
+
   test("stripHtml stage: pipeline on raw == oracle on stripped turns") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 4)
     val got = sortedResults(Extraction.extract(turns,
