@@ -96,6 +96,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
       .select(col("keep_id"), col("dup_count"), length(col("text")).as("text_len"))),
 
+    // Dedup (exact substring): corpus-duplicated spans of length >= 32,
+    // hashed-gram shuffle (scale path); oracle recomputes with raw grams
+    "q_dup_substrings" -> ((s, d) => Dedup.duplicateSpans(
+      t(s, d, "documents"), "doc_id", "text", k = 32, hashGrams = true)),
+
     // O1/O2: global top-k with unique tiebreak
     "q_global_topk" -> ((s, d) => t(s, d, "events")
       .orderBy(desc("value"), col("event_id")).limit(10)
@@ -197,6 +202,23 @@ object SparkEntry {
       Extraction.records(Extraction.extractSkewAware(turns,
         Extraction.Config(numPartitions = 16, monsterThreshold = 200))).toDF
     }),
+    // same records through the bucketed plane: the FSM's
+    // ClusteredDistribution(conv_id) is satisfied by the bucketed scan, so
+    // the plan has NO shuffle exchange (ExtractionSpec asserts) — the layout
+    // that makes 100 TB re-extraction shuffle-free. Same oracle as
+    // q_fsm_records (content-identical input, plan-different execution).
+    "q_fsm_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      val turns = s.read.parquet(fix).as[graft.core.Turn]
+      Extraction.writeBucketed(turns, "graft_q_fsm_bucketed",
+        s"$FixtureDir/fsmrec60_bucketed", buckets = 8)
+      Extraction.records(Extraction.extractBucketed(s, "graft_q_fsm_bucketed",
+        Extraction.Config())).toDF
+    }),
+
     "q_fsm_spans" -> ((s, d) => {
       import s.implicits._
       val turns = s.read.parquet(fixtureFsmParquet(s, "fsmspan100",
@@ -1207,6 +1229,8 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
       FsmOracleSql.spans.replace("__FIX__", s"$FixtureDir/fsmspan100/*.parquet"),
     "q_fsm_records" ->
       FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
+    "q_fsm_bucketed" ->
+      FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
     "q_minhash_lsh" -> minhashOracleSql,
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,
@@ -1315,6 +1339,26 @@ FROM lstats""",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, LENGTH(text) AS text_len
          FROM documents GROUP BY text""",
+    "q_dup_substrings" ->
+      """WITH pts AS (
+           SELECT doc_id AS id, text,
+                  CAST(unnest(range(0, greatest(length(text)-32+1, 0))) AS INT) AS pos
+           FROM documents),
+         g AS (SELECT id, pos, substr(text, pos+1, 32) AS gram FROM pts),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         cov AS (SELECT id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         brk AS (
+           SELECT id, pos,
+                  CASE WHEN prev IS NULL OR pos - prev > 32 THEN 1 ELSE 0 END AS b
+           FROM (SELECT id, pos,
+                        lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+                 FROM cov)),
+         isl AS (SELECT id, pos,
+                        sum(b) OVER (PARTITION BY id ORDER BY pos) AS island
+                 FROM brk)
+         SELECT id, CAST(min(pos) AS INT) AS start,
+                CAST(max(pos) + 32 AS INT) AS "end"
+         FROM isl GROUP BY id, island""",
     "q_global_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
     "q_join_agg" ->

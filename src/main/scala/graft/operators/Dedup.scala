@@ -151,6 +151,41 @@ object Dedup {
       .na.fill("", Seq("cleaned")).na.fill(0L, Seq("dropped"))
   }
 
+  /** Cross-corpus duplicated-substring spans (exact substring dedup, the
+    * suffix-array pass of large-scale LM pipelines): a character position is
+    * covered iff the k-gram starting there occurs more than once in the
+    * whole corpus (any document, any position) — which holds exactly for the
+    * characters inside some duplicated substring of length ≥ k. Covered
+    * positions merge into maximal [start, end) spans per document via one
+    * gaps-and-islands window pass.
+    *
+    * Distributed shape: gram explosion → hash-agg for multi-occurrence keys
+    * → equi-join back → window merge. Everything key-partitioned — no cross
+    * join, no driver state. With `hashGrams` the gram shuffle carries
+    * (xxhash64, id, pos) — ~20 bytes/row regardless of k — never gram text;
+    * the raw-gram mode exists for the cross-engine oracle (bit-identical
+    * output barring 64-bit collisions, asserted by spec). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 32, hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - k)).as("pos"))
+    val gram = col("t").substr(col("pos") + 1, lit(k))
+    val keyed = base.select(col("id"), col("pos"),
+      (if (hashGrams) xxhash64(gram) else gram).as("key"))
+    val dup = keyed.groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("key")
+    val cov = keyed.join(dup, "key").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val brk = when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0)
+    cov.withColumn("island", sum(brk).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + k).as("end"))
+      .select(col("id"), col("start"), col("end"))
+  }
+
   /** Embedding-cosine near-dup: multi-table hyperplane-LSH blocking (a pair
     * is a candidate if it shares a bucket in ANY of `tables` independent
     * hash tables — OR-amplification recovers the recall a single table loses

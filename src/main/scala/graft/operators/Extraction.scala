@@ -111,6 +111,56 @@ object Extraction {
       .mapPartitions(parsePartition(cfg) _)
   }
 
+  /** Bucketed-layout plane: co-located, exchange-free extraction.
+    *
+    * `writeBucketed` lays the transcript table out as a Spark bucketed table —
+    * `hash(conv_id) mod buckets` picks the file, rows sorted by
+    * `(conv_id, turn_idx)` within it. The pre-write `repartition(buckets,
+    * conv_id)` uses the same Murmur3 `HashPartitioning` as the bucket-file
+    * assignment, so every task holds exactly one bucket and each bucket is a
+    * single sorted file — the layout Spark's scan reports as both partitioned
+    * AND ordered.
+    *
+    * `extractBucketed` then runs the FSM via a *relational* group
+    * (`groupBy(conv_id).as[K,V].flatMapGroups`): the MapGroups node's
+    * ClusteredDistribution(conv_id) is satisfied by the bucketed scan itself,
+    * so Catalyst plans NO shuffle exchange (asserted by spec). At 100 TB this
+    * removes the default path's dominant cost — moving every text byte
+    * through an exchange — for any re-extraction or downstream
+    * per-conversation job over the same layout. Correctness never depends on
+    * the layout: over a non-bucketed table the same code simply gets a
+    * planned exchange, and the in-group `sortBy(turn_idx)` (conversation-
+    * sized, cheap) keeps turn order right even if the scan's file-level
+    * ordering is ever dropped (multi-file buckets). */
+  def writeBucketed(turns: Dataset[Turn], tableName: String, path: String,
+                    buckets: Int): Unit = {
+    val spark = turns.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    turns
+      .repartition(buckets, col("conv_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "conv_id")
+      .sortBy("conv_id", "turn_idx")
+      .option("path", path)
+      .saveAsTable(tableName)
+  }
+
+  def extractBucketed(spark: SparkSession, tableName: String,
+                      cfg: Config = Config()): Dataset[TurnResult] = {
+    import spark.implicits._
+    spark.table(tableName)
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[TurnSlim]
+      .groupBy(col("conv_id")).as[String, TurnSlim]
+      .flatMapGroups { (cid: String, it: Iterator[TurnSlim]) =>
+        val ts = it.toIndexedSeq.sortBy(_.turn_idx)
+        val cleaned =
+          if (cfg.stripHtml) ts.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
+          else ts
+        ConvParser.parse(cid, cleaned)
+      }
+  }
+
   /** Flattened assembled-records view (the reference's CSV row table). */
   /** Batch-incremental commit: extract ONLY the newly arrived conversations
     * and delta-append their per-turn results to the snapshot table

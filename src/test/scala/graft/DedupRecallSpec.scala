@@ -211,4 +211,35 @@ class DedupRecallSpec extends AnyFunSuite {
     info(f"near-dup recall (cos>=0.9, 4x6-bit tables)=$recall2%.3f over ${brute2.size} pairs")
     assert(recall2 >= 0.9, f"tight-regime recall $recall2%.3f < 0.9")
   }
+
+  test("duplicateSpans: exact spans for planted shared/repeated passages; hash == raw") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog!" // 44 chars
+    require(passage.length == 44)
+    val docs = Seq(
+      // shared passage at offset 10 (A) and 0 (B); unique elsewhere
+      (1L, "aaaaaaaaaa" + passage + " unique tail one xxxxxxxxxx"),
+      (2L, passage + " completely different remainder yyyy"),
+      // internal repetition: same 20-char run twice inside one doc
+      (3L, "zzz 01234567890123456789 mid 01234567890123456789 end"),
+      // no duplicates anywhere
+      (4L, "nothing here repeats at all, not even close to k chars"),
+      (5L, "short")
+    ).toDF("id", "text")
+
+    val k = 16
+    val got = Dedup.duplicateSpans(docs, "id", "text", k = k, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // The maximal duplicated substring is passage+trailing-space (45 chars —
+    // both continuations start with ' '): doc1 [10,55), doc2 [0,45). Doc3's
+    // duplicated run is space + 20-char digits + space (22 chars — both
+    // copies are space-delimited): [3,25) and [28,50); covered start
+    // positions (3..9 vs 28..34) gap by 19 > k, so the two copies stay
+    // separate islands
+    assert(got == Set((1L, 10, 55), (2L, 0, 45), (3L, 3, 25), (3L, 28, 50)),
+      s"got $got")
+    val raw = Dedup.duplicateSpans(docs, "id", "text", k = k, hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(raw == got, "hashed-gram and raw-gram modes must agree")
+  }
 }

@@ -43,6 +43,25 @@ class ExtractionSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("bucketed plane: extractBucketed == oracle AND plans no exchange") {
+    val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed-turns").toString
+    Extraction.writeBucketed(turns, "bucketed_turns_spec", tmp, buckets = 8)
+    try {
+      val results = Extraction.extractBucketed(spark, "bucketed_turns_spec",
+        Extraction.Config())
+      assert(sortedResults(results) == oracle)
+      // the ClusteredDistribution(conv_id) must be satisfied by the bucketed
+      // scan itself: the executed plan contains NO shuffle exchange
+      val plan = results.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in plan:\n$plan")
+      // one sorted file per bucket (repartition hash == bucket hash)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-")).toSeq
+      assert(files.size == 8, s"expected 8 bucket files, got ${files.size}")
+    } finally spark.sql("DROP TABLE IF EXISTS bucketed_turns_spec")
+  }
+
   test("records/spans views are consistent with the per-turn results") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
     val results = Extraction.extract(turns, Extraction.Config(numPartitions = 8))
