@@ -75,6 +75,23 @@ object SparkEntry {
       .select(col("user_id"), col("event_id").as("first_event"),
         col("ts").cast("timestamp").cast("long").as("ts_epoch"))),
 
+    // Sessionization (gaps-and-islands): per-user sessions split at >30-min
+    // gaps, summarized per session — one window pass + one hash agg
+    "q_sessionize" -> ((s, d) => graft.operators.Sessionize
+      .sessionSummary(t(s, d, "events"), "user_id", "ts", "event_id", 1800L)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("t_start").cast("timestamp").cast("long").as("start_epoch"),
+        col("t_end").cast("timestamp").cast("long").as("end_epoch"))),
+
+    // Sessionization (native session_window agg — same code path in
+    // Structured Streaming); windows merge at <= gap, split strictly > gap
+    "q_session_window" -> ((s, d) => graft.operators.Sessionize
+      .sessionWindows(t(s, d, "events"), "user_id", "ts", 1800L)
+      .select(col("user_id"),
+        col("w_start").cast("timestamp").cast("long").as("w_start_epoch"),
+        col("w_end").cast("timestamp").cast("long").as("w_end_epoch"),
+        col("n_events"))),
+
     // X11: stateful capture flag as running-max window
     "q_capture_flag" -> ((s, d) => t(s, d, "events")
       .withColumn("flag", max(when(col("event_type") === "purchase", 1).otherwise(0))
@@ -1326,6 +1343,39 @@ FROM lstats""",
            SELECT user_id, event_id, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
            FROM events) WHERE rn = 1""",
+    "q_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, epoch_us(ts)//1000000 AS sec,
+                  lag(epoch_us(ts)//1000000) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         b AS (SELECT user_id, event_id, ts, sec,
+                      CASE WHEN prev IS NOT NULL AND sec - prev > 1800
+                           THEN 1 ELSE 0 END AS brk FROM o),
+         s AS (SELECT user_id, sec,
+                      sum(brk) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+               FROM b)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                COUNT(*) AS n_events,
+                CAST(min(sec) AS BIGINT) AS start_epoch,
+                CAST(max(sec) AS BIGINT) AS end_epoch
+         FROM s GROUP BY user_id, session_idx""",
+    "q_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         b AS (SELECT user_id, ts, us,
+                      CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+                           THEN 1 ELSE 0 END AS brk FROM o),
+         s AS (SELECT user_id, us,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+               FROM b)
+         SELECT user_id, CAST(min(us)//1000000 AS BIGINT) AS w_start_epoch,
+                CAST((max(us)+1800000000)//1000000 AS BIGINT) AS w_end_epoch,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "q_capture_flag" ->
       """SELECT user_id, COUNT(*) AS events_after_first_purchase FROM (
            SELECT user_id,

@@ -489,4 +489,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bands(0).intersect(bands(2)).nonEmpty)
     assert(bands(0).intersect(bands(1)).isEmpty)
   }
+
+  test("Sessionize: strict-gap byGap vs >=-gap session_window at the boundary") {
+    import spark.implicits._
+    val secs = Seq(0L, 10L, 2000L, 3800L) // gaps: 10, 1990, exactly 1800
+    val df = secs.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, new java.sql.Timestamp(t * 1000L))
+    }.toDF("uid", "eid", "ts")
+    val idx = graft.operators.Sessionize.byGap(df, "uid", "ts", "eid", 1800L)
+      .select(col("eid"), col("session_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // strict > 1800: only the 1990 gap splits; the exactly-1800 gap does not
+    assert(idx == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+    val win = graft.operators.Sessionize.sessionWindows(df, "uid", "ts", 1800L)
+      .select(col("n_events")).collect().map(_.getLong(0)).sorted.toSeq
+    // session_window merges at exactly-gap too (split only when > 1800):
+    // {0,10}, {2000,3800} — same boundary as byGap
+    assert(win == Seq(2L, 2L))
+    val summary = graft.operators.Sessionize
+      .sessionSummary(df, "uid", "ts", "eid", 1800L)
+      .orderBy(col("session_idx"))
+      .select(col("n_events"), col("t_start").cast("long"),
+        col("t_end").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(summary == Seq((2L, 0L, 10L), (2L, 2000L, 3800L)))
+  }
 }
