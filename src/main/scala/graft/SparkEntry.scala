@@ -183,6 +183,18 @@ object SparkEntry {
         TF.stopwordHits(col("text"), "en").as("stop_en"),
         ppm(TF.qualityScore(col("text"))).as("quality_ppm"))),
 
+    // curation calibration: percent_rank CDF of the quality score within
+    // each source stratum (ppm-quantized for cross-engine bit equality)
+    "q_score_percentile" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          ppm(TF.qualityScore(col("text"))).as("quality_ppm"))
+      graft.operators.TrainingData
+        .percentileNormalize(base, "source", col("quality_ppm"))
+        .select(col("doc_id"), col("source"), col("quality_ppm"),
+          floor(col("pctl") * 1000000).cast("long").as("pctl_ppm"))
+    }),
+
     // text analysis: language ID (stopword-hit argmax)
     "q_langid" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
@@ -1468,6 +1480,29 @@ FROM lstats""",
            stop_en,
            CAST(FLOOR(GREATEST(0.0, LEAST(1.0, raw)) * 1000000) AS BIGINT) AS quality_ppm
          FROM q""",
+    "q_score_percentile" ->
+      """WITH b AS (
+           SELECT doc_id, source, text, LENGTH(text) AS n,
+             CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS alpha,
+             CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct,
+             LEN(regexp_extract_all(LOWER(text), '\b(a|and|for|in|is|it|of|that|the|to)\b', 1)) AS stop_en,
+             LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS tok_chars
+           FROM documents WHERE LENGTH(text) > 0),
+         q AS (
+           SELECT doc_id, source,
+             0.3 * LEAST(1.0, n / 200.0) + 0.25 * alpha
+             + 0.2 * LEAST((CAST(stop_en AS DOUBLE) / n_tok) * 4, 1.0)
+             + 0.15 * (CASE WHEN tok_chars / n_tok >= 3 AND tok_chars / n_tok <= 10 THEN 1.0 ELSE 0.5 END)
+             + 0.1 * (1.0 - LEAST(punct * 5, 1.0)) AS raw
+           FROM b),
+         p AS (
+           SELECT doc_id, source,
+             CAST(FLOOR(GREATEST(0.0, LEAST(1.0, raw)) * 1000000) AS BIGINT) AS quality_ppm
+           FROM q)
+         SELECT doc_id, source, quality_ppm,
+           CAST(FLOOR(percent_rank() OVER (PARTITION BY source ORDER BY quality_ppm) * 1000000) AS BIGINT) AS pctl_ppm
+         FROM p""",
     "q_langid" ->
       """WITH h AS (
            SELECT doc_id,

@@ -209,6 +209,19 @@ object TrainingData {
       .filter(col("rk") <= cap)
   }
 
+  /** Per-stratum score calibration: percent_rank CDF normalization of a
+    * quality score within each stratum (source, language, …), so thresholds
+    * mean the same thing across strata with very different raw-score
+    * distributions — the standard pre-step before mixing quality-filtered
+    * sources. One per-stratum window; ties share a rank, so the output is
+    * deterministic without a tie-break column. */
+  def percentileNormalize(df: DataFrame, strataCol: String,
+                          score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("pctl",
+      percent_rank().over(Window.partitionBy(col(strataCol)).orderBy(score)))
+  }
+
   /** Token-budget corpus selection (data-constrained curation): order docs
     * by a quality key, keep the prefix whose cumulative token count stays
     * within `budgetTokens`. The running sum is a global-order window — one

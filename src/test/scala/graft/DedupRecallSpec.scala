@@ -242,4 +242,36 @@ class DedupRecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(raw == got, "hashed-gram and raw-gram modes must agree")
   }
+
+  test("duplicateSpans == naive model on random low-alphabet corpora") {
+    import spark.implicits._
+    def model(docs: Seq[(Long, String)], k: Int): Set[(Long, Int, Int)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        (0 to t.length - k).map(p => (t.substring(p, p + k), id, p)) }
+      val counts = grams.groupBy(_._1).view.mapValues(_.size).toMap
+      grams.filter(g => counts(g._1) > 1).map(g => (g._2, g._3))
+        .groupBy(_._1).flatMap { case (id, ps) =>
+          val sorted = ps.map(_._2).distinct.sorted
+          val spans = scala.collection.mutable.Buffer.empty[(Int, Int)]
+          var s = sorted.head; var prev = sorted.head
+          for (p <- sorted.tail) {
+            if (p - prev > k) { spans += ((s, prev + k)); s = p }; prev = p
+          }
+          spans += ((s, prev + k))
+          spans.map { case (a, b) => (id, a, b) }
+        }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 6) {
+      val k = 3 + rnd.nextInt(4)
+      val docs = (0 until (4 + rnd.nextInt(6))).map { i =>
+        val len = rnd.nextInt(60)
+        (i.toLong, Seq.fill(len)("ab "(rnd.nextInt(3))).mkString)
+      }
+      val got = Dedup.duplicateSpans(docs.toDF("id", "text"), "id", "text",
+          k = k, hashGrams = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == model(docs, k), s"round $round k=$k docs=$docs")
+    }
+  }
 }
