@@ -118,6 +118,10 @@ object SparkEntry {
     "q_dup_substrings" -> ((s, d) => Dedup.duplicateSpans(
       t(s, d, "documents"), "doc_id", "text", k = 32, hashGrams = true)),
 
+    // apply side of q_dup_substrings: rebuild docs with duplicated spans cut
+    "q_dup_substrings_removed" -> ((s, d) => Dedup.removeDuplicateSpans(
+      t(s, d, "documents"), "doc_id", "text", k = 32, hashGrams = true)),
+
     // O1/O2: global top-k with unique tiebreak
     "q_global_topk" -> ((s, d) => t(s, d, "events")
       .orderBy(desc("value"), col("event_id")).limit(10)
@@ -1421,6 +1425,43 @@ FROM lstats""",
          SELECT id, CAST(min(pos) AS INT) AS start,
                 CAST(max(pos) + 32 AS INT) AS "end"
          FROM isl GROUP BY id, island""",
+    "q_dup_substrings_removed" ->
+      """WITH pts AS (
+           SELECT doc_id AS id, text,
+                  CAST(unnest(range(0, greatest(length(text)-32+1, 0))) AS INT) AS pos
+           FROM documents),
+         g AS (SELECT id, pos, substr(text, pos+1, 32) AS gram FROM pts),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         cov AS (SELECT id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         brk AS (
+           SELECT id, pos,
+                  CASE WHEN prev IS NULL OR pos - prev > 32 THEN 1 ELSE 0 END AS b
+           FROM (SELECT id, pos,
+                        lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+                 FROM cov)),
+         isl AS (SELECT id, pos,
+                        sum(b) OVER (PARTITION BY id ORDER BY pos) AS island
+                 FROM brk),
+         spans AS (SELECT id, min(pos) AS s, max(pos) + 32 AS e
+                   FROM isl GROUP BY id, island),
+         mids AS (SELECT id,
+                         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS seg_start,
+                         s AS seg_end
+                  FROM spans),
+         tails AS (SELECT id, max(e) AS seg_start, 2147483647 AS seg_end
+                   FROM spans GROUP BY id),
+         segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails),
+         cut AS (
+           SELECT segs.id, seg_start,
+                  substr(d.text, seg_start+1,
+                         greatest(0, least(seg_end, length(d.text)) - seg_start)) AS seg
+           FROM segs JOIN documents d ON d.doc_id = segs.id
+           WHERE seg_end > seg_start),
+         reb AS (SELECT id, string_agg(seg, '' ORDER BY seg_start) AS cleaned
+                 FROM cut GROUP BY id)
+         SELECT d.doc_id AS id, coalesce(reb.cleaned, d.text) AS cleaned,
+                CAST(length(d.text) - length(coalesce(reb.cleaned, d.text)) AS BIGINT) AS removed
+         FROM documents d LEFT JOIN reb ON reb.id = d.doc_id""",
     "q_global_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
     "q_join_agg" ->

@@ -186,6 +186,39 @@ object Dedup {
       .select(col("id"), col("start"), col("end"))
   }
 
+  /** Apply side of [[duplicateSpans]]: rebuild each document with its
+    * duplicated spans cut out. Fully relational — the complement segments
+    * come from one lag-window over the (small) span set plus a per-doc tail,
+    * segments slice the text after an id equi-join, and the ordered
+    * reassembly is a doc-bounded `collect_list` (same memory contract as
+    * `repeatedLines`: one document's own pieces, never a popularity-sized
+    * group). Emits every input doc: (id, cleaned, removed). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 32, hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicateSpans(df, idCol, textCol, k, hashGrams)
+    val w = Window.partitionBy("id").orderBy("start")
+    val mids = spans.select(col("id"),
+      coalesce(lag(col("end"), 1).over(w), lit(0)).as("seg_start"),
+      col("start").as("seg_end"))
+    val tails = spans.groupBy("id").agg(max(col("end")).as("seg_start"))
+      .withColumn("seg_end", lit(Int.MaxValue))
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val segs = mids.unionByName(tails)
+      .filter(col("seg_end") > col("seg_start"))
+      .join(docs, "id")
+      .withColumn("seg", col("t").substr(col("seg_start") + 1,
+        greatest(lit(0), least(col("seg_end"), length(col("t"))) - col("seg_start"))))
+    val rebuilt = segs.groupBy("id").agg(
+      concat_ws("", transform(
+        array_sort(collect_list(struct(col("seg_start"), col("seg")))),
+        x => x("seg"))).as("cleaned"))
+    docs.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cleaned"), col("t")).as("cleaned"),
+        (length(col("t")) - length(coalesce(col("cleaned"), col("t"))))
+          .cast("long").as("removed"))
+  }
+
   /** Embedding-cosine near-dup: multi-table hyperplane-LSH blocking (a pair
     * is a candidate if it shares a bucket in ANY of `tables` independent
     * hash tables — OR-amplification recovers the recall a single table loses

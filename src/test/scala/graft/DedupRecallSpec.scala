@@ -243,6 +243,25 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(raw == got, "hashed-gram and raw-gram modes must agree")
   }
 
+  test("removeDuplicateSpans: rebuilt text == hand-computed complements") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog!"
+    val docs = Seq(
+      (1L, "aaaaaaaaaa" + passage + " unique tail one xxxxxxxxxx"),
+      (2L, passage + " completely different remainder yyyy"),
+      (3L, "zzz 01234567890123456789 mid 01234567890123456789 end"),
+      (4L, "nothing here repeats at all, not even close to k chars"),
+      (5L, "short")
+    ).toDF("id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "id", "text", k = 16)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("aaaaaaaaaa" + "unique tail one xxxxxxxxxx", 45L))
+    assert(got(2L) == ("completely different remainder yyyy", 45L))
+    assert(got(3L) == ("zzzmidend", 44L))
+    assert(got(4L) == ("nothing here repeats at all, not even close to k chars", 0L))
+    assert(got(5L) == ("short", 0L))
+  }
+
   test("duplicateSpans == naive model on random low-alphabet corpora") {
     import spark.implicits._
     def model(docs: Seq[(Long, String)], k: Int): Set[(Long, Int, Int)] = {
