@@ -183,6 +183,29 @@ object TextStats {
     mix64(h)
   }
 
+  /** Per-position k-char-gram hashes, ONE pass over the string: out(i) =
+    * FNV-1a+splitmix of code points s[i..i+k). Positions and window lengths
+    * are Unicode CODE POINTS, matching SQL substring/length semantics, so
+    * the hashed fast path of substring dedup lands on the same offsets as
+    * the raw-substring mode (and the DuckDB oracle) on any input. Replaces
+    * a per-position `substr` plan whose char-offset seeks made the gram
+    * pass O(len²) per document. */
+  def charGramHashes(s: String, k: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.empty
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      while (j < i + k) { h = (h ^ cps(j)) * 0x100000001B3L; j += 1 }
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
   /** Rolling polynomial document fingerprint (Rabin-Karp style, base 257). */
   def fingerprint(s: String): Long = {
     var h = 0L

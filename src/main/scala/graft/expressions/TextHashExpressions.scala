@@ -113,6 +113,22 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Per-position k-char-gram hashes (ordered, NOT deduped — index i is the
+    * gram starting at code point i), one pass per row. The scan-side kernel
+    * of substring dedup: emits 8 bytes per position instead of a k-char
+    * substring, and avoids per-position substring seeks. */
+  case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.charGramHashes(v.asInstanceOf[UTF8String].toString, k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.charGramHashes($v.toString(), $k));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -161,6 +177,8 @@ object TextHashExpressions {
   def token_hashes(text: Column): Column = column(ShingleHashes(expression(text), 1))
 
   def shingle_hashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
+
+  def char_gram_hashes(text: Column, k: Int): Column = column(CharGramHashes(expression(text), k))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     column(SortedLongJaccard(expression(a), expression(b)))

@@ -161,20 +161,30 @@ object Dedup {
     *
     * Distributed shape: gram explosion → hash-agg for multi-occurrence keys
     * → equi-join back → window merge. Everything key-partitioned — no cross
-    * join, no driver state. With `hashGrams` the gram shuffle carries
-    * (xxhash64, id, pos) — ~20 bytes/row regardless of k — never gram text;
-    * the raw-gram mode exists for the cross-engine oracle (bit-identical
-    * output barring 64-bit collisions, asserted by spec). */
+    * join, no driver state. With `hashGrams` the gram pass is the codegen'd
+    * `char_gram_hashes` kernel — ONE pass per document emitting (hash, pos),
+    * ~20 bytes/row through the shuffle regardless of k, no per-position
+    * substring seeks (a per-position `substr` plan is O(len²) per document:
+    * each call re-seeks its char offset). The raw-gram mode exists for the
+    * cross-engine oracle (identical output barring 64-bit collisions,
+    * asserted by spec and by the oracle itself). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 32, hashGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .select(col("id"), col("t"),
-        explode(sequence(lit(0), length(col("t")) - k)).as("pos"))
-    val gram = col("t").substr(col("pos") + 1, lit(k))
-    val keyed = base.select(col("id"), col("pos"),
-      (if (hashGrams) xxhash64(gram) else gram).as("key"))
+    val keyed =
+      if (hashGrams)
+        df.filter(length(col(textCol)) >= k)
+          .select(col(idCol).as("id"),
+            posexplode(graft.expressions.TextHashExpressions
+              .char_gram_hashes(col(textCol), k)).as(Seq("pos", "key")))
+      else {
+        val base = df.filter(length(col(textCol)) >= k)
+          .select(col(idCol).as("id"), col(textCol).as("t"))
+          .select(col("id"), col("t"),
+            explode(sequence(lit(0), length(col("t")) - k)).as("pos"))
+        base.select(col("id"), col("pos"),
+          col("t").substr(col("pos") + 1, lit(k)).as("key"))
+      }
     val dup = keyed.groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("key")
     val cov = keyed.join(dup, "key").select("id", "pos")

@@ -116,4 +116,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(g == o, s"stream/batch mismatch at ${o.conv_id}/${o.turn_idx}")
     }
   }
+
+  test("streaming sessionization: session_window finalizes on watermark; stream ⊆ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def turn(conv: String, idx: Int, sec: Int) =
+      Turn(conv, idx, "user", "t", null, new java.sql.Timestamp(t0 + sec * 1000L))
+    val fed = Seq(turn("c1", 0, 0), turn("c1", 1, 30), turn("c2", 0, 10),
+      turn("c1", 2, 600), turn("c1", 3, 1200))
+
+    val input = MemoryStream[Turn]
+    // the SAME operator as batch q_session_window, watermarked upstream
+    val sess = graft.operators.Sessionize.sessionWindows(
+      input.toDF().withWatermark("ts", "2 minutes"), "conv_id", "ts", 60L)
+    val query = sess.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(fed(0), fed(1), fed(2))
+      query.processAllAvailable()
+      // watermark jumps to 600s-120s=480s — both minute-0 sessions finalize
+      input.addData(fed(3))
+      query.processAllAvailable()
+      input.addData(fed(4))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("stream_sessions")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    // c1: turns at 0s and 30s merge (gap 30 < 60), window [0, 30+60)
+    assert(rows.contains(("c1", t0, t0 + 90000L, 2L)), s"got $rows")
+    assert(rows.contains(("c2", t0 + 10000L, t0 + 70000L, 1L)))
+    // every finalized streamed session equals the batch result on the same data
+    val batch = graft.operators.Sessionize
+      .sessionWindows(fed.toDF(), "conv_id", "ts", 60L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(rows.subsetOf(batch), s"stream rows $rows not in batch $batch")
+  }
 }
