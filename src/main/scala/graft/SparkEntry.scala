@@ -252,6 +252,16 @@ object SparkEntry {
         Extraction.Config())).toDF
     }),
 
+    // turns -> per-conversation document view (stable turn order), the
+    // bridge from the transcript table to every document-level operator
+    "q_conv_docs" -> ((s, d) => {
+      import s.implicits._
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      Extraction.conversationDocs(s.read.parquet(fix).as[graft.core.Turn])
+    }),
+
     "q_fsm_spans" -> ((s, d) => {
       import s.implicits._
       val turns = s.read.parquet(fixtureFsmParquet(s, "fsmspan100",
@@ -1264,6 +1274,11 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
       FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
     "q_fsm_bucketed" ->
       FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
+    "q_conv_docs" ->
+      s"""SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
+            COUNT(*) AS n_turns
+          FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
+          GROUP BY conv_id""",
     "q_minhash_lsh" -> minhashOracleSql,
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,

@@ -161,6 +161,19 @@ object Extraction {
       }
   }
 
+  /** Turns → per-conversation document view: every turn's text concatenated
+    * in stable (turn_idx) order — the materialization that feeds document-
+    * level ops (dedup, quality, chunking) from the transcript table. One
+    * hash-agg; the ordered reassembly is bounded by a single conversation's
+    * own turns (same memory contract as the FSM plane), never a popularity-
+    * sized group. */
+  def conversationDocs(turns: Dataset[Turn]): DataFrame =
+    turns.toDF.groupBy(col("conv_id")).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x("text"))).as("doc_text"),
+      count(lit(1)).as("n_turns"))
+
   /** Flattened assembled-records view (the reference's CSV row table). */
   /** Batch-incremental commit: extract ONLY the newly arrived conversations
     * and delta-append their per-turn results to the snapshot table

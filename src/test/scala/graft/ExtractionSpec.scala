@@ -62,6 +62,16 @@ class ExtractionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bucketed_turns_spec")
   }
 
+  test("conversationDocs: stable turn order under scrambled distributed input") {
+    val turns = TranscriptGen.generate(spark, profile, parallelism = 7)
+    val got = Extraction.conversationDocs(turns).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    val model = FixtureGen.turns(profile).groupBy(_.conv_id).map { case (c, ts) =>
+      (c, (ts.sortBy(_.turn_idx).map(_.text).mkString("\n"), ts.size.toLong))
+    }
+    assert(got == model)
+  }
+
   test("records/spans views are consistent with the per-turn results") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
     val results = Extraction.extract(turns, Extraction.Config(numPartitions = 8))
