@@ -567,6 +567,11 @@ object SparkEntry {
 
     // sub-document chunk dedup over a corpus with injected clone docs
     // (keep-first = min(struct) hash-agg, skew-safe; see TrainingData)
+    // sliding-window chunking (overlap): zero-shuffle per-row HOF windows
+    "q_sliding_chunks" -> ((s, d) => TrainingData.slidingChunks(
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", chunkTokens = 32, strideTokens = 24)),
+
     "q_chunk_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       TrainingData.chunkDedup(
@@ -1842,6 +1847,17 @@ SELECT doc_id,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
 FROM aug""",
 
+    "q_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         n AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) > 32
+                      THEN CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+                      ELSE 1 END AS ns
+               FROM t),
+         c AS (SELECT doc_id, CAST(unnest(range(0, ns)) AS BIGINT) AS chunk_idx, toks FROM n)
+         SELECT doc_id, chunk_idx, chunk_idx * 24 AS token_start,
+                array_to_string(toks[CAST(chunk_idx*24+1 AS INT) : CAST(chunk_idx*24+32 AS INT)], ' ') AS chunk
+         FROM c""",
     "q_chunk_dedup" ->
       """WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -209,6 +209,27 @@ object TrainingData {
       .filter(col("rk") <= cap)
   }
 
+  /** Sliding-window chunking with overlap (the RAG / long-context window
+    * pass, vs [[chunkDedup]]'s disjoint chunks): token windows of
+    * `chunkTokens` advancing by `strideTokens`, last window clamped at the
+    * end. Pure per-row HOF expression tree (sequence/transform/slice) — no
+    * shuffle at all; emits (id, chunk_idx, token_start, chunk). */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens)
+    val toks = split(col(textCol), " ")
+    val nStarts = when(size(toks) > chunkTokens,
+      ceil((size(toks) - chunkTokens).cast("double") / strideTokens).cast("int") + 1)
+      .otherwise(lit(1))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nStarts - 1),
+          i => concat_ws(" ", slice(toks, i * strideTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * strideTokens).cast("long").as("token_start"),
+        col("chunk"))
+  }
+
   /** Per-stratum score calibration: percent_rank CDF normalization of a
     * quality score within each stratum (source, language, …), so thresholds
     * mean the same thing across strata with very different raw-score

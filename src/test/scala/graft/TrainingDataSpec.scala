@@ -76,6 +76,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept == Set((10L, 0L), (10L, 1L), (30L, 0L)))
   }
 
+  test("slidingChunks == naive sliding model; overlap, clamp, short/empty docs") {
+    def model(id: Long, text: String, chunk: Int, stride: Int): Seq[(Long, Long, Long, String)] = {
+      val toks = text.split(" ", -1)
+      val ns = if (toks.length > chunk)
+        math.ceil((toks.length - chunk).toDouble / stride).toInt + 1 else 1
+      (0 until ns).map { i =>
+        (id, i.toLong, (i * stride).toLong,
+          toks.slice(i * stride, i * stride + chunk).mkString(" "))
+      }
+    }
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks: starts 0,24,48,72 (clamped last)
+      (2L, (1 to 32).map(i => s"v$i").mkString(" ")),  // exactly one window
+      (3L, "a b c"),                                    // shorter than chunk
+      (4L, "")                                          // empty -> one empty chunk
+    )
+    val got = TrainingData.slidingChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32, strideTokens = 24)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == docs.flatMap { case (id, t) => model(id, t, 32, 24) }.toSet)
+  }
+
   test("contamination: only docs sharing an n-gram with the bench slice are flagged") {
     val eight = "a b c d e f g h"
     val df = Seq(
