@@ -262,6 +262,24 @@ object SparkEntry {
       Extraction.conversationDocs(s.read.parquet(fix).as[graft.core.Turn])
     }),
 
+    // SFT pair construction: (last-K-turn context, assistant response) —
+    // bounded window frame, one shuffle, O(K) state per row
+    "q_sft_pairs" -> ((s, d) => {
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      TrainingData.sftPairs(s.read.parquet(fix), contextTurns = 4)
+    }),
+
+    // per-conversation tool-usage profile (role counts, distinct tools,
+    // time span) — single partial-aggregatable hash-agg
+    "q_tool_stats" -> ((s, d) => {
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      TrainingData.toolStats(s.read.parquet(fix))
+    }),
+
     "q_fsm_spans" -> ((s, d) => {
       import s.implicits._
       val turns = s.read.parquet(fixtureFsmParquet(s, "fsmspan100",
@@ -1282,6 +1300,25 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_conv_docs" ->
       s"""SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
             COUNT(*) AS n_turns
+          FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
+          GROUP BY conv_id""",
+    "q_sft_pairs" ->
+      s"""WITH w AS (
+            SELECT conv_id, turn_idx, role, text,
+              string_agg(role || ': ' || text, chr(10) || chr(10)) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt
+            FROM read_parquet('$FixtureDir/fsmrec60/*.parquet'))
+          SELECT conv_id, turn_idx, prompt, text AS response
+          FROM w WHERE role = 'assistant' AND prompt IS NOT NULL""",
+    "q_tool_stats" ->
+      s"""SELECT conv_id, COUNT(*) AS n_turns,
+            CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+            CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+            array_to_string(list_sort(coalesce(
+              list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL), [])), ',') AS tools,
+            epoch_us(MIN(ts)) // 1000000 AS t_first_epoch,
+            epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
     "q_minhash_lsh" -> minhashOracleSql,

@@ -306,4 +306,46 @@ object TrainingData {
       .withColumn("shard", split(col("gs"), Sep).getItem(1).cast("int"))
       .drop("gs")
   }
+
+  /** Supervised-fine-tuning pair construction over the transcript table:
+    * for every assistant turn that has at least one preceding turn, emit
+    * (conv_id, turn_idx, prompt, response) where prompt is the last
+    * `contextTurns` preceding turns rendered "role: text" joined by blank
+    * lines, and response is the assistant turn's own text.
+    *
+    * Scale design: ONE shuffle (the window's hash exchange on conv_id); the
+    * BOUNDED frame (ROWS BETWEEN K PRECEDING AND 1 PRECEDING) keeps per-row
+    * window state O(K) regardless of conversation length — an
+    * unbounded-prefix prompt would be O(n²) bytes on the heavy-tail
+    * "monster" conversations the extraction plane routes around. Turn order
+    * inside the prompt is the north rule's stable (conv_id, turn_idx)
+    * ordering. `concat` (not concat_ws) renders each context turn so a NULL
+    * text propagates to NULL and is skipped by collect_list in both engines. */
+  def sftPairs(turns: DataFrame, contextTurns: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(-contextTurns, -1)
+    turns
+      .withColumn("ctx",
+        collect_list(concat(col("role"), lit(": "), col("text"))).over(w))
+      .filter(col("role") === "assistant" && size(col("ctx")) > 0)
+      .select(col("conv_id"), col("turn_idx"),
+        array_join(col("ctx"), "\n\n").as("prompt"),
+        col("text").as("response"))
+  }
+
+  /** Per-conversation tool-usage profile: turn counts by role, the distinct
+    * tools invoked (sorted, comma-joined; empty string when none), and the
+    * conversation's wall-clock span. One partial-aggregatable hash-agg —
+    * counts/min/max combine map-side; `collect_set` state is bounded by the
+    * tool VOCABULARY (small by construction), not by conversation length,
+    * so a monster conversation costs no more agg memory than a short one. */
+  def toolStats(turns: DataFrame): DataFrame =
+    turns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+      sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_calls"),
+      array_join(array_sort(collect_set(col("tool"))), ",").as("tools"),
+      min(col("ts")).cast("long").as("t_first_epoch"),
+      max(col("ts")).cast("long").as("t_last_epoch"))
 }

@@ -236,4 +236,60 @@ class TrainingDataSpec extends AnyFunSuite {
     val loads = out.groupBy(r => (r._2, r._5)).map(_._2.map(_._4).sum)
     assert(loads.forall(_ <= 256))
   }
+
+  test("sftPairs == naive model: K-capped context, first-turn excluded, null text skipped") {
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    // conv A: 6 alternating turns (assistant at 1,3,5); conv B: assistant
+    // FIRST (no context -> excluded) then a null-text user turn that must be
+    // skipped inside the next assistant's prompt
+    val turns = Seq(
+      ("A", 0, "user", "hi"), ("A", 1, "assistant", "hello"),
+      ("A", 2, "user", "q1"), ("A", 3, "assistant", "a1"),
+      ("A", 4, "user", "q2"), ("A", 5, "assistant", "a2"),
+      ("B", 0, "assistant", "greeting"), ("B", 1, "user", null),
+      ("B", 2, "assistant", "resp")
+    ).map { case (c, i, r, t) => (c, i, r, t, null: String, ts0) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val k = 2
+    val got = TrainingData.sftPairs(turns, contextTurns = k)
+      .as[(String, Int, String, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+    // independent naive model
+    val byConv = Seq(
+      "A" -> Seq((0, "user", "hi"), (1, "assistant", "hello"), (2, "user", "q1"),
+        (3, "assistant", "a1"), (4, "user", "q2"), (5, "assistant", "a2")),
+      "B" -> Seq((0, "assistant", "greeting"), (1, "user", null), (2, "assistant", "resp")))
+    val want = byConv.flatMap { case (c, ts) =>
+      ts.zipWithIndex.collect { case ((idx, "assistant", txt), pos) if pos > 0 =>
+        val ctx = ts.slice(math.max(0, pos - k), pos)
+          .collect { case (_, r, t) if t != null => s"$r: $t" }
+        (c, idx) -> ((ctx.mkString("\n\n"), txt))
+      }
+    }.filter(_._2._1.nonEmpty).toMap
+    assert(got == want)
+    // K cap is live: A@5's prompt holds turns 3,4 only, not turn 2
+    assert(got(("A", 5))._1 == "assistant: a1\n\nuser: q2")
+    // null context turn skipped, assistant-first excluded
+    assert(got(("B", 2))._1 == "assistant: greeting")
+    assert(!got.contains(("B", 0)))
+  }
+
+  test("toolStats: role counts, sorted distinct tools (empty when none), epoch span") {
+    val t = (ms: Long) => new java.sql.Timestamp(ms)
+    val turns = Seq(
+      ("A", 0, "user", "x", null, t(1700000001500L)),
+      ("A", 1, "assistant", "y", null, t(1700000032000L)),
+      ("A", 2, "tool", "z", "grep", t(1700000063000L)),
+      ("A", 3, "tool", "z2", "bash", t(1700000094000L)),
+      ("A", 4, "tool", "z3", "bash", t(1700000125999L)),
+      ("B", 0, "user", "only", null, t(1700000000000L))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = TrainingData.toolStats(turns)
+      .as[(String, Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == ("A", 5L, 1L, 3L, "bash,grep", 1700000001L, 1700000125L))
+    assert(got("B") == ("B", 1L, 0L, 0L, "", 1700000000L, 1700000000L))
+  }
 }
