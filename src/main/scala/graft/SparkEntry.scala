@@ -173,6 +173,16 @@ object SparkEntry {
         substring(trim(TF.wsTokens(Clean.lowerAlpha(col("text"))).getItem(0)), 1, 20).as("w0"),
         substring(trim(Clean.lowerAlpha(col("text"))), 1, 40).as("cleaned40"))),
 
+    // web-corpus text normalization (ftfy-lite): a deterministic messy
+    // suffix is appended so every rule (control drop, punctuation
+    // canonicalization, ellipsis, whitespace collapse) fires on every row
+    "q_normalize_text" -> ((s, d) => {
+      val mess = "  \u2018q\u2019 \u201Cw\u201D \u2013 \u2014 \u00A0x\u2026 " +
+        "\u0001\u0007ok\ttab  end\n\n\n\ntail  "
+      t(s, d, "documents").select(col("doc_id"),
+        Clean.normalizeText(concat(col("text"), lit(mess))).as("normalized"))
+    }),
+
     // text analysis: token counting (ws + BPE-ish)
     "q_tokens" -> ((s, d) => t(s, d, "documents")
       .filter(length(trim(col("text"))) > 0)
@@ -1551,6 +1561,28 @@ FROM lstats""",
            SUBSTRING(TRIM(string_split_regex(cleaned, '\s+')[1]), 1, 20) AS w0,
            SUBSTRING(cleaned, 1, 40) AS cleaned40
          FROM c""",
+    // ftfy-lite normalization: the messy suffix and every rule rebuilt from
+    // chr() codes (no raw control bytes in source); '\t'/'\n' inside SQL
+    // single quotes reach RE2 un-processed, which reads them as tab/newline
+    "q_normalize_text" ->
+      """WITH m AS (SELECT doc_id, text ||
+           '  ' || chr(8216) || 'q' || chr(8217) || ' ' || chr(8220) || 'w' || chr(8221) ||
+           ' ' || chr(8211) || ' ' || chr(8212) || ' ' || chr(160) || 'x' || chr(8230) || ' ' ||
+           chr(1) || chr(7) || 'ok' || chr(9) || 'tab  end' ||
+           chr(10) || chr(10) || chr(10) || chr(10) || 'tail  ' AS t
+         FROM documents)
+         SELECT doc_id, TRIM(
+           regexp_replace(
+             regexp_replace(
+               replace(
+                 translate(
+                   regexp_replace(t, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                   chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160),
+                   '''''""-- '),
+                 chr(8230), '...'),
+               '[ \t]+', ' ', 'g'),
+             '\n{3,}', chr(10)||chr(10), 'g')) AS normalized
+         FROM m""",
     "q_tokens" ->
       """SELECT doc_id,
          LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,

@@ -72,4 +72,24 @@ object Clean {
     }
     c => lemmaUdf(c)
   }
+
+  /** Web-corpus text normalization (the ftfy-lite pass every pretraining
+    * pipeline runs before dedup/scoring): drop C0 control chars (keeping
+    * \n and \t), canonicalize curly quotes / dashes / NBSP via one
+    * `translate`, expand the ellipsis char, collapse space-tab runs to one
+    * space and 3+ newlines to a blank line, trim. Pure codegen'd
+    * expression chain — zero shuffle; every pattern is in the Java∩RE2
+    * subset so the DuckDB oracle runs the identical strings. Stage order
+    * matters and is pinned by the spec: controls drop BEFORE whitespace
+    * collapse (a control char between spaces must not survive as a
+    * separator), ellipsis expands BEFORE space collapse. */
+  def normalizeText(c: Column): Column = {
+    val noCtl = regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val punct = translate(noCtl, "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+      "''\"\"-- ")
+    val ell = regexp_replace(punct, "\u2026", "...")
+    val sp = regexp_replace(ell, "[ \\t]+", " ")
+    val nl = regexp_replace(sp, "\\n{3,}", "\n\n")
+    trim(nl)
+  }
 }

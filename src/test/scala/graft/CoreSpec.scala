@@ -154,6 +154,29 @@ class CoreSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("Clean.normalizeText: controls dropped, punctuation canonicalized, whitespace collapsed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // curly quotes / dashes / NBSP / ellipsis canonicalized
+      "‘a’ “b” – — c d…" -> "'a' \"b\" - - c d...",
+      // C0 controls vanish (not replaced by space): SOH/BEL/NUL dropped, "ab" joins
+      "a\u0001\u0007b\u0000c" -> "abc",
+      // a control char between spaces must not survive as a separator:
+      // drop-then-collapse yields ONE space
+      "x \u0001 y" -> "x y",
+      // space/tab runs -> one space; 3+ newlines -> blank line; \n\t kept
+      "a\t\t b   c\n\n\n\nd\ne" -> "a b c\n\nd\ne",
+      // two newlines stay; trim ends
+      "  hi\n\nthere  " -> "hi\n\nthere",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.Clean.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got ${got.map(s => s.replace("\n", "\\n"))}")
+  }
+
   test("FSM spans are within bounds with start<=end (property over fixtures)") {
     val turns = FixtureGen.turns(FixtureGen.Profile(numConvs = 40, monsterEvery = 13,
       monsterTurns = 60, invalidEvery = 7))
