@@ -272,6 +272,17 @@ object SparkEntry {
       Extraction.conversationDocs(s.read.parquet(fix).as[graft.core.Turn])
     }),
 
+    // loss-mask spans: per-turn [start,end) offsets inside the
+    // conversation-doc concatenation + assistant-loss flag — one
+    // cumulative-sum window on the stable (conv_id, turn_idx) order
+    "q_loss_mask" -> ((s, d) => {
+      import s.implicits._
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      Extraction.lossMaskSpans(s.read.parquet(fix).as[graft.core.Turn])
+    }),
+
     // SFT pair construction: (last-K-turn context, assistant response) —
     // bounded window frame, one shuffle, O(K) state per row
     "q_sft_pairs" -> ((s, d) => {
@@ -1312,6 +1323,19 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
             COUNT(*) AS n_turns
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    "q_loss_mask" ->
+      s"""WITH t AS (
+            SELECT conv_id, turn_idx, role, text,
+              CAST(COALESCE(SUM(LENGTH(text) + 1) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS start_off
+            FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
+            WHERE text IS NOT NULL)
+          SELECT conv_id, turn_idx, start_off,
+            start_off + LENGTH(text) AS end_off,
+            role = 'assistant' AS loss
+          FROM t""",
     "q_sft_pairs" ->
       s"""WITH w AS (
             SELECT conv_id, turn_idx, role, text,

@@ -174,6 +174,27 @@ object Extraction {
         x => x("text"))).as("doc_text"),
       count(lit(1)).as("n_turns"))
 
+  /** Loss-mask spans: each turn's [start_off, end_off) character offsets
+    * inside the `conversationDocs` concatenation, plus the loss flag
+    * (assistant turns carry loss; user/tool context doesn't) — what a
+    * training pipeline needs to mask non-assistant tokens after packing.
+    * One cumulative-sum window over the same (conv_id, turn_idx) ordering
+    * the doc view uses; null-text turns are excluded exactly as
+    * `concat_ws` skips them. Offsets are pinned against the doc view by
+    * ExtractionSpec (substring(doc, start, len) == turn text). */
+  def lossMaskSpans(turns: Dataset[Turn]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns.toDF
+      .filter(col("text").isNotNull)
+      .withColumn("start_off",
+        coalesce(sum(length(col("text")) + 1).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("start_off"),
+        (col("start_off") + length(col("text"))).as("end_off"),
+        (col("role") === "assistant").as("loss"))
+  }
+
   /** Flattened assembled-records view (the reference's CSV row table). */
   /** Batch-incremental commit: extract ONLY the newly arrived conversations
     * and delta-append their per-turn results to the snapshot table

@@ -72,6 +72,25 @@ class ExtractionSpec extends AnyFunSuite {
     assert(got == model)
   }
 
+  test("lossMaskSpans: offsets slice the conversationDocs text back to each turn") {
+    val turns = TranscriptGen.generate(spark, profile, parallelism = 5)
+    val docs = Extraction.conversationDocs(turns).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val spans = Extraction.lossMaskSpans(turns).collect()
+    assert(spans.nonEmpty)
+    val byTurn = FixtureGen.turns(profile)
+      .map(t => (t.conv_id, t.turn_idx) -> t).toMap
+    spans.foreach { r =>
+      val (c, i) = (r.getString(0), r.getInt(1))
+      val (s0, e0) = (r.getLong(2).toInt, r.getLong(3).toInt)
+      val t = byTurn((c, i))
+      assert(docs(c).substring(s0, e0) == t.text, s"span mismatch at $c#$i")
+      assert(r.getBoolean(4) == (t.role == "assistant"))
+    }
+    // full coverage: every non-null turn appears exactly once
+    assert(spans.length == FixtureGen.turns(profile).count(_.text != null))
+  }
+
   test("records/spans views are consistent with the per-turn results") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
     val results = Extraction.extract(turns, Extraction.Config(numPartitions = 8))
