@@ -292,6 +292,19 @@ object SparkEntry {
       TrainingData.sftPairs(s.read.parquet(fix), contextTurns = 4)
     }),
 
+    // web-corpus URL lineage: extract + canonicalize URLs, aggregate per
+    // host — regex scan + one partial-aggregatable hash-agg
+    "q_url_hosts" -> ((s, d) =>
+      TrainingData.urlHostStats(
+        s.read.parquet(fixtureUrlsParquet(s)), "doc_id", "text")),
+
+    // DPO preference-pair construction: per-prompt score argmax/argmin as
+    // two struct-extrema in one hash-agg (no window — viral-prompt safe)
+    "q_preference_pairs" -> ((s, d) =>
+      TrainingData.preferencePairs(
+        s.read.parquet(fixturePrefsParquet(s)),
+        "prompt", "response", col("score"), "cand_id")),
+
     // per-conversation tool-usage profile (role counts, distinct tools,
     // time span) — single partial-aggregatable hash-agg
     "q_tool_stats" -> ((s, d) => {
@@ -703,6 +716,67 @@ object SparkEntry {
     if (!fixtureWritten.contains(path)) {
       graft.sources.TranscriptGen.generate(s, profile, 8)
         .toDF.write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Deterministic web-corpus URL fixture: 200 docs whose text embeds 0–4
+    * absolute URLs (mixed-case hosts, `www.` variants, ports, fragments)
+    * inside word soup — exercises every canonicalization branch of
+    * `TrainingData.urlHostStats`. */
+  private def fixtureUrlsParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/urls200"
+    if (!fixtureWritten.contains(path)) {
+      val r = new java.util.Random(20260817L)
+      val hosts = Array("example.com", "Example.COM", "www.example.com",
+        "docs.foo.org", "foo.org", "WWW.Foo.org", "cdn.bar.net", "bar.net:8080",
+        "a.b.example.com")
+      val paths = Array("", "/", "/a/b", "/a/b#frag", "/index.html",
+        "/x/y/z#top", "/q", "/a/b/")
+      val words = Array("lorem", "ipsum", "dolor", "sit", "amet", "crawl",
+        "corpus", "robots", "sitemap", "anchor")
+      val rows = (0 until 200).map { i =>
+        val sb = new StringBuilder
+        val nUrls = r.nextInt(5)
+        val nWords = 3 + r.nextInt(8)
+        for (_ <- 0 until nWords) sb.append(words(r.nextInt(words.length))).append(' ')
+        for (_ <- 0 until nUrls) {
+          sb.append("http").append(if (r.nextBoolean()) "s" else "")
+            .append("://").append(hosts(r.nextInt(hosts.length)))
+            .append(paths(r.nextInt(paths.length))).append(' ')
+          for (_ <- 0 until 1 + r.nextInt(4))
+            sb.append(words(r.nextInt(words.length))).append(' ')
+        }
+        (i.toLong, sb.toString.trim)
+      }
+      import s.implicits._
+      rows.toDF("doc_id", "text").repartition(4).write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Deterministic preference-candidate fixture: 70 prompts × 1–5 scored
+    * candidate responses (ties included), for `TrainingData.preferencePairs`. */
+  private def fixturePrefsParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/pref300"
+    if (!fixtureWritten.contains(path)) {
+      val r = new java.util.Random(99173L)
+      val verbs = Array("explain", "summarize", "harden", "audit", "configure")
+      val nouns = Array("sshd", "kernel", "firewall", "logging", "accounts",
+        "sudoers", "umask")
+      val rows = (0 until 70).flatMap { p =>
+        val prompt = s"${verbs(r.nextInt(verbs.length))} the ${nouns(r.nextInt(nouns.length))} policy #$p"
+        val n = 1 + r.nextInt(5)
+        (0 until n).map { c =>
+          val score = 10L + r.nextInt(8) // narrow range → frequent ties
+          (prompt, f"cand$p%03d_$c", s"response $c to prompt $p: ${nouns(r.nextInt(nouns.length))}", score)
+        }
+      }
+      import s.implicits._
+      rows.toDF("prompt", "cand_id", "response", "score")
+        .repartition(4).write.mode("overwrite").parquet(path)
       fixtureWritten += path
     }
     path
@@ -1336,6 +1410,41 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
             start_off + LENGTH(text) AS end_off,
             role = 'assistant' AS loss
           FROM t""",
+    "q_url_hosts" ->
+      s"""WITH u AS (
+            SELECT doc_id, unnest(regexp_extract_all(text,
+              'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\n"''<>]*)?')) AS url
+            FROM read_parquet('$FixtureDir/urls200/*.parquet')),
+          c AS (
+            SELECT doc_id,
+              regexp_replace(lower(regexp_extract(url,
+                'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '') AS host,
+              CASE WHEN p = '' THEN '/' ELSE p END AS path
+            FROM (SELECT doc_id, url,
+                regexp_replace(coalesce(regexp_extract(url,
+                  'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(/[^ \\t\\n"''<>]*)?', 1),
+                  ''), '#.*${"$"}', '') AS p
+              FROM u))
+          SELECT host, COUNT(*) AS n_urls,
+            COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(DISTINCT path) AS n_paths
+          FROM c GROUP BY host""",
+    "q_preference_pairs" ->
+      s"""WITH a AS (
+            SELECT prompt,
+              max(struct_pack(s := score, cand_id := cand_id,
+                response := response)) AS ch,
+              min(struct_pack(s := score, cand_id := cand_id,
+                response := response)) AS rj,
+              COUNT(*) AS n_candidates
+            FROM read_parquet('$FixtureDir/pref300/*.parquet')
+            GROUP BY prompt)
+          SELECT prompt,
+            ch.response AS chosen, ch.s AS chosen_score,
+            ch.cand_id AS chosen_id,
+            rj.response AS rejected, rj.s AS rejected_score,
+            rj.cand_id AS rejected_id, n_candidates
+          FROM a WHERE ch.cand_id <> rj.cand_id""",
     "q_sft_pairs" ->
       s"""WITH w AS (
             SELECT conv_id, turn_idx, role, text,

@@ -334,6 +334,59 @@ object TrainingData {
         col("text").as("response"))
   }
 
+  // RE2 ∩ Java common subset, like the PII patterns above: no lookarounds.
+  val UrlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\n\"'<>]*)?"
+  private val HostRe = "https?://([A-Za-z0-9.-]+)"
+  private val PathRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(/[^ \\t\\n\"'<>]*)?"
+
+  /** Web-corpus URL lineage: extract absolute URLs from document text,
+    * canonicalize (lowercase host, strip a leading `www.`, drop the
+    * `#fragment`, empty path → `/`), and aggregate per host — the
+    * domain-mixture / robots-policy bookkeeping every crawl-derived corpus
+    * needs. Per-row regexp extraction (codegen) + explode + ONE hash-agg on
+    * the canonical host; only (id, url) pass through the explode, and the
+    * agg is partial-aggregatable so a mega-host combines map-side. */
+  def urlHostStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+      .withColumn("path",
+        regexp_replace(coalesce(regexp_extract(col("url"), PathRe, 1), lit("")),
+          "#.*$", ""))
+      .withColumn("path", when(col("path") === "", "/").otherwise(col("path")))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"),
+        count_distinct(col("path")).as("n_paths"))
+
+  /** DPO/RLHF preference-pair construction: candidate responses grouped by
+    * prompt; per prompt emit (chosen, rejected) = the score-argmax and
+    * score-argmin candidates, ties broken by (id, response) so the output
+    * is deterministic. Two struct-extrema in ONE partial-aggregatable
+    * hash-agg — deliberately NOT a row_number window: a viral prompt with
+    * 10^6 candidate responses costs one combiner cell per map task instead
+    * of a single skewed window partition. Prompts with one candidate (or
+    * only one distinct candidate id) produce no pair. Struct comparison is
+    * field-lexicographic in both Spark and the DuckDB oracle, which is what
+    * makes the cross-engine hash check possible. */
+  def preferencePairs(df: DataFrame, promptCol: String, responseCol: String,
+                      score: Column, idCol: String): DataFrame =
+    df.withColumn("s", score.cast("long"))
+      .groupBy(col(promptCol))
+      .agg(max(struct(col("s"), col(idCol), col(responseCol))).as("ch"),
+        min(struct(col("s"), col(idCol), col(responseCol))).as("rj"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("ch")(idCol) =!= col("rj")(idCol))
+      .select(col(promptCol),
+        col("ch")(responseCol).as("chosen"),
+        col("ch")("s").as("chosen_score"),
+        col("ch")(idCol).as("chosen_id"),
+        col("rj")(responseCol).as("rejected"),
+        col("rj")("s").as("rejected_score"),
+        col("rj")(idCol).as("rejected_id"),
+        col("n_candidates"))
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

@@ -292,4 +292,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("A") == ("A", 5L, 1L, 3L, "bash,grep", 1700000001L, 1700000125L))
     assert(got("B") == ("B", 1L, 0L, 0L, "", 1700000000L, 1700000000L))
   }
+
+  test("urlHostStats: canonicalization (case, www, fragment, empty path) and per-host counts") {
+    val df = Seq(
+      (1L, "see https://WWW.Example.COM/a/b#frag and http://example.com/a/b plus junk"),
+      (2L, "https://example.com text http://www.Example.com more"),
+      (3L, "port http://bar.net:8080/x/y#top and plain https://bar.net/x/y"),
+      (4L, "no urls at all"),
+      (5L, "scheme-less www.example.com/skip is NOT extracted")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.urlHostStats(df, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // example.com: urls = 2 (doc1) + 2 (doc2); paths {/a/b, /}; docs {1,2}
+    assert(got("example.com") == ("example.com", 4L, 2L, 2L))
+    // bar.net: port stripped from host by the host regex capture; both
+    // URLs canonicalize to path /x/y
+    assert(got("bar.net") == ("bar.net", 2L, 1L, 1L))
+    assert(got.size == 2) // doc4 no urls; doc5 scheme-less not extracted
+  }
+
+  test("preferencePairs: argmax/argmin with deterministic tie-break; singletons dropped") {
+    val df = Seq(
+      ("p1", "a", "ra", 3L),
+      ("p1", "b", "rb", 5L),
+      ("p1", "c", "rc", 5L),  // tie with b → chosen = max id "c"
+      ("p2", "x", "rx", 1L),  // singleton → no pair
+      ("p3", "m", "rm", 7L),
+      ("p3", "n", "rn", 2L)
+    ).toDF("prompt", "cand_id", "response", "score")
+    val got = TrainingData.preferencePairs(df, "prompt", "response",
+        col("score"), "cand_id")
+      .as[(String, String, Long, String, String, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("p1") == ("p1", "rc", 5L, "c", "ra", 3L, "a", 3L))
+    assert(got("p3") == ("p3", "rm", 7L, "m", "rn", 2L, "n", 2L))
+    assert(!got.contains("p2"))
+  }
 }
