@@ -364,8 +364,10 @@ object TrainingData {
     * prompt; per prompt emit (chosen, rejected) = the score-argmax and
     * score-argmin candidates, ties broken by (id, response) so the output
     * is deterministic. Two struct-extrema in ONE partial-aggregatable
-    * hash-agg — deliberately NOT a row_number window: a viral prompt with
-    * 10^6 candidate responses costs one combiner cell per map task instead
+    * aggregation (Spark plans struct min/max as SortAggregate — the buffer
+    * is immutable — but the partial/final split still combines map-side) —
+    * deliberately NOT a row_number window: a viral prompt with 10^6
+    * candidate responses costs one combiner cell per map task instead
     * of a single skewed window partition. Prompts with one candidate (or
     * only one distinct candidate id) produce no pair. Struct comparison is
     * field-lexicographic in both Spark and the DuckDB oracle, which is what
