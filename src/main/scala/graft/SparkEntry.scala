@@ -292,6 +292,17 @@ object SparkEntry {
       TrainingData.sftPairs(s.read.parquet(fix), contextTurns = 4)
     }),
 
+    // BPE merge-candidate counting (tokenizer-induction step 1): global
+    // top-50 adjacent char pairs — HOF tree + one tiny-key hash-agg
+    "q_bpe_pairs" -> ((s, d) =>
+      TrainingData.bpePairCounts(t(s, d, "documents"), "text", 50)),
+
+    // context-length histogram per source: integer bit-length buckets
+    // (no float log2 at bucket boundaries) — one hash-agg
+    "q_length_hist" -> ((s, d) =>
+      TrainingData.lengthHistogram(t(s, d, "documents"), "source",
+        col("n_chars"))),
+
     // web-corpus URL lineage: extract + canonicalize URLs, aggregate per
     // host — regex scan + one partial-aggregatable hash-agg
     "q_url_hosts" -> ((s, d) =>
@@ -1410,6 +1421,22 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
             start_off + LENGTH(text) AS end_off,
             role = 'assistant' AS loss
           FROM t""",
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents),
+          p AS (
+            SELECT substring(tok, unnest(generate_series(1, length(tok) - 1)), 2)
+              AS pair
+            FROM toks WHERE length(tok) >= 2)
+          SELECT pair, COUNT(*) AS n
+          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+    "q_length_hist" ->
+      """SELECT source,
+            CASE WHEN n_chars <= 0 THEN 0
+                 ELSE length(bin(n_chars)) END AS len_bucket,
+            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_size
+          FROM documents GROUP BY source, len_bucket""",
     "q_url_hosts" ->
       s"""WITH u AS (
             SELECT doc_id, unnest(regexp_extract_all(text,

@@ -389,6 +389,35 @@ object TrainingData {
         col("rj")(idCol).as("rejected_id"),
         col("n_candidates"))
 
+  /** BPE merge-candidate counting — the first step of byte-pair-encoding
+    * vocabulary induction: the global top-`k` most frequent adjacent
+    * character pairs across whitespace tokens. Pure HOF expression tree
+    * per row (no UDF), one partial-aggregatable hash-agg on the 2-char
+    * pair key (tiny cardinality → combines map-side to almost nothing),
+    * then a global top-k. At 100 TB this is exactly one corpus scan; the
+    * iterative merge loop of full BPE training re-runs it on the merged
+    * symbol stream per round. Deterministic tie-break: (count desc, pair). */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(k)
+
+  /** Context-length histogram per stratum: documents bucketed by the
+    * BIT-LENGTH of their size metric (bucket b holds sizes in
+    * [2^(b-1), 2^b), i.e. `length(bin(n))`; size 0 → bucket 0) — the
+    * log2 histogram every mixture report needs, computed with INTEGER
+    * arithmetic only so the cross-engine hash cannot drift on
+    * floating-point log boundaries. One hash-agg, partial-aggregatable. */
+  def lengthHistogram(df: DataFrame, strataCol: String,
+                      size: Column): DataFrame =
+    df.withColumn("len_bucket",
+        when(size <= 0, lit(0)).otherwise(length(bin(size.cast("long")))))
+      .groupBy(col(strataCol), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(size.cast("long")).as("sum_size"))
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

@@ -311,6 +311,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.size == 2) // doc4 no urls; doc5 scheme-less not extracted
   }
 
+  test("bpePairCounts == naive pair model; short tokens skipped; deterministic top-k ties") {
+    val df = Seq(
+      (1L, "abab ab"),
+      (2L, "  abba x "),   // leading/trailing whitespace; "x" too short
+      (3L, "ba")
+    ).toDF("doc_id", "text")
+    // naive model: pairs from tokens of each text
+    val naive = Seq("abab", "ab", "abba", "x", "ba")
+      .filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TrainingData.bpePairCounts(df, "text", 3)
+      .as[(String, Long)].collect()
+    assert(got.toMap.forall { case (p, n) => naive(p) == n })
+    // top-3 by (n desc, pair): ab=4(abab:2+ab:1+abba:1), ba=3(abab:1+abba... )
+    val expect = naive.toSeq.sortBy { case (p, n) => (-n, p) }.take(3)
+    assert(got.toSeq == expect)
+  }
+
+  test("lengthHistogram: integer bit-length buckets; zero bucket; counts and sums") {
+    val df = Seq(
+      ("s1", 0L), ("s1", 1L), ("s1", 1L), ("s1", 2L), ("s1", 3L),
+      ("s1", 4L), ("s2", 1023L), ("s2", 1024L)
+    ).toDF("source", "n_chars")
+    val got = TrainingData.lengthHistogram(df, "source", col("n_chars"))
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("s1", 0)) == ((1L, 0L)))   // size 0
+    assert(got(("s1", 1)) == ((2L, 2L)))   // sizes {1,1}
+    assert(got(("s1", 2)) == ((2L, 5L)))   // sizes {2,3}
+    assert(got(("s1", 3)) == ((1L, 4L)))   // size 4
+    assert(got(("s2", 10)) == ((1L, 1023L)))
+    assert(got(("s2", 11)) == ((1L, 1024L)))
+    assert(got.size == 6)
+  }
+
   test("preferencePairs: argmax/argmin with deterministic tie-break; singletons dropped") {
     val df = Seq(
       ("p1", "a", "ra", 3L),
