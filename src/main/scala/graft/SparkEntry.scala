@@ -292,6 +292,12 @@ object SparkEntry {
       TrainingData.sftPairs(s.read.parquet(fix), contextTurns = 4)
     }),
 
+    // conversation-level near-dup: Jaccard over turn-hash sets, blocked on
+    // a shared exact turn, df-capped stop-shingles, integer threshold
+    "q_conv_neardup" -> ((s, d) =>
+      Dedup.convNearDup(s.read.parquet(fixtureConvDupParquet(s)),
+        thrPpm = 600000L, dfCap = 40)),
+
     // BPE merge-candidate counting (tokenizer-induction step 1): global
     // top-50 adjacent char pairs — HOF tree + one tiny-key hash-agg
     "q_bpe_pairs" -> ((s, d) =>
@@ -788,6 +794,27 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("prompt", "cand_id", "response", "score")
         .repartition(4).write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Conversation near-dup fixture: the fsmrec60 transcripts plus a mutated
+    * clone (suffix `_b`, one turn in seven dropped) of every third
+    * conversation — deterministic re-rolled-conversation pairs at Jaccard
+    * ≈ 6/7 over turn-hash sets. */
+  private def fixtureConvDupParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/convdup"
+    if (!fixtureWritten.contains(path)) {
+      val base = s.read.parquet(fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17)))
+      val clones = base
+        .filter(substring(col("conv_id"), -2, 2).cast("int") % 3 === 0)
+        .filter(col("turn_idx") % 7 =!= 3)
+        .withColumn("conv_id", concat(col("conv_id"), lit("_b")))
+      base.unionByName(clones).repartition(8)
+        .write.mode("overwrite").parquet(path)
       fixtureWritten += path
     }
     path
@@ -1421,6 +1448,27 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
             start_off + LENGTH(text) AS end_off,
             role = 'assistant' AS loss
           FROM t""",
+    "q_conv_neardup" ->
+      s"""WITH t AS (
+            SELECT DISTINCT conv_id, md5(text) AS th
+            FROM read_parquet('$FixtureDir/convdup/*.parquet')
+            WHERE text IS NOT NULL),
+          keep AS (
+            SELECT conv_id, th FROM (
+              SELECT conv_id, th, COUNT(*) OVER (PARTITION BY th) AS df
+              FROM t)
+            WHERE df <= 40),
+          sz AS (SELECT conv_id, COUNT(*) AS n FROM keep GROUP BY conv_id),
+          c AS (
+            SELECT l.conv_id AS cid1, r.conv_id AS cid2, COUNT(*) AS inter
+            FROM keep l JOIN keep r
+              ON l.th = r.th AND l.conv_id < r.conv_id
+            GROUP BY 1, 2)
+          SELECT cid1, cid2, inter, s1.n AS n1, s2.n AS n2
+          FROM c
+          JOIN sz s1 ON c.cid1 = s1.conv_id
+          JOIN sz s2 ON c.cid2 = s2.conv_id
+          WHERE inter * 1000000 >= (s1.n + s2.n - inter) * 600000""",
     "q_bpe_pairs" ->
       """WITH toks AS (
             SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok

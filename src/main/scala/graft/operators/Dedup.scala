@@ -275,6 +275,40 @@ object Dedup {
     *
     * Converges to the exact fixpoint (checked per round), so the output is
     * deterministic and DuckDB-oracle-comparable. */
+  /** Conversation-level near-dup: Jaccard similarity over each
+    * conversation's SET of distinct turn-text hashes — the dedup unit for
+    * SFT corpora, where re-rolled conversations share most turns verbatim.
+    *
+    * Candidates are blocked on a SHARED EXACT TURN (equi-join on the
+    * 32-hex turn hash), so only conversations with at least one identical
+    * turn are ever paired — never all-pairs. The one scale hazard of that
+    * blocking is a boilerplate turn shared by millions of conversations
+    * (quadratic within its hash block); `dfCap` drops turn hashes whose
+    * conversation-frequency exceeds it BEFORE pairing — the standard
+    * stop-shingle guard — and set sizes are computed after the drop so the
+    * Jaccard stays consistent. Threshold compares in exact integer
+    * cross-multiplication (`inter * 10^6 >= union * thrPpm`): no float
+    * boundary, bit-identical cross-engine. Only (conv_id, hash) pairs
+    * shuffle — never turn text. */
+  def convNearDup(turns: DataFrame, thrPpm: Long, dfCap: Int): DataFrame = {
+    val th = turns.filter(col("text").isNotNull)
+      .select(col("conv_id"), md5(col("text")).as("th")).distinct()
+    val kept = th.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("th"))))
+      .filter(col("df") <= dfCap).drop("df")
+    val sizes = kept.groupBy("conv_id").agg(count(lit(1)).as("n"))
+    kept.as("l")
+      .join(kept.as("r"),
+        col("l.th") === col("r.th") && col("l.conv_id") < col("r.conv_id"))
+      .groupBy(col("l.conv_id").as("cid1"), col("r.conv_id").as("cid2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("conv_id").as("cid1"), col("n").as("n1")), "cid1")
+      .join(sizes.select(col("conv_id").as("cid2"), col("n").as("n2")), "cid2")
+      .filter(col("inter") * 1000000L >=
+        (col("n1") + col("n2") - col("inter")) * thrPpm)
+      .select(col("cid1"), col("cid2"), col("inter"), col("n1"), col("n2"))
+  }
+
   def nearDupClusters(pairs: DataFrame, leftCol: String = "left_id",
                       rightCol: String = "right_id",
                       maxRounds: Int = 50): DataFrame = {

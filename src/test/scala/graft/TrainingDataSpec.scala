@@ -311,6 +311,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.size == 2) // doc4 no urls; doc5 scheme-less not extracted
   }
 
+  test("convNearDup: shared-turn blocking, df-cap stop-shingle, integer Jaccard threshold edge") {
+    val mk = (c: String, texts: Seq[String]) =>
+      texts.zipWithIndex.map { case (t, i) => (c, i, t) }
+    val boiler = "I am a helpful assistant."
+    val turns = (
+      mk("A", Seq("t1", "t2", "t3", "t4", "t5", boiler)) ++
+      mk("B", Seq("t1", "t2", "t3", "t4", boiler)) ++      // J(A,B)=4/6 ≥ 0.6 (boiler df-capped out: n=5 vs 4, inter 4)
+      mk("C", Seq("t1", "x2", "x3", "x4", "x5", boiler)) ++ // J(A,C)=1/9 < 0.6 — candidate via t1, filtered
+      mk("D", Seq("z1", "z2", boiler))                      // only boiler shared → no candidate at all
+    ).toDF("conv_id", "turn_idx", "text")
+    // boiler appears in 4 convs; dfCap=3 drops it from every set
+    val got = graft.operators.Dedup.convNearDup(turns, thrPpm = 600000L, dfCap = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", "B", 4L, 5L, 4L)))
+    // threshold boundary is exact integer math: J(A,B) = 4/5 ≥ 0.8 passes at 800000ppm...
+    val atEdge = graft.operators.Dedup.convNearDup(turns, thrPpm = 800000L, dfCap = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(atEdge == Set(("A", "B", 4L, 5L, 4L)))
+    // ...and fails one ppm above it
+    val above = graft.operators.Dedup.convNearDup(turns, thrPpm = 800001L, dfCap = 3)
+      .collect()
+    assert(above.isEmpty)
+  }
+
   test("bpePairCounts == naive pair model; short tokens skipped; deterministic top-k ties") {
     val df = Seq(
       (1L, "abab ab"),
