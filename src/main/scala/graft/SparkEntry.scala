@@ -315,6 +315,57 @@ object SparkEntry {
       TrainingData.urlHostStats(
         s.read.parquet(fixtureUrlsParquet(s)), "doc_id", "text")),
 
+    // C4 heuristic cleaning (line filter + doc rules) over documents with a
+    // deterministic multi-line suffix so every rule fires: a keepable tail
+    // sentence, a short line, javascript/policy marker lines, and
+    // id-derived lorem-ipsum / curly-brace doc-drop triggers
+    "q_c4_clean" -> ((s, d) => TrainingData.c4Clean(
+      t(s, d, "documents").select(col("doc_id"), concat(col("text"),
+        lit("\nThis tail sentence is long enough to keep.\nshort line\n" +
+          "Please enable javascript to continue!\n" +
+          "Read our privacy policy today okay."),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\ncode block { x } here."))
+          .otherwise(lit(""))).as("text")),
+      "doc_id", "text")),
+
+    // Gopher composite quality filter: integer cross-multiplied ratio
+    // thresholds; suffix adds bullet/ellipsis lines so the line-shape
+    // rules exercise both branches
+    "q_gopher_quality" -> ((s, d) => TrainingData.gopherQuality(
+      t(s, d, "documents").select(col("doc_id"), concat(col("text"),
+        lit("\n- bullet point one\n* item two\nthoughts trailing off...\n" +
+          "more thoughts…\n• third bullet\n" +
+          "The end should be of use, so that we have it with stopwords."))
+        .as("text")),
+      "doc_id", "text")),
+
+    // char-entropy fingerprint (one-pass codegen kernel; per-class log
+    // terms quantized to 1e-4 pre-sum → exact-integer output)
+    "q_char_entropy" -> ((s, d) => t(s, d, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.char_entropy_terms(col("text")).as("e"))
+      .select(col("doc_id"), col("e").getItem(0).as("n_cp"),
+        col("e").getItem(1).as("ent_q4_sum"))),
+
+    // URL-blocklist document filter: per-row exists over extracted URLs,
+    // no join, zero shuffle
+    "q_url_filter" -> ((s, d) => TrainingData.urlHostFilter(
+      s.read.parquet(fixtureUrlsParquet(s)), "doc_id", "text",
+      Seq("cdn.bar.net", "a.b.example.com", "foo.org"))),
+
+    // link/anchor extraction from HTML payload turns (anchor-corpus feed)
+    "q_link_extract" -> ((s, d) => TrainingData.linkExtract(
+      s.read.parquet(fixtureHtmlParquet(s)).filter(col("text").contains("<html")),
+      Seq("conv_id", "turn_idx"), "text")),
+
+    // container sniffing by magic bytes over a mixed binary-payload table
+    // (PNG ∪ WAV ∪ Y4M ∪ crafted PDF/HTML/text/near-miss blobs)
+    "q_mime_sniff" -> ((s, d) => Multimodal.sniffMime(
+      s.read.parquet(fixtureMimeParquet(s)), "media_id", "payload")),
+
     // DPO preference-pair construction: per-prompt score argmax/argmin as
     // two struct-extrema in one hash-agg (no window — viral-prompt safe)
     "q_preference_pairs" -> ((s, d) =>
@@ -874,6 +925,34 @@ object SparkEntry {
       }
     }
     s.read.parquet(path).as[graft.operators.Multimodal.VideoRow]
+  }
+
+  /** Mixed binary-payload fixture for container sniffing: the three real
+    * media fixtures (id-offset so they never collide) plus crafted
+    * PDF/HTML/plain-text blobs and a RIFF/AVI near-miss that must NOT sniff
+    * as WAV. */
+  private def fixtureMimeParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/mime600"
+    if (!fixtureWritten.contains(path)) {
+      import s.implicits._
+      val img = fixtureImages(s).toDF.select(col("media_id"), col("payload"))
+      val wav = fixtureAudio(s).toDF
+        .select((col("media_id") + 10000).as("media_id"), col("payload"))
+      val y4m = fixtureVideos(s).toDF
+        .select((col("media_id") + 20000).as("media_id"), col("payload"))
+      val crafted = Seq(
+        (30000L, "%PDF-1.7\n%fixture".getBytes("UTF-8")),
+        (30001L, "<!DOCTYPE html><p>x</p>".getBytes("UTF-8")),
+        (30002L, "<html><body>y</body></html>".getBytes("UTF-8")),
+        (30003L, "plain text payload".getBytes("UTF-8")),
+        (30004L, Array[Byte](0x52, 0x49, 0x46, 0x46, 1, 2, 3, 4,
+          0x41, 0x56, 0x49, 0x20))
+      ).toDF("media_id", "payload")
+      img.unionByName(wav).unionByName(y4m).unionByName(crafted)
+        .repartition(4).write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
   }
 
   /** HTML-payload fixture (q_boilerplate's input) materialized like the slim
@@ -1504,6 +1583,143 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
             COUNT(DISTINCT doc_id) AS n_docs,
             COUNT(DISTINCT path) AS n_paths
           FROM c GROUP BY host""",
+    // C4 cleaning: line filter (terminal punct, >=3 words, marker-free)
+    // then doc rules (>=5 sentences, no lorem ipsum, no brace) — suffix
+    // replicated with chr(10) newlines
+    "q_c4_clean" ->
+      """WITH aug AS (SELECT doc_id, text || chr(10) ||
+           'This tail sentence is long enough to keep.' || chr(10) ||
+           'short line' || chr(10) ||
+           'Please enable javascript to continue!' || chr(10) ||
+           'Read our privacy policy today okay.' ||
+           CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code block { x } here.' ELSE '' END AS t
+         FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+         k AS (SELECT doc_id, lines, list_filter(lines, x ->
+             NOT contains(lower(trim(x)), 'javascript') AND
+             NOT contains(lower(trim(x)), 'terms of use') AND
+             NOT contains(lower(trim(x)), 'privacy policy') AND
+             NOT contains(lower(trim(x)), 'cookie policy') AND
+             NOT contains(lower(trim(x)), 'uses cookies') AND
+             regexp_matches(trim(x), '[.!?"]' || chr(36)) AND
+             len(string_split_regex(trim(x), '\s+')) >= 3) AS kept FROM l),
+         c AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             array_to_string(kept, chr(10)) AS clean_text FROM k)
+         SELECT doc_id, n_lines, n_kept, clean_text,
+           CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+           CASE WHEN len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+                 AND NOT contains(lower(clean_text), 'lorem ipsum')
+                 AND NOT contains(clean_text, '{')
+             THEN 1 ELSE 0 END AS doc_keep
+         FROM c""",
+    // Gopher §A1.1 composite: all ratio thresholds as integer
+    // cross-multiplications — no float boundary anywhere
+    "q_gopher_quality" ->
+      """WITH aug AS (SELECT doc_id, text || chr(10) ||
+           '- bullet point one' || chr(10) || '* item two' || chr(10) ||
+           'thoughts trailing off...' || chr(10) ||
+           'more thoughts' || chr(8230) || chr(10) ||
+           chr(8226) || ' third bullet' || chr(10) ||
+           'The end should be of use, so that we have it with stopwords.' AS t
+         FROM documents),
+         b AS (SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks,
+             string_split(t, chr(10)) AS lines FROM aug),
+         lt AS (SELECT *, list_transform(toks, x -> lower(x)) AS lowtoks FROM b),
+         c AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS n_word_chars,
+             CAST(len(regexp_extract_all(t, '#')) +
+                  len(regexp_extract_all(t, '\.{3}')) +
+                  len(regexp_extract_all(t, chr(8230))) AS BIGINT) AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+               '^[-*' || chr(8226) || ']'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+               '(\.\.\.|' || chr(8230) || ')' || chr(36)))) AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST((CASE WHEN list_contains(lowtoks, 'the') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'be') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'to') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'of') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'and') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'that') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'have') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(lowtoks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+           FROM lt)
+         SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet,
+           n_ellipsis, n_alpha_words, n_stop_hits,
+           CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS pass_words,
+           CASE WHEN n_words * 3 <= n_word_chars AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS pass_meanlen,
+           CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END AS pass_symbol,
+           CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS pass_bullet,
+           CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS pass_ellipsis,
+           CASE WHEN n_alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS pass_alpha,
+           CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS pass_stop,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND n_words * 3 <= n_word_chars AND n_word_chars <= n_words * 10
+                 AND n_symbols * 10 <= n_words
+                 AND n_bullet * 10 <= n_lines * 9
+                 AND n_ellipsis * 10 <= n_lines * 3
+                 AND n_alpha_words * 5 >= n_words * 4
+                 AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+         FROM c""",
+    // char-entropy fingerprint: DuckDB rebuilds the code-point histogram
+    // and the same 1e-4-quantized log terms
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+           FROM documents WHERE length(text) > 0),
+         g AS (SELECT doc_id, c, COUNT(*)::BIGINT AS cnt FROM ch GROUP BY doc_id, c),
+         n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_cp FROM g GROUP BY doc_id)
+         SELECT g.doc_id, ANY_VALUE(n.n_cp) AS n_cp,
+           CAST(SUM(cnt * CAST(FLOOR(ln(n.n_cp::DOUBLE / cnt::DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS ent_q4_sum
+         FROM g JOIN n ON g.doc_id = n.doc_id GROUP BY g.doc_id""",
+    // URL-blocklist filter: same extract + canonicalize chain as
+    // q_url_hosts, then a list_filter membership probe per doc
+    "q_url_filter" ->
+      s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\n"''<>]*)?')) AS BIGINT) AS n_urls,
+           CASE WHEN len(list_filter(regexp_extract_all(text,
+               'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\n"''<>]*)?'), u ->
+               list_contains(['cdn.bar.net', 'a.b.example.com', 'foo.org'],
+                 regexp_replace(lower(regexp_extract(u,
+                   'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '')))) > 0
+             THEN 1 ELSE 0 END AS blocked
+         FROM read_parquet('$FixtureDir/urls200/*.parquet')""",
+    // link/anchor extraction: both capture groups re-extracted, zipped by
+    // index, anchors whitespace-normalized
+    "q_link_extract" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hs,
+             regexp_extract_all(text, '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS asx
+           FROM read_parquet('$FixtureDir/html120/*.parquet')
+           WHERE contains(text, '<html')),
+         e AS (SELECT conv_id, turn_idx, hs, asx,
+             unnest(generate_series(1, len(hs))) AS i FROM t)
+         SELECT conv_id, turn_idx, CAST(i - 1 AS BIGINT) AS pos,
+           hs[i] AS href,
+           trim(regexp_replace(asx[i], '\\s+', ' ', 'g')) AS anchor
+         FROM e""",
+    // container sniffing: DuckDB hexes the whole blob and prefix-matches
+    // the same magic strings
+    "q_mime_sniff" ->
+      s"""WITH m AS (SELECT media_id,
+             substring(upper(hex(payload)), 1, 24) AS magic24
+           FROM read_parquet('$FixtureDir/mime600/*.parquet'))
+         SELECT media_id, magic24,
+           CASE WHEN starts_with(magic24, '89504E47') THEN 'image/png'
+                WHEN starts_with(magic24, '52494646')
+                  AND substring(magic24, 17, 8) = '57415645' THEN 'audio/x-wav'
+                WHEN starts_with(magic24, '595556344D50454732') THEN 'video/x-y4m'
+                WHEN starts_with(magic24, '255044462D') THEN 'application/pdf'
+                WHEN starts_with(magic24, '3C21444F43')
+                  OR starts_with(magic24, '3C68746D6C')
+                  OR starts_with(magic24, '3C48544D4C') THEN 'text/html'
+                ELSE 'application/octet-stream' END AS mime
+         FROM m""",
     "q_preference_pairs" ->
       s"""WITH a AS (
             SELECT prompt,

@@ -206,6 +206,33 @@ object TextStats {
     out
   }
 
+  /** Character-entropy fingerprint terms, one pass over code points:
+    * returns [n, sum_c c·floor(1e4·ln(n/c))] over the code-point histogram,
+    * i.e. the Shannon entropy (nats) times n·1e4 — with each character
+    * class's log term quantized to 1e-4 BEFORE the weighted sum (the
+    * `ngramLmScore` technique), so the output is an exact integer a DuckDB
+    * oracle reproduces from its own histogram. Entropy in bits/char =
+    * sum / (n · 1e4 · ln 2). Low values flag gibberish / repeated-character
+    * spam the ratio-based quality signals miss. */
+  def charEntropyTerms(s: String): Array[Long] = {
+    val m = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      m.merge(cp, 1L, (a, b) => a + b)
+    }
+    var sum = 0L
+    val it = m.values.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      sum += c * math.floor(math.log(n.toDouble / c.toDouble) * 10000.0).toLong
+    }
+    Array(n, sum)
+  }
+
   /** Rolling polynomial document fingerprint (Rabin-Karp style, base 257). */
   def fingerprint(s: String): Long = {
     var h = 0L

@@ -129,6 +129,22 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** text → [n_codepoints, quantized entropy sum] in one compiled pass
+    * (TextStats.charEntropyTerms) — the per-row histogram lives entirely
+    * inside the kernel, so no explode/groupBy shuffle per (doc, char). */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.charEntropyTerms(
+        v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.charEntropyTerms($v.toString()));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -182,4 +198,7 @@ object TextHashExpressions {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     column(SortedLongJaccard(expression(a), expression(b)))
+
+  def char_entropy_terms(text: Column): Column =
+    column(CharEntropy(expression(text)))
 }

@@ -217,4 +217,24 @@ object Multimodal {
         .map(b => ImageRow(row.media_id, b))
     })
   }
+
+  /** Container sniffing over opaque binary payloads by magic bytes — the
+    * routing step in front of the typed decode planes when upstream storage
+    * loses (or lies about) the modality column. Pure column expression over
+    * the first 12 bytes (binary `substring` + `hex` + a `when` chain, all
+    * codegen'd): the payload itself is never copied or shipped, no UDF, no
+    * shuffle. Recognizes this engine's three container formats plus
+    * PDF/HTML text payloads; everything else is `application/octet-stream`. */
+  def sniffMime(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val magic = upper(hex(substring(col(payloadCol), 1, 12)))
+    df.select(col(idCol), magic.as("magic24"),
+      when(magic.startsWith("89504E47"), "image/png")
+        .when(magic.startsWith("52494646") &&
+          substring(magic, 17, 8) === "57415645", "audio/x-wav")
+        .when(magic.startsWith("595556344D50454732"), "video/x-y4m")
+        .when(magic.startsWith("255044462D"), "application/pdf")
+        .when(magic.startsWith("3C21444F43") || magic.startsWith("3C68746D6C") ||
+          magic.startsWith("3C48544D4C"), "text/html")
+        .otherwise("application/octet-stream").as("mime"))
+  }
 }

@@ -418,6 +418,140 @@ object TrainingData {
       .groupBy(col(strataCol), col("len_bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(size.cast("long")).as("sum_size"))
 
+  // Bad-line markers of the C4 line filter (Raffel et al. 2020 §2.2) —
+  // literal `contains` probes, shared verbatim with the DuckDB oracle.
+  val C4BadLineMarkers: Seq[String] = Seq(
+    "javascript", "terms of use", "privacy policy", "cookie policy",
+    "uses cookies")
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020 §2.2), line level then
+    * document level: keep only lines that end in terminal punctuation, have
+    * ≥ 3 words, and carry none of the policy/JS boilerplate markers; then
+    * flag the document as dropped when the cleaned text has < 5 sentences,
+    * contains "lorem ipsum", or contains a curly brace (code page tell).
+    *
+    * Pure per-row HOF tree (split → filter → array_join) — zero shuffle,
+    * the corpus streams once; every count the two doc rules need is emitted
+    * so downstream mixing can re-threshold without re-scanning. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepLine = (ln: Column) => {
+      val t = trim(ln)
+      C4BadLineMarkers.map(m => !lower(t).contains(m))
+        .reduce(_ && _) && t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= 3
+    }
+    df.select(col(idCol), split(col(textCol), "\n").as("lines"))
+      .withColumn("kept", filter(col("lines"), keepLine))
+      .select(col(idCol),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .withColumn("n_sentences",
+        regexp_count(col("clean_text"), lit("[.!?]")).cast("long"))
+      .withColumn("doc_keep",
+        (col("n_sentences") >= 5 &&
+          !lower(col("clean_text")).contains("lorem ipsum") &&
+          !col("clean_text").contains("{")).cast("int"))
+  }
+
+  // The canonical Gopher §A1.1 "must contain 2 of" stop set.
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher composite quality filter (Rae et al. 2021 §A1.1): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet-start /
+    * ellipsis-end line ratios, alphabetic-word ratio, and the stop-word
+    * presence rule. Every RATIO threshold is evaluated by integer
+    * cross-multiplication (e.g. mean length ≥ 3 ⇔ 3·words ≤ chars), so the
+    * flags are bit-exact across engines with no float boundary; the raw
+    * counts are emitted alongside the flags for re-thresholding. Zero
+    * shuffle — one HOF expression tree per row. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df.select(col(idCol),
+      filter(split(t, "\\s+"), x => length(x) > 0).as("toks"),
+      split(t, "\n").as("lines"), t.as("t"))
+    val counted = base.select(
+      col(idCol),
+      size(col("toks")).cast("long").as("n_words"),
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+        .as("n_word_chars"),
+      (regexp_count(col("t"), lit("#")) + regexp_count(col("t"), lit("\\.{3}"))
+        + regexp_count(col("t"), lit("\u2026"))).cast("long").as("n_symbols"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("lines"), l => trim(l).rlike("^[-*\u2022]")))
+        .cast("long").as("n_bullet"),
+      size(filter(col("lines"), l => trim(l).rlike("(\\.\\.\\.|\u2026)$")))
+        .cast("long").as("n_ellipsis"),
+      size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha_words"),
+      GopherStopWords.map(w =>
+          when(array_contains(transform(col("toks"), x => lower(x)), w), 1L)
+            .otherwise(0L))
+        .reduce(_ + _).as("n_stop_hits"))
+    counted
+      .withColumn("pass_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("pass_meanlen",
+        (col("n_words") * 3 <= col("n_word_chars") &&
+          col("n_word_chars") <= col("n_words") * 10).cast("int"))
+      .withColumn("pass_symbol",
+        (col("n_symbols") * 10 <= col("n_words")).cast("int"))
+      .withColumn("pass_bullet",
+        (col("n_bullet") * 10 <= col("n_lines") * 9).cast("int"))
+      .withColumn("pass_ellipsis",
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).cast("int"))
+      .withColumn("pass_alpha",
+        (col("n_alpha_words") * 5 >= col("n_words") * 4).cast("int"))
+      .withColumn("pass_stop", (col("n_stop_hits") >= 2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("pass_words") === 1 && col("pass_meanlen") === 1 &&
+          col("pass_symbol") === 1 && col("pass_bullet") === 1 &&
+          col("pass_ellipsis") === 1 && col("pass_alpha") === 1 &&
+          col("pass_stop") === 1).cast("int"))
+  }
+
+  /** URL-blocklist document filter (robots/abuse-list enforcement): a doc is
+    * blocked when ANY absolute URL in its text canonicalizes (lowercase
+    * host, `www.` stripped) to a blocked host. Formulated as a per-row
+    * `exists` over the extracted URL array with the blocklist inlined as an
+    * array literal — ZERO shuffle and no join at all; a production-size
+    * blocklist rides a broadcast variable or bloom filter the same way,
+    * the corpus still streaming exactly once. */
+  def urlHostFilter(df: DataFrame, idCol: String, textCol: String,
+                    blockedHosts: Seq[String]): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(UrlRe), lit(0))
+    val hostOf = (u: Column) =>
+      regexp_replace(lower(regexp_extract(u, HostRe, 1)), "^www\\.", "")
+    val blockedArr = array(blockedHosts.map(lit): _*)
+    df.select(col(idCol),
+      size(urls).cast("long").as("n_urls"),
+      exists(urls, u => array_contains(blockedArr, hostOf(u)))
+        .cast("int").as("blocked"))
+  }
+
+  // Anchor regex: RE2 ∩ Java subset (no backrefs — the closing tag is
+  // literal), double-quoted href only, like the fixture HTML emits.
+  val AnchorRe = "<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Link/anchor-text extraction from HTML payloads — the anchor-corpus and
+    * link-graph feed of a web-scale pipeline. Two group-extracting regex
+    * scans per row (codegen'd), zipped positionally and exploded; anchor
+    * text is whitespace-normalized. The explode carries only (id, href,
+    * anchor) — never the HTML. */
+  def linkExtract(df: DataFrame, idCols: Seq[String], htmlCol: String): DataFrame =
+    df.select(idCols.map(col) :+
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)).as("hs") :+
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)).as("as_"): _*)
+      .select(idCols.map(col) :+
+        posexplode(zip_with(col("hs"), col("as_"),
+          (h, a) => struct(h.as("href"), a.as("anchor"))))
+          .as(Seq("pos", "ha")): _*)
+      .select(idCols.map(col) :+
+        col("pos").cast("long").as("pos") :+
+        col("ha.href").as("href") :+
+        trim(regexp_replace(col("ha.anchor"), "\\s+", " ")).as("anchor"): _*)
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

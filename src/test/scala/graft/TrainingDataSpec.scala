@@ -388,4 +388,133 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("p3") == ("p3", "rm", 7L, "m", "rn", 2L, "n", 2L))
     assert(!got.contains("p2"))
   }
+
+  test("c4Clean: line rules (punct, >=3 words, markers) and doc rules (sentences, lorem, brace)") {
+    val df = Seq(
+      // 5 good sentences → kept doc; bad lines dropped
+      (1L, "One good line stays here.\nshort.\nEnable JavaScript now please!\n" +
+        "See the privacy policy for details.\nSecond good line is fine.\n" +
+        "Third good line is fine.\nFourth good line is fine.\n" +
+        "Fifth good line right here.\nSixth good line right here."),
+      // enough sentences but contains lorem ipsum → doc dropped
+      (2L, "Lorem ipsum dolor sit amet sentence one.\nGood two is here now.\n" +
+        "Good three is here now.\nGood four is here now.\nGood five is here now."),
+      // brace → doc dropped
+      (3L, "Func body { return } stays kept.\nGood two is here now.\nGood three is here now.\n" +
+        "Good four is here now.\nGood five is here now.\nGood six is here now."),
+      // < 5 sentences after cleaning → doc dropped
+      (4L, "Only one kept sentence here.\nno terminal punct line\nab.")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.c4Clean(df, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "n_sentences", "doc_keep", "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getString(5)))).toMap
+    assert(got(1L)._1 == 9L && got(1L)._2 == 6L && got(1L)._4 == 1)
+    assert(!got(1L)._5.contains("JavaScript") && !got(1L)._5.contains("privacy"))
+    assert(!got(1L)._5.contains("short."))
+    assert(got(2L)._4 == 0 && got(2L)._2 == 5L)      // lorem ipsum doc-drop
+    assert(got(3L)._4 == 0)                          // brace doc-drop
+    assert(got(4L) == ((3L, 1L, 1L, 0, "Only one kept sentence here.")))
+  }
+
+  test("gopherQuality: integer ratio flags match a naive local model") {
+    val goodWords = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that have with"
+    val df = Seq(
+      (1L, goodWords),                          // passes everything
+      (2L, "tiny doc the of"),                  // fails word count
+      (3L, ("x " * 60).trim),                   // mean len 1 → fails meanlen; no stopwords
+      (4L, goodWords + "\n- b one\n- b two\n- b three\ntrailing thought...\n" +
+        "more thought…\n### hash line.")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.gopherQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Int =
+      got(id).getInt(got(id).fieldIndex(name))
+    def c(id: Long, name: String): Long =
+      got(id).getLong(got(id).fieldIndex(name))
+    assert(f(1L, "gopher_pass") == 1)
+    assert(f(2L, "pass_words") == 0 && f(2L, "gopher_pass") == 0)
+    assert(f(3L, "pass_meanlen") == 0 && f(3L, "pass_stop") == 0)
+    assert(c(4L, "n_lines") == 7L && c(4L, "n_bullet") == 3L)
+    assert(c(4L, "n_ellipsis") == 2L)
+    assert(c(4L, "n_symbols") == 2L + 3L)   // '...' + '…' + '###'→3 hashes
+    assert(c(1L, "n_stop_hits") == 6L)
+    // cross-mult identity: symbols*10 <= words ⇔ pass_symbol
+    assert((c(4L, "n_symbols") * 10 <= c(4L, "n_words")) == (f(4L, "pass_symbol") == 1))
+  }
+
+  test("urlHostFilter: canonical-host membership; docs without urls unblocked") {
+    val df = Seq(
+      (1L, "see https://WWW.Bad.com/x and http://ok.org/page"),
+      (2L, "only http://ok.org/a here"),
+      (3L, "no urls at all"),
+      (4L, "https://bad.com plain and https://sub.bad.com/q")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.urlHostFilter(df, "doc_id", "text", Seq("bad.com"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1)))   // www.Bad.com canonicalizes to bad.com
+    assert(got(2L) == ((1L, 0)))
+    assert(got(3L) == ((0L, 0)))
+    assert(got(4L) == ((2L, 1)))   // sub.bad.com is NOT bad.com; bare bad.com is
+  }
+
+  test("linkExtract: positional (href, anchor) pairs, anchors whitespace-normalized") {
+    val df = Seq(
+      ("c1", 0, """<html><a href="/a">first  link</a><p>x</p><a class="z" href="/b?q=1"> two
+                  |words </a></html>""".stripMargin),
+      ("c1", 1, "<html>no anchors</html>")
+    ).toDF("conv_id", "turn_idx", "text")
+    val got = TrainingData.linkExtract(df, Seq("conv_id", "turn_idx"), "text")
+      .as[(String, Int, Long, String, String)].collect().sortBy(r => (r._2, r._3))
+    assert(got.toSeq == Seq(
+      ("c1", 0, 0L, "/a", "first link"),
+      ("c1", 0, 1L, "/b?q=1", "two words")))
+  }
+
+  test("sniffMime: magic-byte routing incl. RIFF/AVI near-miss and short payloads") {
+    import graft.operators.Multimodal
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 1)),
+      (2L, "RIFF1234WAVEfmt ".getBytes("US-ASCII")),
+      (3L, "RIFF1234AVI LIST".getBytes("US-ASCII")),
+      (4L, "YUV4MPEG2 W4 H4".getBytes("US-ASCII")),
+      (5L, "%PDF-1.4".getBytes("US-ASCII")),
+      (6L, "<!DOCTYPE html>".getBytes("US-ASCII")),
+      (7L, "<html><p>t</p>".getBytes("US-ASCII")),
+      (8L, "just text".getBytes("US-ASCII")),
+      (9L, Array[Byte](0x89.toByte, 0x50))  // short: not enough magic → octet
+    ).toDF("media_id", "payload")
+    val got = Multimodal.sniffMime(rows, "media_id", "payload")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> "image/png", 2L -> "audio/x-wav",
+      3L -> "application/octet-stream", 4L -> "video/x-y4m",
+      5L -> "application/pdf", 6L -> "text/html", 7L -> "text/html",
+      8L -> "application/octet-stream", 9L -> "application/octet-stream"))
+  }
+
+  test("charEntropyTerms: histogram quantized-log identity on crafted strings") {
+    import graft.core.TextStats
+    // uniform 4-char string: H = ln 4 exactly; each term floor(1e4*ln(4/1))
+    val u = TextStats.charEntropyTerms("abcd")
+    assert(u(0) == 4L && u(1) == 4L * math.floor(math.log(4.0) * 10000.0).toLong)
+    // single repeated char: ln(1) = 0
+    assert(TextStats.charEntropyTerms("aaaa").toSeq == Seq(4L, 0L))
+    // naive independent model on a mixed string (incl. a surrogate pair)
+    val s = "aab😀😀 x"
+    val cps = s.codePoints.toArray
+    val n = cps.length.toLong
+    val expect = cps.groupBy(identity).values.map { g =>
+      g.length * math.floor(math.log(n.toDouble / g.length) * 10000.0).toLong
+    }.sum
+    val got = TextStats.charEntropyTerms(s)
+    assert(got(0) == n && got(1) == expect)
+    // expression plane agrees with the kernel
+    val df = Seq((1L, "abcd"), (2L, s)).toDF("id", "t")
+      .select(col("id"),
+        graft.expressions.TextHashExpressions.char_entropy_terms(col("t")).as("e"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(df(1L) == Seq(4L, 4L * math.floor(math.log(4.0) * 10000.0).toLong))
+    assert(df(2L) == Seq(n, expect))
+  }
 }
