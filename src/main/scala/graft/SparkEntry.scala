@@ -366,6 +366,12 @@ object SparkEntry {
     "q_mime_sniff" -> ((s, d) => Multimodal.sniffMime(
       s.read.parquet(fixtureMimeParquet(s)), "media_id", "payload")),
 
+    // DSIR importance weights: hashed-bigram likelihood ratio of the 'en'
+    // slice (target) vs the rest (raw); tiny-key count agg + broadcast
+    // model + per-doc agg, log terms quantized 1e-4 pre-sum
+    "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
+      t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
+
     // DPO preference-pair construction: per-prompt score argmax/argmin as
     // two struct-extrema in one hash-agg (no window — viral-prompt safe)
     "q_preference_pairs" -> ((s, d) =>
@@ -1720,6 +1726,39 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
                   OR starts_with(magic24, '3C48544D4C') THEN 'text/html'
                 ELSE 'application/octet-stream' END AS mime
          FROM m""",
+    // DSIR replica: bigram stream → fingerprint64 HUGEINT chain → signed
+    // pmod bucket → Laplace bucket counts → quantized log-ratio sum
+    "q_dsir_weights" ->
+      s"""WITH base AS (SELECT doc_id, (lang = 'en') AS is_t, text FROM documents),
+tk AS (SELECT doc_id, is_t,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+  FROM base),
+bg AS (SELECT doc_id, is_t,
+    unnest(list_transform(generate_series(1, len(tk) - 1),
+      i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM tk WHERE len(tk) >= 2),
+m0 AS (SELECT doc_id, is_t,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(regexp_extract_all(g, '(?s).'), c -> ord(c)::HUGEINT)),
+      (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM bg),
+${Osql.mixCtes("m", "x")},
+f AS (SELECT doc_id, is_t,
+    CAST(((${Osql.signed("x")} % 4096) + 4096) % 4096 AS BIGINT) AS b FROM md),
+c AS (SELECT b,
+    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM f GROUP BY b),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
+    CAST(SUM(CAST(FLOOR(ln(
+      ((ct + 1) * (tr + 4096))::DOUBLE / ((cr + 1) * (tt + 4096))::DOUBLE
+    ) * 10000) AS BIGINT)) AS BIGINT) AS dsir_q4_sum
+  FROM f JOIN c USING(b) CROSS JOIN tot WHERE NOT is_t GROUP BY f.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
+  COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
     "q_preference_pairs" ->
       s"""WITH a AS (
             SELECT prompt,

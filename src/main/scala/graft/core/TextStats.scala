@@ -233,6 +233,23 @@ object TextStats {
     Array(n, sum)
   }
 
+  /** Hashed-bigram feature buckets for DSIR-style importance weighting:
+    * lowercase ws-token bigrams → fingerprint64 → pmod(numBuckets), one
+    * compiled pass per row (the HOF formulation interprets the custom
+    * fingerprint expression per element — measured minutes at sf0.1). */
+  def bigramBuckets(s: String, numBuckets: Int): Array[Long] = {
+    val tk = wsTokens(s.toLowerCase)
+    if (tk.length < 2) return Array.emptyLongArray
+    val out = new Array[Long](tk.length - 1)
+    var i = 0
+    while (i < tk.length - 1) {
+      val m = fingerprint(tk(i) + " " + tk(i + 1)) % numBuckets
+      out(i) = if (m < 0) m + numBuckets else m
+      i += 1
+    }
+    out
+  }
+
   /** Rolling polynomial document fingerprint (Rabin-Karp style, base 257). */
   def fingerprint(s: String): Long = {
     var h = 0L

@@ -145,6 +145,23 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** text → array<long> of hashed-bigram feature buckets
+    * (TextStats.bigramBuckets) — the DSIR feature extractor as one compiled
+    * pass. */
+  case class BigramBuckets(child: Expression, numBuckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.bigramBuckets(
+        v.asInstanceOf[UTF8String].toString, numBuckets))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.bigramBuckets($v.toString(), $numBuckets));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -201,4 +218,7 @@ object TextHashExpressions {
 
   def char_entropy_terms(text: Column): Column =
     column(CharEntropy(expression(text)))
+
+  def bigram_buckets(text: Column, numBuckets: Int): Column =
+    column(BigramBuckets(expression(text), numBuckets))
 }

@@ -552,6 +552,47 @@ object TrainingData {
         col("ha.href").as("href") :+
         trim(regexp_replace(col("ha.anchor"), "\\s+", " ")).as("anchor"): _*)
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by Σ_features ln(p_target(b)/p_raw(b)) over HASHED BIGRAM buckets,
+    * where the two Laplace-smoothed bucket distributions are estimated from
+    * the target slice (`targetPred`) and the raw remainder of the corpus
+    * itself. High scores = raw docs that look like the target domain — the
+    * standard cheap importance-resampling pre-filter before training.
+    *
+    * Scale shape: one explode to (id, bucket) features; bucket-count
+    * training is ONE partial-aggregatable hash-agg over `numBuckets` keys
+    * (tiny — combines map-side to almost nothing); the model re-joins as a
+    * BROADCAST; scoring aggregates per doc in one more hash-agg. Per-feature
+    * log ratios are quantized to 1e-4 BEFORE summation (the `ngramLmScore`
+    * technique) and the ratio numerator/denominator are exact int64
+    * products, so the output is an exact integer the DuckDB oracle replays
+    * — including the bucket hash itself (fingerprint64 HUGEINT replica). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, numBuckets: Int = 4096): DataFrame = {
+    val feats = df.withColumn("is_t", targetPred)
+      .select(col(idCol), col("is_t"),
+        explode(TextHashExpressions.bigram_buckets(col(textCol), numBuckets))
+          .as("b"))
+    val counts = feats.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val scored = feats.filter(!col("is_t"))
+      .join(broadcast(counts), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("q4", floor(log(
+        ((col("ct") + 1) * (col("tr") + numBuckets)).cast("double") /
+          ((col("cr") + 1) * (col("tt") + numBuckets)).cast("double")) * 10000.0)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("q4")).as("dsir_q4_sum"))
+    df.filter(!targetPred).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_q4_sum"), lit(0L)).as("dsir_q4_sum"))
+  }
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

@@ -493,6 +493,51 @@ class TrainingDataSpec extends AnyFunSuite {
       8L -> "application/octet-stream", 9L -> "application/octet-stream"))
   }
 
+  test("dsirWeights: hashed-bigram likelihood ratios match a naive local model") {
+    val data = Map(
+      1L -> (("en", "the quick brown fox jumps")),
+      2L -> (("en", "the quick blue fox")),
+      3L -> (("de", "the quick brown fox jumps")), // raw doc overlapping target
+      4L -> (("de", "der schnelle braune fuchs")),
+      5L -> (("de", "solo")),                      // no bigrams → (0, 0)
+      6L -> (("fr", "")))                          // empty → (0, 0)
+    val df = data.toSeq.map { case (id, (l, t)) => (id, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val got = TrainingData.dsirWeights(df, "doc_id", "text",
+        col("lang") === "en", numBuckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val B = 64
+    def bigr(t: String): Seq[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String): Long = {
+      val fp = graft.core.TextStats.fingerprint(g)
+      ((fp % B) + B) % B
+    }
+    val targetF = data.filter(_._2._1 == "en").values.flatMap(v => bigr(v._2))
+      .map(bucket).toSeq
+    val rawDocs = data.filter(_._2._1 != "en")
+    val rawF = rawDocs.values.flatMap(v => bigr(v._2)).map(bucket).toSeq
+    val ct = targetF.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = rawF.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (targetF.size.toLong, rawF.size.toLong)
+    val expect = rawDocs.map { case (id, (_, t)) =>
+      val bs = bigr(t).map(bucket)
+      val q = bs.map { b =>
+        math.floor(math.log(
+          ((ct.getOrElse(b, 0L) + 1) * (tr + B)).toDouble /
+            ((cr.getOrElse(b, 0L) + 1) * (tt + B)).toDouble) * 10000.0).toLong
+      }
+      id -> ((bs.size.toLong, q.sum))
+    }
+    assert(got == expect)
+    assert(got(5L) == ((0L, 0L)) && got(6L) == ((0L, 0L)))
+    // the target-overlapping raw doc must outscore the disjoint one
+    assert(got(3L)._2 > got(4L)._2)
+  }
+
   test("charEntropyTerms: histogram quantized-log identity on crafted strings") {
     import graft.core.TextStats
     // uniform 4-char string: H = ln 4 exactly; each term floor(1e4*ln(4/1))
