@@ -372,6 +372,20 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // BPE vocabulary induction: the FULL 12-round merge loop (each round
+    // one pass over the distinct-word table, never the corpus)
+    "q_bpe_train" -> ((s, d) =>
+      TrainingData.bpeTrain(t(s, d, "documents"), "text", BpeMerges)),
+
+    // tokenizer application: sequential rank-order merge replay per doc
+    // (codegen replace chain, zero shuffle)
+    "q_bpe_encode" -> ((s, d) => {
+      val m = TrainingData
+        .bpeTrainMerges(t(s, d, "documents"), "text", BpeMerges)
+        .map(x => (x._2, x._3))
+      TrainingData.bpeEncode(t(s, d, "documents"), "doc_id", "text", m)
+    }),
+
     // DPO preference-pair construction: per-prompt score argmax/argmin as
     // two struct-extrema in one hash-agg (no window — viral-prompt safe)
     "q_preference_pairs" -> ((s, d) =>
@@ -771,6 +785,10 @@ object SparkEntry {
     * rows-only merely because the oracle could not see their input).
     * Written once per JVM; content is a pure function of `convs` (seeded). */
   val FixtureDir = "/root/repo/target/qfix"
+
+  /** Merge rounds for the BPE induction queries (q_bpe_train/q_bpe_encode);
+    * the oracle unrolls one CTE block per round. */
+  private val BpeMerges = 12
   private val fixtureWritten = scala.collection.mutable.Set[String]()
   private def fixtureParquet(s: SparkSession, convs: Int): String = synchronized {
     val path = s"$FixtureDir/slim$convs"
@@ -1017,7 +1035,38 @@ ${p}b AS (SELECT * REPLACE (((xor($x, $x // 1073741824::HUGEINT) * 484763065::HU
 ${p}c AS (SELECT * REPLACE (((xor($x, $x // 134217728::HUGEINT) * 321982955::HUGEINT + ((xor($x, $x // 134217728::HUGEINT) * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Mod) AS $x) FROM ${p}b),
 ${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p}c)"""
 
-    /** Unsigned HUGEINT in [0,2^64) → signed BIGINT-range value. */
+      /** Unrolled BPE training chain: w0 (distinct words as chr(31)-delimited
+      * symbol strings) then per merge round i: pair counts p_i → argmax b_i
+      * (count desc, pair bytes asc) → w_{i+1} via one literal replace —
+      * DuckDB re-runs the ENTIRE induction loop independently. */
+    def bpeCtes(m: Int): String = {
+      val sb = new StringBuilder
+      sb.append(
+        """w0 AS MATERIALIZED (
+  SELECT chr(31) || regexp_replace(tok, '(?s)(.)', '\1' || chr(31), 'g') AS w,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(string_split_regex(
+      regexp_replace(lower(text), '[\x00-\x1F]', ' ', 'g'), '\s+'),
+      x -> len(x) > 0)) AS tok FROM documents)
+  GROUP BY tok)""")
+      for (i <- 0 until m) {
+        sb.append(s""",
+p$i AS MATERIALIZED (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(list_transform(generate_series(1, len(sy) - 1),
+      k -> sy[k] || chr(31) || sy[k + 1])) AS pr
+    FROM (SELECT n, list_filter(string_split(w, chr(31)), x -> len(x) > 0) AS sy
+          FROM w$i) WHERE len(sy) >= 2)
+  GROUP BY pr),
+b$i AS MATERIALIZED (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+w${i + 1} AS MATERIALIZED (SELECT replace(w,
+    chr(31) || (SELECT pr FROM b$i) || chr(31),
+    chr(31) || (SELECT replace(pr, chr(31), '') FROM b$i) || chr(31)) AS w, n
+  FROM w$i)""")
+      }
+      sb.toString
+    }
+
+  /** Unsigned HUGEINT in [0,2^64) → signed BIGINT-range value. */
     def signed(u: String): String =
       s"CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $Mod ELSE $u END"
 
@@ -1759,6 +1808,35 @@ sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
 SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
   COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
+    // BPE induction replica: DuckDB re-runs the full 12-round merge loop
+    // (pair counts → argmax → replace) from scratch
+    "q_bpe_train" ->
+      s"""WITH ${Osql.bpeCtes(BpeMerges)}
+${(0 until BpeMerges).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS "rank", split_part(pr, chr(31), 1) AS l_sym,
+  split_part(pr, chr(31), 2) AS r_sym, replace(pr, chr(31), '') AS merged,
+  cnt AS n FROM b$i""").mkString("\nUNION ALL\n")}""",
+    // tokenizer-application replica: the SAME independently-trained merge
+    // chain applied to every doc in rank order
+    "q_bpe_encode" ->
+      s"""WITH ${Osql.bpeCtes(BpeMerges)},
+d0 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+    '[\\x00-\\x1F]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents),
+e0 AS MATERIALIZED (SELECT doc_id, norm,
+    chr(31) || regexp_replace(norm, '(?s)(.)', '\\1' || chr(31), 'g') AS s FROM d0),
+${(0 until BpeMerges).map(i =>
+        s"""e${i + 1} AS MATERIALIZED (SELECT doc_id, norm, replace(s,
+    chr(31) || (SELECT pr FROM b$i) || chr(31),
+    chr(31) || (SELECT replace(pr, chr(31), '') FROM b$i) || chr(31)) AS s
+  FROM e$i)""").mkString(",\n")}
+SELECT doc_id,
+  CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
+       ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_words,
+  CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
+       ELSE CAST(length(s) - length(replace(s, chr(31), '')) -
+                 len(string_split(norm, ' ')) AS BIGINT) END AS n_tokens,
+  substring(trim(regexp_replace(replace(s, chr(31), ' '), ' +', ' ', 'g')), 1, 80) AS enc80
+FROM e$BpeMerges""",
     "q_preference_pairs" ->
       s"""WITH a AS (
             SELECT prompt,

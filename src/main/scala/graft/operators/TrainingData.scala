@@ -593,6 +593,98 @@ object TrainingData {
         coalesce(col("dsir_q4_sum"), lit(0L)).as("dsir_q4_sum"))
   }
 
+  // Unit Separator: the symbol delimiter of the BPE word encoding below.
+  // Tokens are control-stripped first, so no symbol can contain it.
+  private val Us = "\u001F"
+
+  /** BPE vocabulary induction — the FULL merge loop on top of
+    * [[bpePairCounts]]'s single counting step: numMerges rounds of
+    * (count adjacent symbol pairs weighted by word frequency → take the
+    * most frequent, ties broken by pair bytes ascending → merge it in every
+    * word). Words are kept as U+001F-delimited symbol strings, so a merge
+    * round is ONE literal `replace` over the distinct-word table (leftmost,
+    * non-overlapping — the exact left-to-right BPE merge order).
+    *
+    * Scale shape: the corpus is read ONCE (word-count hash-agg);
+    * every merge round then passes over the DISTINCT-WORD table only —
+    * corpus-size-independent, the standard BPE-training property. The
+    * argmax collect per round is one row (the induction loop is inherently
+    * sequential in the merge rank). Control chars are stripped up front
+    * (separator safety + Java-vs-RE2 `\s` parity on \x0B). */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    val cleaned = regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " ")
+    var words = df
+      .select(explode(filter(split(cleaned, "\\s+"), x => length(x) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(concat(lit(Us),
+        regexp_replace(col("tok"), "(?s)(.)", "$1" + Us)).as("w"), col("n"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val syms = filter(split(col("w"), Us), x => length(x) > 0)
+      val best = words
+        .select(col("n"), explode(when(size(syms) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(Us), element_at(syms, i + 1)))))
+          .as("p"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("p"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val p = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(l, r) = p.split(Us)
+        merges += ((rank, l, r, l + r, cnt))
+        words = words.withColumn("w",
+          org.apache.spark.sql.functions.replace(col("w"),
+            lit(Us + l + Us + r + Us), lit(Us + l + r + Us)))
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[bpeTrainMerges]] as a DataFrame (rank, l_sym, r_sym, merged, n). */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(df, textCol, numMerges)
+      .toDF("rank", "l_sym", "r_sym", "merged", "n")
+  }
+
+  /** Tokenizer application: encode each document with a trained merge
+    * table, applying merges sequentially in rank order (each rank is one
+    * literal `replace` over the whole U+001F-delimited doc string —
+    * leftmost non-overlapping, never across word boundaries because the
+    * inter-word gap is "US space US"). Zero shuffle, zero UDF: the doc
+    * encoding is a single regexp pass and the merge chain is `numMerges`
+    * codegen'd replaces. Emits (id, n_words, n_tokens, enc80). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val rep = (src: Column, search: Column, to: Column) =>
+      org.apache.spark.sql.functions.replace(src, search, to)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " "), "\\s+", " "))
+    val s0 = concat(lit(Us), regexp_replace(norm, "(?s)(.)", "$1" + Us))
+    val sm = merges.foldLeft(s0) { case (acc, (l, r)) =>
+      rep(acc, lit(Us + l + Us + r + Us), lit(Us + l + r + Us))
+    }
+    df.select(col(idCol), norm.as("norm"), sm.as("s"))
+      .select(col(idCol),
+        when(col("norm") === "", 0L)
+          .otherwise(size(split(col("norm"), " ")).cast("long")).as("n_words"),
+        when(col("norm") === "", 0L)
+          .otherwise(length(col("s")) - length(rep(col("s"), lit(Us), lit(""))) -
+            size(split(col("norm"), " ")).cast("long"))
+          .cast("long").as("n_tokens"),
+        substring(trim(regexp_replace(rep(col("s"), lit(Us), lit(" ")),
+          " +", " ")), 1, 80).as("enc80"))
+  }
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

@@ -538,6 +538,63 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(3L)._2 > got(4L)._2)
   }
 
+  test("bpeTrainMerges + bpeEncode == naive reference BPE (merge order, ties, encode)") {
+    val corpus = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low new low"),
+      (4L, "   "),          // whitespace-only → 0 words / 0 tokens
+      (5L, "x"))            // single char word
+    val df = corpus.toDF("doc_id", "text")
+    val m = 6
+
+    // naive reference, independent of the operator
+    def mergeWord(sy: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += sy(i); i += 1 }
+      }
+      out.result()
+    }
+    val wordCounts = corpus.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var repr: Map[String, Vector[String]] =
+      wordCounts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val expMerges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (rank <- 0 until m) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, n) <- wordCounts; sy = repr(w); i <- 0 until sy.length - 1)
+        counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l + "\u001F" + r) }.head
+        expMerges += ((rank, l, r, l + r, cnt))
+        repr = repr.view.mapValues(mergeWord(_, l, r)).toMap
+      }
+    }
+    val gotMerges = TrainingData.bpeTrainMerges(df, "text", m)
+    assert(gotMerges == expMerges.toSeq, s"got $gotMerges\nexp $expMerges")
+
+    val enc = TrainingData.bpeEncode(df, "doc_id", "text",
+        gotMerges.map(x => (x._2, x._3)))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val expEnc = corpus.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val encoded = ws.map { w =>
+        expMerges.foldLeft(w.map(_.toString).toVector) {
+          case (sy, (_, l, r, _, _)) => mergeWord(sy, l, r)
+        }
+      }
+      val toks = encoded.flatten
+      id -> ((ws.size.toLong, toks.size.toLong, toks.mkString(" ").take(80)))
+    }.toMap
+    assert(enc == expEnc, s"got $enc\nexp $expEnc")
+    assert(enc(4L) == ((0L, 0L, "")))
+  }
+
   test("charEntropyTerms: histogram quantized-log identity on crafted strings") {
     import graft.core.TextStats
     // uniform 4-char string: H = ln 4 exactly; each term floor(1e4*ln(4/1))
