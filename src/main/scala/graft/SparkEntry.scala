@@ -372,6 +372,17 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // exact per-source size quantiles: integer-arithmetic discrete
+    // definition (rn*1e6 >= n*p), no float interpolation anywhere
+    "q_len_quantiles" -> ((s, d) => TrainingData.exactQuantiles(
+      t(s, d, "documents"), "source", col("n_chars"),
+      Seq(250000, 500000, 900000, 990000))),
+
+    // tumbling 1-hour windows over events (same plan shape as the
+    // streaming path, exact-cent sums)
+    "q_tumbling_counts" -> ((s, d) => TrainingData.tumblingCounts(
+      t(s, d, "events"), "user_id", "ts", col("value"), "1 hour")),
+
     // BPE vocabulary induction: the FULL 12-round merge loop (each round
     // one pass over the distinct-word table, never the corpus)
     "q_bpe_train" -> ((s, d) =>
@@ -1808,6 +1819,27 @@ sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
 SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
   COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
+    // exact integer quantiles: same rank/count window + rn*1e6 >= n*p rule
+    "q_len_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
+         SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN rn * 1000000 >= n * 250000 THEN n_chars END) AS q250000,
+           MIN(CASE WHEN rn * 1000000 >= n * 500000 THEN n_chars END) AS q500000,
+           MIN(CASE WHEN rn * 1000000 >= n * 900000 THEN n_chars END) AS q900000,
+           MIN(CASE WHEN rn * 1000000 >= n * 990000 THEN n_chars END) AS q990000
+         FROM r GROUP BY source""",
+    // tumbling windows: date_trunc buckets == Spark's epoch-aligned
+    // window() for exact-hour widths; money in exact cents
+    "q_tumbling_counts" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS w0, value FROM events)
+         SELECT user_id,
+           CAST(epoch_ms(w0) / 1000 AS BIGINT) AS w_start_epoch,
+           CAST(epoch_ms(w0 + INTERVAL 1 HOUR) / 1000 AS BIGINT) AS w_end_epoch,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS sum_cents
+         FROM b GROUP BY user_id, w0""",
     // BPE induction replica: DuckDB re-runs the full 12-round merge loop
     // (pair counts → argmax → replace) from scratch
     "q_bpe_train" ->

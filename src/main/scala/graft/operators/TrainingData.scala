@@ -685,6 +685,44 @@ object TrainingData {
           " +", " ")), 1, 80).as("enc80"))
   }
 
+  /** Exact per-stratum quantiles of an integer size metric with an
+    * INTEGER-ARITHMETIC discrete definition: quantile p (in ppm) = the
+    * smallest value whose 1-based sorted rank satisfies
+    * rn·10^6 ≥ n·p — no floating-point interpolation anywhere, so the
+    * cross-engine hash cannot drift on libm/formula-order ulps (the reason
+    * this is NOT `percentile`/`quantile_cont`). One per-stratum window +
+    * one hash-agg; the usual hot-stratum window caveat applies (a mega
+    * stratum serializes its own partition — pre-aggregate to
+    * (stratum, value, count) first at 100 TB). */
+  def exactQuantiles(df: DataFrame, strataCol: String, value: Column,
+                     ppms: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("v", value.cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+    val aggs = max(col("n")).as("n") +:
+      ppms.map(p => min(when(col("rn") * 1000000L >= col("n") * p, col("v")))
+        .as(s"q$p"))
+    ranked.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tumbling time-window aggregation over the event/turn stream — the
+    * time-bucketed counterpart of the row windows in §2.8, using Spark's
+    * `window()` so the SAME plan shape runs under Structured Streaming with
+    * a watermark. One hash-agg on (key, bucket); money sums in exact
+    * cents. */
+  def tumblingCounts(df: DataFrame, keyCol: String, tsCol: String,
+                     value: Column, width: String): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(value.cast("decimal(18,4)")) * 100).cast("long").as("sum_cents"))
+      .select(col(keyCol),
+        col("w.start").cast("long").as("w_start_epoch"),
+        col("w.end").cast("long").as("w_end_epoch"),
+        col("n_events"), col("sum_cents"))
+
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
     * tools invoked (sorted, comma-joined; empty string when none), and the
     * conversation's wall-clock span. One partial-aggregatable hash-agg —

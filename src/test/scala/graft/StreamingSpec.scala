@@ -155,4 +155,42 @@ class StreamingSpec extends AnyFunSuite {
         r.getTimestamp(2).getTime, r.getLong(3))).toSet
     assert(rows.subsetOf(batch), s"stream rows $rows not in batch $batch")
   }
+
+  test("stateless curation ops (piiRedact → c4Clean chain) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "Streaming sentence number one stays.\nshort.\n" +
+        "See the privacy policy for details.\nGood second sentence is here."),
+      (2L, "mail a@b.co and more prose that keeps flowing along nicely."))
+    val input = MemoryStream[(Long, String)]
+    // the zero-shuffle expression-tree operators need no watermark/state:
+    // the SAME DataFrame functions apply verbatim to a streaming frame
+    val streamed = graft.operators.TrainingData.c4Clean(
+      graft.operators.TrainingData.piiRedact(
+        input.toDF().toDF("doc_id", "text"), "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("redacted").as("text")),
+      "doc_id", "text")
+    val q = streamed.writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.head)
+      q.processAllAvailable()
+      input.addData(docs(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("curation_stream")
+      .select("doc_id", "n_lines", "n_kept", "doc_keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = graft.operators.TrainingData.c4Clean(
+      graft.operators.TrainingData.piiRedact(
+        docs.toDF("doc_id", "text"), "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("redacted").as("text")),
+      "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "doc_keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == batch && got.size == 2, s"stream $got vs batch $batch")
+  }
 }
