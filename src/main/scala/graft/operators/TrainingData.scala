@@ -719,8 +719,8 @@ object TrainingData {
       .agg(count(lit(1)).as("n_events"),
         floor(sum(value.cast("decimal(18,4)")) * 100).cast("long").as("sum_cents"))
       .select(col(keyCol),
-        col("w.start").cast("long").as("w_start_epoch"),
-        col("w.end").cast("long").as("w_end_epoch"),
+        col("w.start").cast("timestamp").cast("long").as("w_start_epoch"),
+        col("w.end").cast("timestamp").cast("long").as("w_end_epoch"),
         col("n_events"), col("sum_cents"))
 
   /** Per-conversation tool-usage profile: turn counts by role, the distinct
