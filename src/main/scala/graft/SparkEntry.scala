@@ -372,6 +372,12 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // SemDeDup: semantic dedup inside IVF clusters (keep the member
+    // farthest from its centroid; all cosines ppm-floored)
+    "q_semdedup" -> ((s, d) => graft.operators.Dedup.semDedup(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nlist = 16, thresholdPpm = 300000L)),
+
     // exact per-source size quantiles: integer-arithmetic discrete
     // definition (rn*1e6 >= n*p), no float interpolation anywhere
     "q_len_quantiles" -> ((s, d) => TrainingData.exactQuantiles(
@@ -1406,6 +1412,39 @@ FROM (SELECT query_id, corpus_id, cos,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
 WHERE rn <= 3"""
 
+  /** Independent DuckDB replay of `Dedup.semDedup` (nlist=16, t=0.3):
+    * fingerprint-ranked seeds, max-cosine assignment, within-cluster
+    * dominance rule — the same chain as [[ivfOracleSql]] plus the
+    * ppm-floored keep-low-centroid-similarity pair filter. */
+  private def semDedupOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+e0 AS (SELECT vec_id, embedding,
+  list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(CAST(vec_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM emb),
+${Osql.mixCtes("e", "x")},
+efp AS (SELECT vec_id, embedding, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM ed),
+cent AS (SELECT embedding AS centv,
+    ROW_NUMBER() OVER (ORDER BY fp, vec_id) - 1 AS cluster,
+    list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b) AS cn
+  FROM (SELECT * FROM efp ORDER BY fp, vec_id LIMIT 16)),
+${normCte(64)},
+asn0 AS (SELECT e.vec_id AS id, e.embedding AS cv, n.nn AS cvn, c.cluster,
+    ${cosExpr("e.embedding", "c.centv", "n.nn", "c.cn", 64)} AS s
+  FROM emb e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN cent c),
+asn AS (SELECT id, cv, cvn, CAST(cluster AS INTEGER) AS cluster,
+    CAST(FLOOR(s * 1000000) AS BIGINT) AS ccos_ppm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cluster) AS arn FROM asn0)
+  WHERE arn = 1),
+drp AS (SELECT DISTINCT l.id AS id
+  FROM asn l JOIN asn r ON l.cluster = r.cluster AND l.id <> r.id
+  WHERE CAST(FLOOR(${cosExpr("l.cv", "r.cv", "l.cvn", "r.cvn", 64)} * 1000000) AS BIGINT) >= 300000
+    AND (r.ccos_ppm < l.ccos_ppm OR (r.ccos_ppm = l.ccos_ppm AND r.id < l.id)))
+SELECT a.id, a.cluster, a.ccos_ppm,
+  CASE WHEN d.id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM asn a LEFT JOIN drp d ON a.id = d.id"""
+
   /** Independent DuckDB replay of `TopicModel.plsaBestMatch` (k=10,
     * iters=5): the COMPLETE PLSA-EM fit — modular-pattern init, five exact
     * EM steps as an unrolled CTE chain over flat list-of-doubles state
@@ -1911,6 +1950,7 @@ FROM e$BpeMerges""",
     "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_qlearning_match" -> qlearnOracleSql,
     "q_plsa_match" -> plsaOracleSql(),
+    "q_semdedup" -> semDedupOracleSql,
     // int8 quantizer replica: per-vector scale = max|v|/127, floor(x+0.5)
     // clamp ±127, then exact integer dot/norm cosine
     "q_embedding_quantized_top3" ->

@@ -340,4 +340,50 @@ object Dedup {
     require(converged, s"nearDupClusters: no fixpoint after $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup INSIDE embedding
+    * clusters. Every vector is assigned to its max-cosine centroid (the
+    * IVF plane's deterministic fingerprint-ranked seeds + codegen'd
+    * one-pass `CentroidArgmax` — no corpus shuffle for assignment); within
+    * each cluster, any pair with cosine ≥ threshold marks the member
+    * CLOSER to its centroid as the duplicate (the paper's
+    * keep-low-centroid-similarity rule; ties break by id, lower kept).
+    *
+    * Scale shape: the per-cluster self-join is the algorithm's inherent
+    * O(Σ|cluster|²) — bounded by choosing nlist ∝ corpus size so clusters
+    * stay ~constant-sized; the join key is the cluster id and both
+    * centroid-cosines ride the rows, so the verify needs no second
+    * lookup. All cosines are ppm-floored so the dominance rule has no
+    * float boundary. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
+               thresholdPpm: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = SimilaritySearch.trainIvfCentroids(base, nlist, lloydIters = 0)
+    val centDf = cents.zipWithIndex.toSeq.map { case (v, i) => (i, v) }
+      .toDF("cluster", "centv")
+    val assigned = base
+      .withColumn("cluster",
+        graft.expressions.VectorExpressions.centroid_argmax(col("vec"), cents))
+      .join(broadcast(centDf), "cluster")
+      .withColumn("ccos_ppm",
+        floor(float_cosine(col("vec"), col("centv")) * 1000000L).cast("long"))
+      .select(col("id"), col("vec"), col("cluster"), col("ccos_ppm"))
+    val l = assigned.select(col("cluster"), col("id").as("l_id"),
+      col("vec").as("l_vec"), col("ccos_ppm").as("l_ccos"))
+    val r = assigned.select(col("cluster"), col("id").as("r_id"),
+      col("vec").as("r_vec"), col("ccos_ppm").as("r_ccos"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("l_id") =!= col("r_id"))
+      .filter(floor(float_cosine(col("l_vec"), col("r_vec")) * 1000000L)
+        .cast("long") >= thresholdPpm)
+      .filter(col("r_ccos") < col("l_ccos") ||
+        (col("r_ccos") === col("l_ccos") && col("r_id") < col("l_id")))
+      .select(col("l_id").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("ccos_ppm"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+  }
 }

@@ -293,4 +293,23 @@ class DedupRecallSpec extends AnyFunSuite {
       assert(got == model(docs, k), s"round $round k=$k docs=$docs")
     }
   }
+
+  test("semDedup: identical vectors co-cluster, exactly one kept (lowest id on tie); dissimilar kept") {
+    import spark.implicits._
+    def oneHot(j: Int) = Array.tabulate(64)(i => if (i == j) 1f else 0f)
+    val rows = Seq(
+      (1L, oneHot(0)), (2L, oneHot(0)), (3L, oneHot(0)), // identical triple → keep one
+      (10L, oneHot(1)),                  // orthogonal to everything → kept
+      (11L, oneHot(2)))                  // orthogonal → kept
+    val out = Dedup.semDedup(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nlist = 2, thresholdPpm = 300000L)
+      .select(col("id"), col("cluster"), col("is_dup"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // identical vectors must share a cluster and keep exactly the lowest id
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(1L)._2 == 0 && out(2L)._2 == 1 && out(3L)._2 == 1,
+      s"tie rule must keep the lowest id: $out")
+    // orthogonal vectors → cosine 0 < threshold → kept
+    assert(out(10L)._2 == 0 && out(11L)._2 == 0)
+  }
 }
