@@ -372,6 +372,14 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // gzip payload ingestion: JDK inflate in the scan stage; full-content
+    // check via the decoded text's fingerprint
+    "q_gunzip" -> ((s, d) => graft.sources.BinaryPayloads
+      .gunzipTexts(s.read.parquet(fixtureGzipParquet(s)), "doc_id", "payload")
+      .select(col("doc_id"), col("n_bytes"),
+        graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"),
+        substring(col("text"), 1, 60).as("head60"))),
+
     // SemDeDup: semantic dedup inside IVF clusters (keep the member
     // farthest from its centroid; all cosines ppm-floored)
     "q_semdedup" -> ((s, d) => graft.operators.Dedup.semDedup(
@@ -991,6 +999,29 @@ object SparkEntry {
       ).toDF("media_id", "payload")
       img.unionByName(wav).unionByName(y4m).unionByName(crafted)
         .repartition(4).write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Gzip fixture: 300 deterministic ASCII texts wrapped as stored-deflate
+    * gzip members (single final stored block, asserted by gzipStored), so
+    * the DuckDB oracle re-extracts the bytes with fixed-offset arithmetic. */
+  private def fixtureGzipParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/gz300"
+    if (!fixtureWritten.contains(path)) {
+      val r = new java.util.Random(20260817L)
+      val words = Array("gzip", "stored", "deflate", "corpus", "shard",
+        "wet", "page", "crawl", "ingest", "byte")
+      val rows = (0 until 300).map { i =>
+        val n = 20 + r.nextInt(400)
+        val sb = new StringBuilder
+        for (_ <- 0 until n) sb.append(words(r.nextInt(words.length))).append(' ')
+        (i.toLong, graft.sources.BinaryPayloads.gzipStored(sb.toString.trim))
+      }
+      import s.implicits._
+      rows.toDF("doc_id", "payload").repartition(4)
+        .write.mode("overwrite").parquet(path)
       fixtureWritten += path
     }
     path
@@ -1858,6 +1889,29 @@ sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
 SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
   COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
+    // gzip replica: fixed-offset stored-deflate extraction (10-byte header,
+    // 1-byte block header, LE length, data) + fingerprint64 of the decoded
+    // text via the HUGEINT chain — DuckDB "gunzips" with byte arithmetic
+    "q_gunzip" ->
+      s"""WITH raw AS (SELECT doc_id,
+    list_transform(regexp_extract_all(hex(payload), '..'),
+      s -> (strpos('0123456789ABCDEF', substr(s, 1, 1)) - 1) * 16 +
+           strpos('0123456789ABCDEF', substr(s, 2, 1)) - 1) AS bytes
+  FROM read_parquet('$FixtureDir/gz300/*.parquet')),
+b2 AS (SELECT doc_id, bytes, bytes[12] + 256 * bytes[13] AS len FROM raw),
+dec AS (SELECT doc_id, len,
+    array_to_string(list_transform(bytes[16 : 15 + len], b -> chr(CAST(b AS INTEGER))), '') AS text
+  FROM b2),
+f0 AS (SELECT doc_id, len, text,
+  list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM dec),
+${Osql.mixCtes("f", "x")}
+SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
+  CAST(${Osql.signed("x")} AS BIGINT) AS fp,
+  substring(text, 1, 60) AS head60
+FROM fd""",
     // exact integer quantiles: same rank/count window + rn*1e6 >= n*p rule
     "q_len_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

@@ -77,4 +77,47 @@ object BinaryPayloads {
         }
       })
   }
+
+  /** Gzip text-payload decode (the WET/compressed-shard ingestion step):
+    * streaming JDK inflate per payload inside mapPartitions — no whole-batch
+    * materialization, zero shuffle, the decode rides the scan stage exactly
+    * like the media codecs. Emits (id, text, n_bytes). Any RFC-1952 stream
+    * decodes; the fixture uses stored-deflate members so the DuckDB oracle
+    * can re-extract the bytes arithmetically. */
+  def gunzipTexts(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, gz) =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(gz))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        val b = out.toByteArray
+        (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
+      })
+      .toDF(idCol, "text", "n_bytes")
+  }
+
+  /** Deterministic gzip writer for fixtures/tests: stored-deflate (level 0)
+    * with a 64 KiB deflate buffer so payloads under ~64 KiB become exactly
+    * ONE final stored block — asserted, so the oracle may use fixed offsets
+    * (10-byte header, 5-byte block header, data, 8-byte trailer). */
+  def gzipStored(s: String): Array[Byte] = {
+    val data = s.getBytes(StandardCharsets.UTF_8)
+    require(data.length < 65535, "gzipStored fixture cap: one stored block")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos, 1 << 16) {
+      `def`.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+    }
+    gz.write(data); gz.close()
+    val out = bos.toByteArray
+    require(out.length == 10 + 5 + data.length + 8,
+      s"expected single stored block, got ${out.length} bytes for ${data.length}")
+    out
+  }
 }

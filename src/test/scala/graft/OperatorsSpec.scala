@@ -514,4 +514,31 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(summary == Seq((2L, 0L, 10L), (2L, 2000L, 3800L)))
   }
+
+  test("gunzipTexts: stored-deflate AND default-compressed gzip roundtrip; framing asserted") {
+    import spark.implicits._
+    import graft.sources.BinaryPayloads
+    val texts = Seq((1L, "alpha beta gamma " * 40), (2L, "x"), (3L, ""))
+    // stored-deflate framing: header(10) + block(5) + data + trailer(8)
+    val stored = texts.map { case (id, t) => (id, BinaryPayloads.gzipStored(t)) }
+    stored.foreach { case (id, gz) =>
+      val n = texts.find(_._1 == id).get._2.getBytes("UTF-8").length
+      assert(gz.length == 23 + n)
+      assert((gz(10) & 0xFF) == 1 && (gz(11) & 0xFF) == (n & 0xFF))
+    }
+    // generic decode: a DEFAULT-level (really compressed) member too
+    def gzDefault(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val df = (stored :+ ((4L, gzDefault("compressed payload " * 100))))
+      .toDF("doc_id", "payload")
+    val got = BinaryPayloads.gunzipTexts(df, "doc_id", "payload")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ((t, t.getBytes("UTF-8").length.toLong)))
+    }
+    assert(got(4L)._1 == "compressed payload " * 100)
+  }
 }
