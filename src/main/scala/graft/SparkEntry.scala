@@ -372,6 +372,20 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // JSONL sink+source roundtrip: the query WRITES documents as JSON lines
+    // then reads them back; the oracle computes the same projection from
+    // the parquet source directly, so any escape/encoding corruption in
+    // the JSON path breaks the content fingerprints
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val path = s"$FixtureDir/jsonl_docs"
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .repartition(4).write.mode("overwrite").json(path)
+      s.read.schema("doc_id LONG, text STRING, lang STRING").json(path)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars_rt"),
+          graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
+    }),
+
     // gzip payload ingestion: JDK inflate in the scan stage; full-content
     // check via the decoded text's fingerprint
     "q_gunzip" -> ((s, d) => graft.sources.BinaryPayloads
@@ -1898,6 +1912,17 @@ sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
 SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
   COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
+    // JSONL roundtrip oracle: computed from the PARQUET source — it never
+    // sees the intermediate JSON, so equality proves the roundtrip
+    "q_jsonl_roundtrip" ->
+      s"""WITH f0 AS (SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars_rt, text,
+    list_reduce(list_prepend(0::HUGEINT,
+      list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)::HUGEINT)),
+    (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM documents),
+${Osql.mixCtes("f", "x")}
+SELECT doc_id, lang, n_chars_rt, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM fd""",
     // gzip replica: fixed-offset stored-deflate extraction (10-byte header,
     // 1-byte block header, LE length, data) + fingerprint64 of the decoded
     // text via the HUGEINT chain — DuckDB "gunzips" with byte arithmetic
