@@ -156,6 +156,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.subsetOf(batch), s"stream rows $rows not in batch $batch")
   }
 
+  test("stream-static broadcast join: streamed turns enriched against a static dim table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("grep", "search"), ("bash", "shell"), ("browse", "web"))
+      .toDF("tool", "category")
+    def turn(conv: String, idx: Int, tool: String) =
+      Turn(conv, idx, "tool", "t", tool, new java.sql.Timestamp(1700000000000L))
+    val input = MemoryStream[Turn]
+    val joined = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("tool"), "left")
+      .select(org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"),
+        org.apache.spark.sql.functions.col("tool"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("category"),
+          org.apache.spark.sql.functions.lit("unknown")).as("category"))
+    val q = joined.writeStream.format("memory").queryName("stream_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(turn("c1", 0, "grep"), turn("c1", 1, "frobnicate"))
+      q.processAllAvailable()
+      input.addData(turn("c2", 0, "bash"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_enrich")
+      .select("conv_id", "turn_idx", "category")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("c1", 0, "search"), ("c1", 1, "unknown"), ("c2", 0, "shell")),
+      s"got $got")
+  }
+
   test("stateless curation ops (piiRedact → c4Clean chain) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
