@@ -377,7 +377,10 @@ object SparkEntry {
     // the parquet source directly, so any escape/encoding corruption in
     // the JSON path breaks the content fingerprints
     "q_jsonl_roundtrip" -> ((s, d) => {
-      val path = s"$FixtureDir/jsonl_docs"
+      // sf-dir-keyed path: unlike the constant-content fixtures, this one is
+      // a function of `d` — a shared path could be clobbered by a concurrent
+      // Verify/Bench over a different sf dir between write and read-back
+      val path = s"$FixtureDir/jsonl_docs_${java.lang.Integer.toHexString(d.hashCode)}"
       t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
         .repartition(4).write.mode("overwrite").json(path)
       s.read.schema("doc_id LONG, text STRING, lang STRING").json(path)
@@ -394,11 +397,35 @@ object SparkEntry {
         graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"),
         substring(col("text"), 1, 60).as("head60"))),
 
+    // multi-block gzip members (stored blocks chained per RFC 1951): the
+    // same inflater scan; the oracle must WALK the block chain with a
+    // recursive CTE instead of slicing one fixed window
+    "q_gunzip_multi" -> ((s, d) => graft.sources.BinaryPayloads
+      .gunzipTexts(s.read.parquet(fixtureGzipMultiParquet(s)), "doc_id", "payload")
+      .select(col("doc_id"), col("n_bytes"),
+        graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"),
+        substring(col("text"), 1, 60).as("head60"))),
+
+    // HyperLogLog approx-distinct sketch of the token vocabulary: emits the
+    // mergeable integer state (2^8 buckets × max rank) — constant-width
+    // shuffle regardless of corpus size; estimate readout is driver-side
+    "q_hll_tokens" -> ((s, d) => TrainingData.hllSketch(
+      t(s, d, "documents").select(explode(filter(split(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+        x => length(x) > 0)).as("tok")),
+      col("tok"), p = 8)),
+
     // SemDeDup: semantic dedup inside IVF clusters (keep the member
     // farthest from its centroid; all cosines ppm-floored)
-    "q_semdedup" -> ((s, d) => graft.operators.Dedup.semDedup(
-      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", nlist = 16, thresholdPpm = 300000L)),
+    "q_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // nlist ∝ corpus size (≈64 vectors/cluster) keeps the per-cluster
+      // self-join linear in n — the docstring's scale rule, now enacted
+      // instead of a hardcoded 16; integer formula replayed by the oracle
+      val nlist = math.max(16L, (emb.count() + 63L) / 64L).toInt
+      graft.operators.Dedup.semDedup(emb, "vec_id", "embedding",
+        nlist = nlist, thresholdPpm = 300000L)
+    }),
 
     // exact per-source size quantiles: integer-arithmetic discrete
     // definition (rn*1e6 >= n*p), no float interpolation anywhere
@@ -1050,6 +1077,31 @@ object SparkEntry {
     path
   }
 
+  /** Multi-block gzip fixture: 240 deterministic texts sized 20–1500 chars,
+    * wrapped via [[graft.sources.BinaryPayloads.gzipStoredBlocks]] with a
+    * 97-byte block cap (deliberately unaligned, 1–16 stored blocks per
+    * member) — the oracle walks the chain with a recursive CTE. */
+  private def fixtureGzipMultiParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/gzmulti240"
+    if (!fixtureWritten.contains(path)) {
+      val r = new java.util.Random(20260818L)
+      val words = Array("multi", "block", "stored", "deflate", "chain",
+        "walk", "recursive", "member", "shard", "byte")
+      val rows = (0 until 240).map { i =>
+        val n = 3 + r.nextInt(220)
+        val sb = new StringBuilder
+        for (_ <- 0 until n) sb.append(words(r.nextInt(words.length))).append(' ')
+        (i.toLong,
+          graft.sources.BinaryPayloads.gzipStoredBlocks(sb.toString.trim, 97))
+      }
+      import s.implicits._
+      rows.toDF("doc_id", "payload").repartition(4)
+        .write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
   /** HTML-payload fixture (q_boilerplate's input) materialized like the slim
     * fixtures, so the DuckDB oracle can replay `Boilerplate.stripHtml` over
     * the exact rows the Spark query consumed. */
@@ -1114,7 +1166,7 @@ ${p}d AS (SELECT * REPLACE ((xor($x, $x // 2147483648::HUGEINT)) AS $x) FROM ${p
       val sb = new StringBuilder
       sb.append(
         """w0 AS MATERIALIZED (
-  SELECT chr(31) || regexp_replace(tok, '(?s)(.)', '\1' || chr(31), 'g') AS w,
+  SELECT regexp_replace(tok, '(?s)(.)', chr(31) || '\1' || chr(31), 'g') AS w,
     CAST(COUNT(*) AS BIGINT) AS n
   FROM (SELECT unnest(list_filter(string_split_regex(
       regexp_replace(lower(text), '[\x00-\x1F]', ' ', 'g'), '\s+'),
@@ -1130,7 +1182,7 @@ p$i AS MATERIALIZED (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt FROM (
   GROUP BY pr),
 b$i AS MATERIALIZED (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
 w${i + 1} AS MATERIALIZED (SELECT replace(w,
-    chr(31) || (SELECT pr FROM b$i) || chr(31),
+    chr(31) || (SELECT replace(pr, chr(31), chr(31) || chr(31)) FROM b$i) || chr(31),
     chr(31) || (SELECT replace(pr, chr(31), '') FROM b$i) || chr(31)) AS w, n
   FROM w$i)""")
       }
@@ -1472,6 +1524,7 @@ WHERE rn <= 3"""
     * ppm-floored keep-low-centroid-similarity pair filter. */
   private def semDedupOracleSql: String =
     s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+nl AS (SELECT GREATEST(16, (COUNT(*) + 63) // 64) AS nlist FROM emb),
 e0 AS (SELECT vec_id, embedding,
   list_reduce(list_prepend(0::HUGEINT,
     list_transform(regexp_extract_all(CAST(vec_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
@@ -1479,10 +1532,10 @@ e0 AS (SELECT vec_id, embedding,
   FROM emb),
 ${Osql.mixCtes("e", "x")},
 efp AS (SELECT vec_id, embedding, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM ed),
-cent AS (SELECT embedding AS centv,
-    ROW_NUMBER() OVER (ORDER BY fp, vec_id) - 1 AS cluster,
+cent AS (SELECT embedding AS centv, rn - 1 AS cluster,
     list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b) AS cn
-  FROM (SELECT * FROM efp ORDER BY fp, vec_id LIMIT 16)),
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY fp, vec_id) AS rn FROM efp)
+  WHERE rn <= (SELECT nlist FROM nl)),
 ${normCte(64)},
 asn0 AS (SELECT e.vec_id AS id, e.embedding AS cv, n.nn AS cvn, c.cluster,
     ${cosExpr("e.embedding", "c.centv", "n.nn", "c.cn", 64)} AS s
@@ -1754,7 +1807,9 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
            CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
            CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code block { x } here.' ELSE '' END AS t
          FROM documents),
-         l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+         l AS (SELECT doc_id, string_split(
+             regexp_replace(t, '[\x00-\x09\x0B-\x1F]', ' ', 'g'), chr(10)) AS lines
+           FROM aug),
          k AS (SELECT doc_id, lines, list_filter(lines, x ->
              NOT contains(lower(trim(x)), 'javascript') AND
              NOT contains(lower(trim(x)), 'terms of use') AND
@@ -1781,11 +1836,13 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
            'thoughts trailing off...' || chr(10) ||
            'more thoughts' || chr(8230) || chr(10) ||
            chr(8226) || ' third bullet' || chr(10) ||
-           'The end should be of use, so that we have it with stopwords.' AS t
+           'The end should be of use, so that we have it with stopwords.' AS t0
          FROM documents),
+         cl AS (SELECT doc_id,
+             regexp_replace(t0, '[\x00-\x09\x0B-\x1F]', ' ', 'g') AS t FROM aug),
          b AS (SELECT doc_id, t,
              list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks,
-             string_split(t, chr(10)) AS lines FROM aug),
+             string_split(t, chr(10)) AS lines FROM cl),
          lt AS (SELECT *, list_transform(toks, x -> lower(x)) AS lowtoks FROM b),
          c AS (SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
@@ -1882,7 +1939,8 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     // DSIR replica: bigram stream → fingerprint64 HUGEINT chain → signed
     // pmod bucket → Laplace bucket counts → quantized log-ratio sum
     "q_dsir_weights" ->
-      s"""WITH base AS (SELECT doc_id, (lang = 'en') AS is_t, text FROM documents),
+      s"""WITH base AS (SELECT doc_id, (lang = 'en') AS is_t,
+    regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g') AS text FROM documents),
 tk AS (SELECT doc_id, is_t,
     list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
   FROM base),
@@ -1946,6 +2004,54 @@ SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
   CAST(${Osql.signed("x")} AS BIGINT) AS fp,
   substring(text, 1, 60) AS head60
 FROM fd""",
+    // multi-block gzip replica: a RECURSIVE CTE walks the stored-deflate
+    // block chain (off → 1-byte BFINAL/BTYPE header, LEN little-endian,
+    // LEN data bytes → off + 5 + LEN) until BFINAL; fixture is ASCII so
+    // decoded char length == byte length
+    "q_gunzip_multi" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id,
+    list_transform(regexp_extract_all(hex(payload), '..'),
+      s -> (strpos('0123456789ABCDEF', substr(s, 1, 1)) - 1) * 16 +
+           strpos('0123456789ABCDEF', substr(s, 2, 1)) - 1) AS bytes
+  FROM read_parquet('$FixtureDir/gzmulti240/*.parquet')),
+walk AS (
+  SELECT doc_id, bytes, CAST(11 AS BIGINT) AS off, '' AS txt, 0 AS fin FROM raw
+  UNION ALL
+  SELECT doc_id, bytes,
+    off + 5 + bytes[off + 1] + 256 * bytes[off + 2],
+    txt || array_to_string(list_transform(
+      bytes[off + 5 : off + 4 + bytes[off + 1] + 256 * bytes[off + 2]],
+      b -> chr(CAST(b AS INTEGER))), ''),
+    CAST(bytes[off] % 2 AS INTEGER)
+  FROM walk WHERE fin = 0),
+g0 AS (SELECT doc_id, txt,
+  list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(txt, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM walk WHERE fin = 1),
+${Osql.mixCtes("g", "x")}
+SELECT doc_id, CAST(len(txt) AS BIGINT) AS n_bytes,
+  CAST(${Osql.signed("x")} AS BIGINT) AS fp,
+  substring(txt, 1, 60) AS head60
+FROM gd""",
+    // HLL sketch replica: fingerprint64 HUGEINT chain per token, bucket =
+    // top 8 bits (x // 2^56), rank = 56-bit-field leading zeros + 1 via
+    // bin() bit length (65 - p - bitlen; rest = 0 → 57) — integer-exact
+    "q_hll_tokens" ->
+      s"""WITH tk AS (SELECT unnest(list_filter(string_split_regex(
+      regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+      x -> len(x) > 0)) AS tok FROM documents),
+h0 AS (SELECT list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(tok, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tk),
+${Osql.mixCtes("h", "x")},
+br AS (SELECT x // 72057594037927936::HUGEINT AS bucket,
+              x % 72057594037927936::HUGEINT AS rest FROM hd)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(MAX(CASE WHEN rest = 0 THEN 57
+       ELSE 57 - length(bin(CAST(rest AS BIGINT))) END) AS BIGINT) AS max_rank
+FROM br GROUP BY bucket""",
     // exact integer quantiles: same rank/count window + rn*1e6 >= n*p rule
     "q_len_quantiles" ->
       """WITH r AS (SELECT source, n_chars,
@@ -1982,18 +2088,18 @@ ${(0 until BpeMerges).map(i =>
 d0 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
     '[\\x00-\\x1F]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents),
 e0 AS MATERIALIZED (SELECT doc_id, norm,
-    chr(31) || regexp_replace(norm, '(?s)(.)', '\\1' || chr(31), 'g') AS s FROM d0),
+    regexp_replace(norm, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g') AS s FROM d0),
 ${(0 until BpeMerges).map(i =>
         s"""e${i + 1} AS MATERIALIZED (SELECT doc_id, norm, replace(s,
-    chr(31) || (SELECT pr FROM b$i) || chr(31),
+    chr(31) || (SELECT replace(pr, chr(31), chr(31) || chr(31)) FROM b$i) || chr(31),
     chr(31) || (SELECT replace(pr, chr(31), '') FROM b$i) || chr(31)) AS s
   FROM e$i)""").mkString(",\n")}
 SELECT doc_id,
   CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
        ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_words,
   CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
-       ELSE CAST(length(s) - length(replace(s, chr(31), '')) -
-                 len(string_split(norm, ' ')) AS BIGINT) END AS n_tokens,
+       ELSE CAST((length(s) - length(replace(s, chr(31), ''))) // 2 -
+                 (len(string_split(norm, ' ')) - 1) AS BIGINT) END AS n_tokens,
   substring(trim(regexp_replace(replace(s, chr(31), ' '), ' +', ' ', 'g')), 1, 80) AS enc80
 FROM e$BpeMerges""",
     "q_preference_pairs" ->

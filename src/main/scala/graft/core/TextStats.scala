@@ -258,6 +258,24 @@ object TextStats {
     mix64(h)
   }
 
+  /** HyperLogLog (bucket, rank) pair of a value under [[fingerprint]]:
+    * bucket = top `p` bits, rank = leading zeros of the remaining
+    * (64-p)-bit field + 1 (the rho statistic of Flajolet et al. 2007,
+    * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+    * algorithm"). Integer-only on purpose: the sketch STATE (per-bucket max
+    * rank) is what gets exchanged/persisted, so it must be exactly
+    * replayable by another engine; the float estimate is a readout. */
+  def hllBucketRank(s: String, p: Int): Array[Long] = {
+    require(p >= 1 && p <= 32, s"hll precision out of range: $p")
+    val fp = fingerprint(s)
+    val bucket = fp >>> (64 - p)
+    val rest = fp & ((1L << (64 - p)) - 1)
+    val rank =
+      if (rest == 0L) (64 - p + 1).toLong
+      else (java.lang.Long.numberOfLeadingZeros(rest) - p + 1).toLong
+    Array(bucket, rank)
+  }
+
   /** Word k-shingles. */
   def shingles(s: String, k: Int): Array[String] =
     wsTokens(s.toLowerCase) match {

@@ -162,6 +162,22 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** value-string → [hll bucket, hll rank] (TextStats.hllBucketRank) in one
+    * compiled pass — the map side of the approx-distinct sketch; the whole
+    * sketch is then one 2^p-row hash aggregation. */
+  case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.hllBucketRank(
+        v.asInstanceOf[UTF8String].toString, p))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.hllBucketRank($v.toString(), $p));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -221,4 +237,7 @@ object TextHashExpressions {
 
   def bigram_buckets(text: Column, numBuckets: Int): Column =
     column(BigramBuckets(expression(text), numBuckets))
+
+  def hll_bucket_rank(value: Column, p: Int): Column =
+    column(HllBucketRank(expression(value), p))
 }

@@ -432,7 +432,12 @@ object TrainingData {
     *
     * Pure per-row HOF tree (split → filter → array_join) — zero shuffle,
     * the corpus streams once; every count the two doc rules need is emitted
-    * so downstream mixing can re-threshold without re-scanning. */
+    * so downstream mixing can re-threshold without re-scanning.
+    *
+    * Control chars other than \n are mapped to spaces up front (the
+    * [[bpeTrainMerges]] hygiene): Java's non-MULTILINE `$` matches before a
+    * trailing \r and Java `\s` includes \x0B while RE2's does not, so a raw
+    * \r or \x0B would silently diverge from the RE2 oracle. */
   def c4Clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepLine = (ln: Column) => {
       val t = trim(ln)
@@ -440,7 +445,8 @@ object TrainingData {
         .reduce(_ && _) && t.rlike("[.!?\"]$") &&
         size(split(t, "\\s+")) >= 3
     }
-    df.select(col(idCol), split(col(textCol), "\n").as("lines"))
+    val cleaned = regexp_replace(col(textCol), "[\\x00-\\x09\\x0B-\\x1F]", " ")
+    df.select(col(idCol), split(cleaned, "\n").as("lines"))
       .withColumn("kept", filter(col("lines"), keepLine))
       .select(col(idCol),
         size(col("lines")).cast("long").as("n_lines"),
@@ -467,7 +473,8 @@ object TrainingData {
     * counts are emitted alongside the flags for re-thresholding. Zero
     * shuffle — one HOF expression tree per row. */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // \r/\x0B → space up front: Java-vs-RE2 `$`/`\s` parity (see c4Clean)
+    val t = regexp_replace(col(textCol), "[\\x00-\\x09\\x0B-\\x1F]", " ")
     val base = df.select(col(idCol),
       filter(split(t, "\\s+"), x => length(x) > 0).as("toks"),
       split(t, "\n").as("lines"), t.as("t"))
@@ -570,9 +577,12 @@ object TrainingData {
     * — including the bucket hash itself (fingerprint64 HUGEINT replica). */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, numBuckets: Int = 4096): DataFrame = {
+    // all controls → space before the kernel: its Java-\s tokenizer would
+    // otherwise split on \x0B where the RE2 oracle replica does not
+    val cleanedText = regexp_replace(col(textCol), "[\\x00-\\x1F]", " ")
     val feats = df.withColumn("is_t", targetPred)
       .select(col(idCol), col("is_t"),
-        explode(TextHashExpressions.bigram_buckets(col(textCol), numBuckets))
+        explode(TextHashExpressions.bigram_buckets(cleanedText, numBuckets))
           .as("b"))
     val counts = feats.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
@@ -601,9 +611,16 @@ object TrainingData {
     * [[bpePairCounts]]'s single counting step: numMerges rounds of
     * (count adjacent symbol pairs weighted by word frequency → take the
     * most frequent, ties broken by pair bytes ascending → merge it in every
-    * word). Words are kept as U+001F-delimited symbol strings, so a merge
-    * round is ONE literal `replace` over the distinct-word table (leftmost,
-    * non-overlapping — the exact left-to-right BPE merge order).
+    * word). Each symbol is stored DOUBLE-DELIMITED as `US sym US` (a word is
+    * the concatenation of its symbols' stored forms, so adjacent symbols are
+    * separated by exactly two U+001F), and a merge round is ONE literal
+    * `replace(w, US l US US r US, US lr US)` over the distinct-word table.
+    * The double delimiter is what makes leftmost non-overlapping `replace`
+    * EXACTLY the left-to-right BPE merge scan: each match consumes only its
+    * own pair's flanking delimiters, so consecutive occurrences of the pair
+    * ('banana' with (a,n) → [b,an,an,a]; 'aaaa' with (a,a) → [aa,aa]) merge
+    * in the same pass — a single shared delimiter would be eaten by the
+    * first match and miss the run.
     *
     * Scale shape: the corpus is read ONCE (word-count hash-agg);
     * every merge round then passes over the DISTINCT-WORD table only —
@@ -617,8 +634,8 @@ object TrainingData {
     var words = df
       .select(explode(filter(split(cleaned, "\\s+"), x => length(x) > 0)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-      .select(concat(lit(Us),
-        regexp_replace(col("tok"), "(?s)(.)", "$1" + Us)).as("w"), col("n"))
+      .select(regexp_replace(col("tok"), "(?s)(.)", Us + "$1" + Us).as("w"),
+        col("n"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -641,7 +658,7 @@ object TrainingData {
         merges += ((rank, l, r, l + r, cnt))
         words = words.withColumn("w",
           org.apache.spark.sql.functions.replace(col("w"),
-            lit(Us + l + Us + r + Us), lit(Us + l + r + Us)))
+            lit(Us + l + Us + Us + r + Us), lit(Us + l + r + Us)))
         rank += 1
       }
     }
@@ -658,28 +675,34 @@ object TrainingData {
 
   /** Tokenizer application: encode each document with a trained merge
     * table, applying merges sequentially in rank order (each rank is one
-    * literal `replace` over the whole U+001F-delimited doc string —
-    * leftmost non-overlapping, never across word boundaries because the
-    * inter-word gap is "US space US"). Zero shuffle, zero UDF: the doc
-    * encoding is a single regexp pass and the merge chain is `numMerges`
-    * codegen'd replaces. Emits (id, n_words, n_tokens, enc80). */
+    * literal `replace` over the whole doc string in the double-delimited
+    * symbol encoding of [[bpeTrainMerges]] — exact left-to-right merge
+    * order, including consecutive pair runs; never across word boundaries
+    * because the inter-word gap contains a space symbol and merge symbols
+    * are space-free). Zero shuffle, zero UDF: the doc encoding is a single
+    * regexp pass and the merge chain is `numMerges` codegen'd replaces.
+    * Emits (id, n_words, n_tokens, enc80); every stored symbol carries
+    * exactly two delimiters, so n_symbols = count(US)/2 and the non-space
+    * token count subtracts the (n_words − 1) space symbols. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val rep = (src: Column, search: Column, to: Column) =>
       org.apache.spark.sql.functions.replace(src, search, to)
     val norm = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " "), "\\s+", " "))
-    val s0 = concat(lit(Us), regexp_replace(norm, "(?s)(.)", "$1" + Us))
+    val s0 = regexp_replace(norm, "(?s)(.)", Us + "$1" + Us)
     val sm = merges.foldLeft(s0) { case (acc, (l, r)) =>
-      rep(acc, lit(Us + l + Us + r + Us), lit(Us + l + r + Us))
+      rep(acc, lit(Us + l + Us + Us + r + Us), lit(Us + l + r + Us))
     }
     df.select(col(idCol), norm.as("norm"), sm.as("s"))
       .select(col(idCol),
         when(col("norm") === "", 0L)
           .otherwise(size(split(col("norm"), " ")).cast("long")).as("n_words"),
         when(col("norm") === "", 0L)
-          .otherwise(length(col("s")) - length(rep(col("s"), lit(Us), lit(""))) -
-            size(split(col("norm"), " ")).cast("long"))
+          .otherwise(
+            ((length(col("s")) - length(rep(col("s"), lit(Us), lit("")))) / 2)
+              .cast("long") -
+            (size(split(col("norm"), " ")).cast("long") - 1L))
           .cast("long").as("n_tokens"),
         substring(trim(regexp_replace(rep(col("s"), lit(Us), lit(" ")),
           " +", " ")), 1, 80).as("enc80"))
@@ -737,4 +760,39 @@ object TrainingData {
       array_join(array_sort(collect_set(col("tool"))), ",").as("tools"),
       min(col("ts")).cast("long").as("t_first_epoch"),
       max(col("ts")).cast("long").as("t_last_epoch"))
+
+  /** Approximate-distinct telemetry: the HyperLogLog SKETCH of `value` —
+    * per-bucket max rank over 2^p buckets (bucket/rank per
+    * `TextStats.hllBucketRank`). Emits the mergeable integer state, not the
+    * float estimate: shards/days union by a further
+    * `groupBy(bucket).max(max_rank)`, and the rows are exactly replayable
+    * by any engine (the estimate readout is [[hllEstimate]]).
+    *
+    * Scale shape: one compiled map pass + ONE hash aggregation whose output
+    * is 2^p rows regardless of input size — partial aggregation collapses
+    * each task to ≤2^p rows before the exchange, so the shuffle is constant
+    * -width. This is the right telemetry primitive at 10^12 turns, where
+    * exact `count(DISTINCT x)` is a full-data exchange. */
+  def hllSketch(df: DataFrame, value: Column, p: Int = 8): DataFrame =
+    df.select(TextHashExpressions.hll_bucket_rank(value.cast("string"), p).as("br"))
+      .select(col("br").getItem(0).as("bucket"), col("br").getItem(1).as("rnk"))
+      .groupBy("bucket").agg(max(col("rnk")).as("max_rank"))
+
+  /** Driver-side HLL readout: bias-corrected harmonic estimate with the
+    * small-range linear-counting correction (Flajolet et al. 2007, §4). */
+  def hllEstimate(sketch: Seq[(Long, Long)], p: Int): Double = {
+    val m = 1 << p
+    val regs = new Array[Long](m)
+    sketch.foreach { case (b, r) => regs(b.toInt) = math.max(regs(b.toInt), r) }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val z = 1.0 / regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val e = alpha * m * m * z
+    val zeros = regs.count(_ == 0L)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
 }

@@ -120,4 +120,38 @@ object BinaryPayloads {
       s"expected single stored block, got ${out.length} bytes for ${data.length}")
     out
   }
+
+  /** Deterministic MULTI-block gzip writer: the payload split into
+    * `blockCap`-byte stored-deflate blocks (RFC 1951 §3.2.4: 1 header byte
+    * — BFINAL in the LSB, BTYPE=00 — then LEN/NLEN little-endian, then raw
+    * bytes), wrapped in a hand-rolled RFC 1952 container (the JDK's 10-byte
+    * header shape, CRC32 + ISIZE trailer). [[gunzipTexts]] decodes it with
+    * the ordinary inflater like any other member; the value of the fixture
+    * is that the DuckDB oracle must WALK the block chain (a recursive CTE
+    * over byte offsets) rather than slice one fixed window — multi-block is
+    * what real stored-deflate shards look like past 64 KiB. */
+  def gzipStoredBlocks(s: String, blockCap: Int): Array[Byte] = {
+    val data = s.getBytes(StandardCharsets.UTF_8)
+    require(blockCap >= 1 && blockCap <= 65535, s"bad blockCap $blockCap")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val nBlocks = math.max(1, (data.length + blockCap - 1) / blockCap)
+    for (i <- 0 until nBlocks) {
+      val from = i * blockCap
+      val len = math.min(data.length - from, blockCap)
+      bos.write(if (i == nBlocks - 1) 1 else 0)
+      bos.write(len & 0xFF); bos.write((len >> 8) & 0xFF)
+      bos.write(~len & 0xFF); bos.write((~len >> 8) & 0xFF)
+      bos.write(data, from, len)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val c = crc.getValue
+    bos.write((c & 0xFF).toInt); bos.write(((c >> 8) & 0xFF).toInt)
+    bos.write(((c >> 16) & 0xFF).toInt); bos.write(((c >> 24) & 0xFF).toInt)
+    val n = data.length.toLong
+    bos.write((n & 0xFF).toInt); bos.write(((n >> 8) & 0xFF).toInt)
+    bos.write(((n >> 16) & 0xFF).toInt); bos.write(((n >> 24) & 0xFF).toInt)
+    bos.toByteArray
+  }
 }

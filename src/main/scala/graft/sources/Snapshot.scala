@@ -50,7 +50,8 @@ object Snapshot {
     * any point; a completed snapshot is a no-op. Returns observed metrics. */
   def write(df: DataFrame, tablePath: String, chunkKey: String,
             numChunks: Int, snapshotId: Int = -1,
-            observation: Option[org.apache.spark.sql.Observation] = None): Map[String, Long] = {
+            observation: Option[org.apache.spark.sql.Observation] = None,
+            tag: String = ""): Map[String, Long] = {
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     Files.createDirectories(table)
@@ -103,6 +104,7 @@ object Snapshot {
     atomicWrite(manifest, Json.obj(
       "snapshot" -> k.toString,
       "parent" -> parent.toString,
+      "tag" -> Json.str(tag),
       "chunk_key" -> Json.str(chunkKey),
       "num_chunks" -> numChunks.toString,
       "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
@@ -167,11 +169,13 @@ object Snapshot {
     * step, manifest commits last. */
   def append(df: DataFrame, tablePath: String, chunkKey: String,
              numChunks: Int,
-             observation: Option[org.apache.spark.sql.Observation] = None): Map[String, Long] = {
+             observation: Option[org.apache.spark.sql.Observation] = None,
+             tag: String = ""): Map[String, Long] = {
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     val parentVersion = currentVersion(table).getOrElse(
-      return write(df, tablePath, chunkKey, numChunks, observation = observation))
+      return write(df, tablePath, chunkKey, numChunks,
+        observation = observation, tag = tag))
     val k = parentVersion + 1
     val manifest = table.resolve(s"manifest-v$k.json")
     if (Files.exists(manifest)) return Map.empty
@@ -233,6 +237,7 @@ object Snapshot {
       "snapshot" -> k.toString,
       "parent" -> parentVersion.toString,
       "append" -> "true",
+      "tag" -> Json.str(tag),
       "chunk_key" -> Json.str(chunkKey),
       "num_chunks" -> numChunks.toString,
       "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
@@ -241,6 +246,20 @@ object Snapshot {
     atomicWrite(table.resolve("CURRENT"), k.toString)
     deleteRecursively(staging)
     observed
+  }
+
+  /** Tags of every committed snapshot (empty tags excluded). The
+    * exactly-once handshake for streaming micro-batch commits: a replayed
+    * batch (at-least-once delivery after a crash) finds its tag already
+    * committed and skips — see `streaming.StreamingSnapshot`. */
+  def committedTags(tablePath: String): Set[String] = {
+    val table = Paths.get(tablePath)
+    if (!Files.exists(table)) return Set.empty
+    val re = "\"tag\"\\s*:\\s*\"([^\"]+)\"".r
+    Files.list(table).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
+      .flatMap(p => re.findFirstMatchIn(Files.readString(p)).map(_.group(1)))
+      .toSet
   }
 
   /** Snapshot expiry (Iceberg `expire_snapshots`): drop all but the last

@@ -541,4 +541,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got(4L)._1 == "compressed payload " * 100)
   }
+
+  test("gzipStoredBlocks: multi-block framing walks and decodes; edge sizes") {
+    import spark.implicits._
+    import graft.sources.BinaryPayloads
+    // sizes straddling the cap: 1 block, exact multiple, cap+1, many blocks
+    val cap = 97
+    val texts = Seq(1L -> "a", 2L -> ("b" * cap), 3L -> ("c" * (cap + 1)),
+      4L -> ("word " * 300).trim, 5L -> ("d" * (cap * 4)))
+    val rows = texts.map { case (id, t) => (id, BinaryPayloads.gzipStoredBlocks(t, cap)) }
+    rows.foreach { case (id, gz) =>
+      val n = texts.find(_._1 == id).get._2.getBytes("UTF-8").length
+      val blocks = math.max(1, (n + cap - 1) / cap)
+      assert(gz.length == 10 + 5 * blocks + n + 8, s"doc $id framing")
+      // walk the chain like the oracle: BFINAL only on the last block
+      var off = 10; var seen = 0
+      var fin = false
+      while (!fin) {
+        fin = (gz(off) & 1) == 1
+        val len = (gz(off + 1) & 0xFF) | ((gz(off + 2) & 0xFF) << 8)
+        // NLEN is LEN's complement
+        assert(((gz(off + 3) & 0xFF) | ((gz(off + 4) & 0xFF) << 8)) == (~len & 0xFFFF))
+        off += 5 + len; seen += 1
+      }
+      assert(seen == blocks, s"doc $id block count")
+    }
+    // the ordinary inflater must accept the chain (trailer CRC included)
+    val got = BinaryPayloads.gunzipTexts(rows.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    texts.foreach { case (id, t) => assert(got(id) == t, s"doc $id roundtrip") }
+  }
 }

@@ -224,4 +224,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got == batch && got.size == 2, s"stream $got vs batch $batch")
   }
+
+  test("StreamingSnapshot: per-batch tagged delta commits; crash replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Snapshot
+    import graft.streaming.StreamingSnapshot
+    val base = java.nio.file.Files.createTempDirectory("snapsink").toString
+    val table = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSnapshot.sink(input.toDF().toDF("doc_id", "text"),
+      table, ckpt, chunkKey = "doc_id", numChunks = 2)
+    try {
+      input.addData((1L, "first"), (2L, "second"))
+      q.processAllAvailable()
+      input.addData((3L, "third"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val afterStream = Snapshot.read(spark, table)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(afterStream == Set((1L, "first"), (2L, "second"), (3L, "third")))
+    val tags = Snapshot.committedTags(table)
+    assert(tags.contains("batch-0") && tags.contains("batch-1"), tags.toString)
+
+    // at-least-once replay: re-delivering a committed batch must not write
+    val replay = Seq((1L, "first"), (2L, "second")).toDF("doc_id", "text")
+    assert(!StreamingSnapshot.appendBatch(replay, table, 0L, "doc_id", 2))
+    assert(Snapshot.read(spark, table).count() == 3)
+    // a genuinely new batch appends one more tagged delta
+    val next = Seq((4L, "fourth")).toDF("doc_id", "text")
+    assert(StreamingSnapshot.appendBatch(next, table, 2L, "doc_id", 2))
+    assert(Snapshot.read(spark, table).count() == 4)
+    assert(Snapshot.committedTags(table).contains("batch-2"))
+  }
 }

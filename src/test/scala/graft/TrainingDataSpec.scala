@@ -544,7 +544,12 @@ class TrainingDataSpec extends AnyFunSuite {
       (2L, "new newer newest new"),
       (3L, "low new low"),
       (4L, "   "),          // whitespace-only → 0 words / 0 tokens
-      (5L, "x"))            // single char word
+      (5L, "x"),            // single char word
+      // consecutive-occurrence runs: merging (a,n) in "banana" must yield
+      // [b,an,an,a] and (a,a) in "aaaa" must yield [aa,aa] — a shared-
+      // delimiter replace consumes the first match's trailing separator
+      // and misses the run (ADVICE r2 high finding)
+      (6L, "banana banana banana banana bananas aaaa aaaa aaaa nananana"))
     val df = corpus.toDF("doc_id", "text")
     val m = 6
 
@@ -618,5 +623,37 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(df(1L) == Seq(4L, 4L * math.floor(math.log(4.0) * 10000.0).toLong))
     assert(df(2L) == Seq(n, expect))
+  }
+
+  test("hllSketch: state == brute-force replica; shard merge exact; estimate sane") {
+    import graft.core.TextStats
+    val p = 8
+    // 3000 values, ~2400 distinct (collisions by construction)
+    val values = (0 until 3000).map(i => s"val-${i % 2400}")
+    val df = values.map(Tuple1(_)).toDF("v")
+    val sketch = TrainingData.hllSketch(df, col("v"), p)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // brute-force replica over the kernel — distinctness must not matter
+    val expect = values.distinct
+      .map(v => { val br = TextStats.hllBucketRank(v, p); (br(0), br(1)) })
+      .groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }
+      .toSeq.sorted
+    assert(sketch == expect)
+    // mergeability: sketches of two shards union (max per bucket) to the whole
+    val (l, r) = values.splitAt(1100)
+    def sk(xs: Seq[String]) = TrainingData.hllSketch(
+      xs.map(Tuple1(_)).toDF("v"), col("v"), p)
+      .as[(Long, Long)].collect().toMap
+    val merged = (sk(l).toSeq ++ sk(r).toSeq).groupBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._2).max) }.toSeq.sorted
+    assert(merged == sketch)
+    // readout: within 3 standard errors (1.04/sqrt(256) ≈ 6.5% → 20%)
+    val est = TrainingData.hllEstimate(sketch, p)
+    assert(math.abs(est - 2400.0) / 2400.0 < 0.20, s"estimate $est vs 2400")
+    // rank kernel edges: bucket in [0, 2^p), rank in [1, 64-p+1]
+    values.take(50).foreach { v =>
+      val br = TextStats.hllBucketRank(v, p)
+      assert(br(0) >= 0 && br(0) < (1 << p) && br(1) >= 1 && br(1) <= 64 - p + 1)
+    }
   }
 }
