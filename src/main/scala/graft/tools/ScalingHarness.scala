@@ -389,7 +389,11 @@ object ScalingSample {
     require(Files.exists(Paths.get(ScalingHarness.ScalingPath)),
       s"scaling input missing at ${ScalingHarness.ScalingPath} — run graft.Bench or RegenBenchData first")
     var i = 0
-    while (i < attempts) {
+    while (i < attempts &&
+           // drop-a-file kill switch: a sampler that outlives its session
+           // contends with the driver's own verify/bench runs (the round-2
+           // timeout) — `touch bench/sampler.stop` halts it between attempts
+           !Files.exists(Paths.get("bench/sampler.stop"))) {
       val (lo, hi) = if (i % 2 == 0) (2, 8) else (8, 32)
       try {
         val s = ScalingHarness.sampleOnce(lo, hi)
