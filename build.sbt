@@ -31,8 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (the machine has 128 GiB; allocation-heavy FSM stages go GC-bound at 8g).
 // Xms=Xmx: without it the heap grows/uncommits across G1 cycles and the VM
 // burns >90% SYSTEM time in page faults (measured via vmstat in this sandbox).
+// NO AlwaysPreTouch: on this kernel pre-zeroing 24 GB costs ~4 min of wall
+// (79 min of SYS time, measured) before main() even starts — it silently
+// blew the driver's verify/bench time budgets in round 2. Xms=Xmx alone
+// stops the grow/uncommit churn; first-touch faults happen once per page,
+// amortized into the run.
 run / javaOptions ++= {
   val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+AlwaysPreTouch")
+  Seq(s"-Xmx$m", s"-Xms$m")
 }
 Test / javaOptions ++= Seq("-Xmx8g", "-Xms8g")

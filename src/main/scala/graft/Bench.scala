@@ -64,7 +64,15 @@ object Bench {
       .map(_.group(1).toLong)
   }
 
+  // timestamped stderr phase markers: a driver-side timeout leaves a tail
+  // that says WHERE the time went (round-2 lesson — the r2 artifacts were
+  // voided by silent JVM-startup + sampling stalls nobody could attribute)
+  private val T0 = System.nanoTime()
+  private def phase(msg: String): Unit =
+    System.err.println(f"[bench] +${(System.nanoTime() - T0) / 1e9}%.1f s  $msg")
+
   def main(args: Array[String]): Unit = {
+    phase("main entered (JVM startup cost is everything before this line)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val highCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, highCores / 4)
@@ -104,6 +112,9 @@ object Bench {
       } finally s.stop()
     }
 
+    phase(s"scaling policy: mode=$mode fresh28=$want28 freshN4N=$wantN4N " +
+      s"(quiet pairs on file: 2→8=${quietPairs(2, 8)}, " +
+      s"$lowCores→$highCores=${quietPairs(lowCores, highCores)})")
     if (want28) ScalingHarness.sampleOnce(2, 8)
     if (wantN4N) ScalingHarness.sampleOnce(lowCores, highCores)
     val sum = ScalingHarness.summarize()
@@ -127,6 +138,7 @@ object Bench {
     // --- headline queries at local[4N] on the driver's sf dir ---
     // (under the harness lock: a background ScalingSample attempt's
     // node-load spinner must never overlap a timed query)
+    phase(s"query sweep starting on $sfDir")
     val results: Seq[(String, Double, Option[String])] =
       ScalingHarness.withHarnessLock {
         val spark = newSession(highCores)
@@ -139,6 +151,7 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             }
           }
+          phase(f"$name $sec%.1f s${err.map(e => s"  ERR $e").getOrElse("")}")
           (name, sec, err)
         } finally spark.stop()
       }

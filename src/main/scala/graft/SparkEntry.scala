@@ -415,6 +415,39 @@ object SparkEntry {
         x => length(x) > 0)).as("tok")),
       col("tok"), p = 8)),
 
+    // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
+    // state — constant-width shuffle, heavy-hitter probes without a
+    // full-vocabulary exchange
+    "q_cms_tokens" -> ((s, d) => TrainingData.cmsSketch(
+      t(s, d, "documents").select(explode(filter(split(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+        x => length(x) > 0)).as("tok")),
+      col("tok"), depth = 4, width = 1024)),
+
+    // as-of join: latest click at-or-before each purchase per user —
+    // union-tag + ONE running-last window, no range cross product
+    "q_asof_attrib" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val us = (c: Column) => unix_micros(c.cast("timestamp"))
+      graft.operators.AsOfJoin.asOf(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+          col("asof_event_id"), col("asof_value"),
+          us(col("asof_ts")).as("asof_ts_us"),
+          (us(col("ts")) - us(col("asof_ts"))).as("gap_us"))
+    }),
+
+    // PageRank over the host link graph (integer fixed-point, 5 rounds) —
+    // the crawl-quality prior for domain mixture weighting
+    "q_pagerank_hosts" -> ((s, d) => graft.operators.Graph.pageRank(
+      graft.operators.Graph.hostEdges(
+        s.read.parquet(fixtureUrlsParquet(s)), "doc_id", "text"),
+      "src", "dst", iters = 5)),
+
     // SemDeDup: semantic dedup inside IVF clusters (keep the member
     // farthest from its centroid; all cosines ppm-floored)
     "q_semdedup" -> ((s, d) => {
@@ -2052,6 +2085,72 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
   CAST(MAX(CASE WHEN rest = 0 THEN 57
        ELSE 57 - length(bin(CAST(rest AS BIGINT))) END) AS BIGINT) AS max_rank
 FROM br GROUP BY bucket""",
+    // CMS replica: fingerprint64 per token, then per depth row d the
+    // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
+    // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT
+    // and signed JVM residues coincide)
+    "q_cms_tokens" ->
+      s"""WITH tk AS (SELECT unnest(list_filter(string_split_regex(
+      regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+      x -> len(x) > 0)) AS tok FROM documents),
+h0 AS (SELECT list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(tok, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tk),
+${Osql.mixCtes("h", "x")},
+e0 AS (SELECT s.d AS d, xor(hd.x, s.seed) AS x FROM hd CROSS JOIN (VALUES
+  ${(0 until 4).map(i => s"($i, ${java.lang.Long.toUnsignedString((i + 1) * 0x9E3779B97F4A7C15L)}::HUGEINT)").mkString(", ")})
+  AS s(d, seed)),
+${Osql.mixCtes("e", "x")}
+SELECT CAST(d AS BIGINT) AS d, CAST(x % 1024::HUGEINT AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ed GROUP BY 1, 2""",
+    // as-of replica: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // algorithm (sort-merge as-of) replaying the same contract: inclusive
+    // l.ts >= r.ts, right side pre-deduped per (user, ts) by greatest
+    // event_id (arg_max == the Spark struct-max)
+    "q_asof_attrib" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS click_id,
+    arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+  r.click_id AS asof_event_id, r.click_value AS asof_value,
+  epoch_us(r.ts) AS asof_ts_us,
+  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // PageRank replica: same edge derivation (positional unnest zip for
+    // first-host), then the 5 power-iteration rounds unrolled as
+    // MATERIALIZED CTEs in the identical integer fixed-point op order
+    "q_pagerank_hosts" -> {
+      val iter = (i: Int) =>
+        s"""p$i AS MATERIALIZED (SELECT nd.node,
+  (1000000000000::BIGINT * 15) // (100 * (SELECT n FROM nn)) +
+    COALESCE(f.inflow, 0) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(SUM((r.rank * 85) // (100 * deg.od)) AS BIGINT) AS inflow
+    FROM ed e JOIN deg ON deg.src = e.src JOIN p${i - 1} r ON r.node = e.src
+    GROUP BY e.dst) f ON f.node = nd.node)"""
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text,
+    'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\n"''<>]*)?') AS l
+  FROM read_parquet('$FixtureDir/urls200/*.parquet')),
+u0 AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
+    unnest(l) AS url FROM t),
+uh AS (SELECT doc_id, pos, host FROM (SELECT doc_id, pos,
+    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)),
+      '^www\\.', '') AS host FROM u0) WHERE host <> ''),
+fh AS (SELECT doc_id, arg_min(host, pos) AS src FROM uh GROUP BY doc_id),
+ed AS MATERIALIZED (SELECT DISTINCT fh.src AS src, uh.host AS dst
+  FROM uh JOIN fh ON uh.doc_id = fh.doc_id WHERE uh.host <> fh.src),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM ed GROUP BY src),
+nd AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+p0 AS (SELECT node, 1000000000000::BIGINT // (SELECT n FROM nn) AS rank FROM nd),
+${(1 to 5).map(iter).mkString(",\n")}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM p5"""
+    },
     // exact integer quantiles: same rank/count window + rn*1e6 >= n*p rule
     "q_len_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

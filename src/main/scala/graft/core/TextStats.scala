@@ -276,6 +276,20 @@ object TextStats {
     Array(bucket, rank)
   }
 
+  /** Count-min-sketch bucket per depth row (Cormode & Muthukrishnan 2005):
+    * row i hashes the value with the i-th member of the one-strong-hash +
+    * splitmix-rehash family (the [[minHash]] construction) and keeps the
+    * low log2(width) bits. `width` must be a power of two so the unsigned
+    * (SQL HUGEINT) and signed (JVM) residues coincide — 2^64 ≡ 0 (mod w). */
+  def cmsBuckets(s: String, depth: Int, width: Int): Array[Long] = {
+    require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+    require(width >= 2 && (width & (width - 1)) == 0, s"cms width not a power of two: $width")
+    val fp = fingerprint(s)
+    Array.tabulate(depth) { i =>
+      mix64(fp ^ ((i + 1).toLong * 0x9E3779B97F4A7C15L)) & (width - 1).toLong
+    }
+  }
+
   /** Word k-shingles. */
   def shingles(s: String, k: Int): Array[String] =
     wsTokens(s.toLowerCase) match {

@@ -178,6 +178,23 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** value-string → [depth] count-min-sketch buckets (TextStats.cmsBuckets)
+    * in one compiled pass — the map side of the CMS frequency sketch; the
+    * whole sketch is then one depth×width-row hash aggregation. */
+  case class CmsBuckets(child: Expression, depth: Int, width: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.cmsBuckets(
+        v.asInstanceOf[UTF8String].toString, depth, width))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.cmsBuckets($v.toString(), $depth, $width));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -240,4 +257,7 @@ object TextHashExpressions {
 
   def hll_bucket_rank(value: Column, p: Int): Column =
     column(HllBucketRank(expression(value), p))
+
+  def cms_buckets(value: Column, depth: Int, width: Int): Column =
+    column(CmsBuckets(expression(value), depth, width))
 }

@@ -778,6 +778,38 @@ object TrainingData {
       .select(col("br").getItem(0).as("bucket"), col("br").getItem(1).as("rnk"))
       .groupBy("bucket").agg(max(col("rnk")).as("max_rank"))
 
+  /** Frequency telemetry: the count-min SKETCH of `value` — per-(depth,
+    * bucket) counts over `depth` hash rows × `width` buckets
+    * (Cormode & Muthukrishnan 2005; buckets per `TextStats.cmsBuckets`).
+    * Like [[hllSketch]] this emits the mergeable integer STATE, not a
+    * readout: shards/days union by a further `groupBy(d, bucket).sum(cnt)`,
+    * and every row is exactly replayable by another engine. Point estimate
+    * = [[cmsEstimate]] (min over rows — an upper bound on the true count,
+    * within εN with probability 1−δ for width=e/ε, depth=ln(1/δ)).
+    *
+    * Scale shape: one compiled map pass (the d bucket hashes come out of a
+    * single codegen'd kernel call), one posexplode bounded by depth, and
+    * ONE hash aggregation whose output is ≤ depth·width rows regardless of
+    * input size — partial aggregation collapses each task before the
+    * exchange, so the shuffle is constant-width. The heavy-hitter question
+    * ("which tokens dominate the 10^12-turn corpus") becomes: sketch, then
+    * probe candidate keys — no full-vocabulary exchange. */
+  def cmsSketch(df: DataFrame, value: Column, depth: Int = 4,
+                width: Int = 1024): DataFrame =
+    df.select(TextHashExpressions.cms_buckets(value.cast("string"), depth, width).as("bs"))
+      .select(posexplode(col("bs")).as(Seq("d", "bucket")))
+      .groupBy(col("d").cast("long").as("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Driver-side CMS point estimate for one key: min over the depth rows of
+    * its bucket counts (absent bucket → 0). */
+  def cmsEstimate(sketch: Seq[(Long, Long, Long)], key: String,
+                  depth: Int, width: Int): Long = {
+    val m = sketch.map { case (d, b, c) => (d, b) -> c }.toMap
+    graft.core.TextStats.cmsBuckets(key, depth, width).zipWithIndex
+      .map { case (b, d) => m.getOrElse((d.toLong, b), 0L) }.min
+  }
+
   /** Driver-side HLL readout: bias-corrected harmonic estimate with the
     * small-range linear-counting correction (Flajolet et al. 2007, §4). */
   def hllEstimate(sketch: Seq[(Long, Long)], p: Int): Double = {
