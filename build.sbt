@@ -36,8 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // blew the driver's verify/bench time budgets in round 2. Xms=Xmx alone
 // stops the grow/uncommit churn; first-touch faults happen once per page,
 // amortized into the run.
+// 12g default: this kernel zeroes anonymous pages at ~100 MB/s, so every
+// gigabyte of heap the JVM touches costs ~10 s of one-time wall somewhere
+// in the run — a 24g heap G1 eventually laps through taxed the sweep ~4 min.
+// 12g is ample for every query at the driver's SF and halves that bound.
 run / javaOptions ++= {
-  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")
   Seq(s"-Xmx$m", s"-Xms$m")
 }
 Test / javaOptions ++= Seq("-Xmx8g", "-Xms8g")

@@ -424,6 +424,15 @@ object SparkEntry {
         x => length(x) > 0)).as("tok")),
       col("tok"), depth = 4, width = 1024)),
 
+    // sketch-gated EXACT heavy hitters: CMS estimate as a codegen map-side
+    // gate, exact count + HAVING only on survivors — no full-vocabulary
+    // exchange; output is exact (the gate has no false negatives)
+    "q_heavy_hitters" -> ((s, d) => TrainingData.heavyHitters(
+      t(s, d, "documents").select(explode(filter(split(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+        x => length(x) > 0)).as("tok")),
+      col("tok"), minCount = 900L)),
+
     // as-of join: latest click at-or-before each purchase per user —
     // union-tag + ONE running-last window, no range cross product
     "q_asof_attrib" -> ((s, d) => {
@@ -2105,6 +2114,15 @@ ${Osql.mixCtes("e", "x")}
 SELECT CAST(d AS BIGINT) AS d, CAST(x % 1024::HUGEINT AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS cnt
 FROM ed GROUP BY 1, 2""",
+    // heavy-hitter replica: the final output is EXACT (the CMS gate only
+    // prunes, never drops a true heavy hitter), so plain GROUP BY + HAVING
+    // is the complete oracle
+    "q_heavy_hitters" ->
+      s"""SELECT tok AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(list_filter(string_split_regex(
+    regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+    x -> len(x) > 0)) AS tok FROM documents)
+GROUP BY tok HAVING COUNT(*) >= 900""",
     // as-of replica: DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // algorithm (sort-merge as-of) replaying the same contract: inclusive
     // l.ts >= r.ts, right side pre-deduped per (user, ts) by greatest

@@ -290,6 +290,23 @@ object TextStats {
     }
   }
 
+  /** CMS point estimate of `s` against a flattened depth×width state array
+    * (row-major: state(d*width + bucket)): min over the depth rows. Always
+    * ≥ the true count — the no-false-negative guarantee the sketch-gated
+    * heavy-hitter pass relies on. */
+  def cmsEstimateFromState(s: String, state: Array[Long],
+                           depth: Int, width: Int): Long = {
+    val bs = cmsBuckets(s, depth, width)
+    var m = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = state(d * width + bs(d).toInt)
+      if (c < m) m = c
+      d += 1
+    }
+    m
+  }
+
   /** Word k-shingles. */
   def shingles(s: String, k: Int): Array[String] =
     wsTokens(s.toLowerCase) match {

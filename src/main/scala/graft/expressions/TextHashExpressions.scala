@@ -195,6 +195,30 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** value-string → CMS point estimate against a PLAN-EMBEDDED sketch state
+    * (≤ depth×width longs, row-major — constant-size whatever the corpus,
+    * shipped to executors with the serialized plan like a broadcast hint).
+    * This is the map-side gate of the sketch-gated heavy-hitter pass: only
+    * tokens whose estimate clears the threshold reach the exact-count
+    * shuffle, and the estimate is an upper bound, so the gate never drops a
+    * true heavy hitter. */
+  case class CmsEstimate(child: Expression, state: Array[Long],
+                         depth: Int, width: Int) extends UnaryExpression {
+    require(state.length == depth * width, "cms state shape mismatch")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextStats.cmsEstimateFromState(
+        v.asInstanceOf[UTF8String].toString, state, depth, width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmsState", state, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.core.TextStats.cmsEstimateFromState(" +
+          s"$v.toString(), $ref, $depth, $width);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -260,4 +284,7 @@ object TextHashExpressions {
 
   def cms_buckets(value: Column, depth: Int, width: Int): Column =
     column(CmsBuckets(expression(value), depth, width))
+
+  def cms_estimate(value: Column, state: Array[Long], depth: Int, width: Int): Column =
+    column(CmsEstimate(expression(value), state, depth, width))
 }

@@ -801,6 +801,34 @@ object TrainingData {
       .groupBy(col("d").cast("long").as("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Sketch-gated exact heavy hitters: every distinct `value` with true
+    * count ≥ `minCount`, WITHOUT a full-vocabulary exchange. Two passes:
+    * (1) [[cmsSketch]] collapses the stream to a ≤ depth×width integer
+    * state (constant size — collecting it is a telemetry read, not a data
+    * read); (2) the state rides the serialized plan into a codegen'd
+    * `CmsEstimate` filter, so only occurrences whose upper-bound estimate
+    * clears the threshold reach the exact-count shuffle, and a final exact
+    * HAVING removes the sketch's false positives. No false negatives: the
+    * CMS estimate is always ≥ the true count.
+    *
+    * Scale shape: at 10^12 turns the token vocabulary is billions of keys
+    * but the heavy tail above any useful threshold is tiny — the exact
+    * `groupBy(value)` this replaces shuffles the whole vocabulary; this
+    * shuffles only gated survivors (εN false-positive mass, tunable by
+    * width). The output is exact, not approximate. */
+  def heavyHitters(df: DataFrame, value: Column, minCount: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val state = new Array[Long](depth * width)
+    cmsSketch(df, value, depth, width).collect().foreach { r =>
+      state(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    df.select(value.cast("string").as("value"))
+      .filter(TextHashExpressions.cms_estimate(col("value"), state, depth, width)
+        >= minCount)
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Driver-side CMS point estimate for one key: min over the depth rows of
     * its bucket counts (absent bucket → 0). */
   def cmsEstimate(sketch: Seq[(Long, Long, Long)], key: String,

@@ -110,6 +110,24 @@ class GraphAsOfSpec extends AnyFunSuite {
     assert(got == Set(("a.com", "b.org"), ("c.io", "d.me")))
   }
 
+  test("heavyHitters: exact output on a planted heavy tail; gate never drops a hitter") {
+    import graft.operators.TrainingData
+    // heavy tail: 5 hot keys (300..700 occurrences) over 5000 cold keys
+    val hot = (0 until 5).flatMap(i => Seq.fill(300 + i * 100)(s"hot-$i"))
+    val cold = (0 until 5000).map(i => s"cold-$i")
+    val values = new scala.util.Random(11).shuffle(hot ++ cold)
+    val df = values.map(Tuple1(_)).toDF("v")
+    val got = TrainingData.heavyHitters(df, col("v"), minCount = 300L)
+      .as[(String, Long)].collect().toMap
+    val expect = values.groupBy(identity).collect {
+      case (v, xs) if xs.size >= 300 => v -> xs.size.toLong }
+    assert(got == expect && got.size == 5)
+    // higher threshold drops the lightest hitters exactly
+    val got500 = TrainingData.heavyHitters(df, col("v"), minCount = 500L)
+      .as[(String, Long)].collect().toMap
+    assert(got500 == expect.filter(_._2 >= 500L))
+  }
+
   test("cmsSketch: state == brute-force replica; shard merge; estimate bounds") {
     import graft.core.TextStats
     import graft.operators.TrainingData
