@@ -424,6 +424,23 @@ object SparkEntry {
         x => length(x) > 0)).as("tok")),
       col("tok"), depth = 4, width = 1024)),
 
+    // incremental exact dedup: documents split into two "daily" batches
+    // (even ids, then odd ids), each committed through
+    // Dedup.incrementalExact — in-batch keep-min, fingerprint anti-join
+    // against the snapshot table, tagged delta append (replays are no-ops,
+    // so re-running this query is idempotent). Emits the table's final
+    // (survivor id, content fingerprint) rows. Bump the v1 suffix if the
+    // dedup semantics ever change — committed tags pin the old content.
+    "q_incremental_dedup" -> ((s, d) => {
+      val table = s"$FixtureDir/increm_v1_${java.lang.Integer.toHexString(d.hashCode)}/docs"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 2 === 0),
+        table, "doc_id", "text", "day-0")
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 2 === 1),
+        table, "doc_id", "text", "day-1")
+      graft.sources.Snapshot.read(s, table).select(col("doc_id"), col("fp"))
+    }),
+
     // sketch-gated EXACT heavy hitters: CMS estimate as a codegen map-side
     // gate, exact count + HAVING only on survivors — no full-vocabulary
     // exchange; output is exact (the gate has no false negatives)
@@ -2114,6 +2131,19 @@ ${Osql.mixCtes("e", "x")}
 SELECT CAST(d AS BIGINT) AS d, CAST(x % 1024::HUGEINT AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS cnt
 FROM ed GROUP BY 1, 2""",
+    // incremental-dedup replica: fingerprint64 per doc, then per fp group
+    // the day-0 (even-id) minimum wins if the fp appeared on day 0, else
+    // the day-1 minimum — exactly the anti-join batch order
+    "q_incremental_dedup" ->
+      s"""WITH f0 AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM documents),
+${Osql.mixCtes("f", "x")},
+fp AS (SELECT doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM fd)
+SELECT COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END), MIN(doc_id)) AS doc_id,
+  fp
+FROM fp GROUP BY fp""",
     // heavy-hitter replica: the final output is EXACT (the CMS gate only
     // prunes, never drops a true heavy hitter), so plain GROUP BY + HAVING
     // is the complete oracle

@@ -32,6 +32,50 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup against a `graft.sources.Snapshot` table: the
+    * daily-batch shape of [[exact]] at 10^12-turn scale, where re-deduping
+    * the whole historical corpus per batch is not an option. The new batch
+    * is (1) self-deduped (keep min id per content fingerprint), (2)
+    * anti-joined on fingerprint against the table's CURRENT snapshot —
+    * only the 8-byte `fp` column of history is read (column pruning) and
+    * only fingerprints shuffle, never historical text — and (3) appended
+    * as ONE tagged delta snapshot (parent data files hard-linked,
+    * `StreamingSnapshot`'s idempotent-commit contract: a replayed batch
+    * tag is a no-op). First batch bootstraps the table.
+    *
+    * Collision note: dedup by 64-bit fingerprint equates texts whose
+    * fingerprints collide (~N²/2^65 false merges); the reference's exact
+    * plane is available by verifying `textCol` equality on the (tiny)
+    * fp-match set. Returns the number of new rows committed. */
+  def incrementalExact(newBatch: DataFrame, tablePath: String,
+                       idCol: String, textCol: String,
+                       batchTag: String, numChunks: Int = 8): Long = {
+    import graft.expressions.TextHashExpressions
+    if (graft.sources.Snapshot.committedTags(tablePath).contains(batchTag))
+      return 0L
+    val withFp = newBatch.withColumn("fp",
+      TextHashExpressions.fingerprint64(col(textCol)))
+    val selfDeduped = withFp
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col(textCol))).as("r"))
+      .select(col("r").getField(idCol).as(idCol),
+        col("r").getField(textCol).as(textCol), col("fp"))
+    val bootstrap = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tablePath).resolve("CURRENT"))
+    val fresh =
+      if (bootstrap) selfDeduped
+      else {
+        val seen = graft.sources.Snapshot
+          .read(newBatch.sparkSession, tablePath).select(col("fp"))
+        selfDeduped.join(seen, Seq("fp"), "left_anti")
+      }
+    val n = fresh.count()
+    if (n > 0)
+      graft.sources.Snapshot.append(fresh, tablePath, chunkKey = idCol,
+        numChunks = numChunks, tag = batchTag)
+    n
+  }
+
   /** Near-dup candidates via MinHash+LSH: k-shingle → signature → band keys →
     * self-equi-join per band on (id, band) ONLY → shingle-hash arrays joined
     * back onto the candidate set → exact k-shingle-set Jaccard verify (the

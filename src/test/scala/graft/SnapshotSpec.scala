@@ -97,4 +97,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table, version = 0).count() == 10)
     assert(Snapshot.manifestJson(table).contains("\"parent\":0"))
   }
+
+  test("Dedup.incrementalExact: daily batches dedup against history; replay is a no-op") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val table = freshDir("increm") + "/docs"
+    // day 0: 5 rows, 2 duplicate texts inside the batch
+    val day0 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"),
+      (4L, "gamma"), (5L, "beta")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(day0, table, "doc_id", "text", "day-0") == 3L)
+    val after0 = Snapshot.read(spark, table)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(after0 == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")))
+
+    // day 1: two already-seen texts, one new (plus an in-batch dup of it)
+    val day1 = Seq((6L, "alpha"), (7L, "delta"), (8L, "delta"),
+      (9L, "gamma")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(day1, table, "doc_id", "text", "day-1") == 1L)
+    val after1 = Snapshot.read(spark, table)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(after1 == after0 + ((7L, "delta")))
+
+    // crash replay of day 1: committed tag → nothing written, nothing counted
+    assert(Dedup.incrementalExact(day1, table, "doc_id", "text", "day-1") == 0L)
+    assert(Snapshot.read(spark, table).count() == 4)
+    assert(Snapshot.committedTags(table) == Set("day-0", "day-1"))
+
+    // the incremental table equals one-shot exact dedup over the union
+    // (ids ascend across days, so keep-min picks the same survivors)
+    val oneShot = Dedup.exact(day0.union(day1), "text", "doc_id")
+      .select(col("keep_id"), col("text")).as[(Long, String)].collect().toSet
+    assert(oneShot == Snapshot.read(spark, table)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet)
+  }
 }
