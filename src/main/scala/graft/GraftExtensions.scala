@@ -58,6 +58,13 @@ object GraftExtensions {
     (FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "_FUNC_(text) - 64-bit rolling document fingerprint"),
       (args: Seq[Expression]) => Fingerprint(args(0))),
+    (FunctionIdentifier("hll_bucket_rank"),
+      info("hll_bucket_rank", "_FUNC_(value, p) - HyperLogLog [bucket, rank] pair"),
+      (args: Seq[Expression]) => HllBucketRank(args(0), intArg(args(1), "p"))),
+    (FunctionIdentifier("cms_buckets"),
+      info("cms_buckets", "_FUNC_(value, depth, width) - count-min-sketch bucket per depth row"),
+      (args: Seq[Expression]) => CmsBuckets(args(0),
+        intArg(args(1), "depth"), intArg(args(2), "width"))),
   )
 
   /** Register the functions on an ALREADY-CREATED session (builder-time

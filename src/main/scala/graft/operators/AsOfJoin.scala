@@ -44,36 +44,36 @@ object AsOfJoin {
     // struct-max (field order puts seq first, so struct order == seq order)
     val rightDedup = right
       .groupBy(col(keyCol), col(tsCol))
-      .agg(max(struct((seqCol +: payloadCols).map(col): _*)).as("rp"))
+      .agg(max(struct((seqCol +: payloadCols).map(col): _*)).as("_asof_rp"))
 
     val leftCols = left.columns
     val tagged = left
-      .withColumn("side", lit(1))
-      .withColumn("rp", lit(null).cast(rightDedup.schema("rp").dataType))
-      .withColumn("rts", lit(null).cast(left.schema(tsCol).dataType))
-      .select((leftCols.map(col) :+ col("side") :+ col("rp") :+ col("rts")): _*)
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_rp", lit(null).cast(rightDedup.schema("_asof_rp").dataType))
+      .withColumn("_asof_rts", lit(null).cast(left.schema(tsCol).dataType))
+      .select((leftCols.map(col) :+ col("_asof_side") :+ col("_asof_rp") :+ col("_asof_rts")): _*)
       .unionByName(
         rightDedup
-          .withColumn("side", lit(0))
-          .withColumn("rts", col(tsCol))
+          .withColumn("_asof_side", lit(0))
+          .withColumn("_asof_rts", col(tsCol))
           .select(leftCols.map(c =>
             if (c == keyCol || c == tsCol) col(c)
             else lit(null).cast(left.schema(c).dataType).as(c)) :+
-            col("side") :+ col("rp") :+ col("rts"): _*))
+            col("_asof_side") :+ col("_asof_rp") :+ col("_asof_rts"): _*))
 
     // running latest right struct: rows up to AND INCLUDING the current ts
     // (side 0 sorts before side 1, so an equal-ts right row is visible)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("side").asc)
+      .orderBy(col(tsCol).asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = tagged
-      .withColumn("m", last(col("rp"), ignoreNulls = true).over(w))
-      .withColumn("mts", last(col("rts"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .withColumn("_asof_m", last(col("_asof_rp"), ignoreNulls = true).over(w))
+      .withColumn("_asof_mts", last(col("_asof_rts"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
 
     val payloadOut = (seqCol +: payloadCols).map(c =>
-      col("m").getField(c).as(s"asof_$c"))
-    matched.select(leftCols.map(col) ++ (payloadOut :+ col("mts").as("asof_ts")): _*)
+      col("_asof_m").getField(c).as(s"asof_$c"))
+    matched.select(leftCols.map(col) ++ (payloadOut :+ col("_asof_mts").as("asof_ts")): _*)
   }
 }

@@ -69,11 +69,16 @@ object Dedup {
           .read(newBatch.sparkSession, tablePath).select(col("fp"))
         selfDeduped.join(seen, Seq("fp"), "left_anti")
       }
-    val n = fresh.count()
-    if (n > 0)
-      graft.sources.Snapshot.append(fresh, tablePath, chunkKey = idCol,
-        numChunks = numChunks, tag = batchTag)
-    n
+    // persist: count() and the append would otherwise run the anti-join
+    // twice (at scale that is two passes over the batch)
+    val cached = fresh.persist()
+    try {
+      val n = cached.count()
+      if (n > 0)
+        graft.sources.Snapshot.append(cached, tablePath, chunkKey = idCol,
+          numChunks = numChunks, tag = batchTag)
+      n
+    } finally { cached.unpersist(); () }
   }
 
   /** Near-dup candidates via MinHash+LSH: k-shingle → signature → band keys →

@@ -38,6 +38,13 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.core.TextStats.wsTokens("the quick brown fox")))
       assert(h.getLong(1) == graft.core.TextStats.fingerprint("abc"))
       assert(h.getSeq[Long](2).length == 4)
+      val sk = spark.sql(
+        "SELECT hll_bucket_rank('abc', 8), cms_buckets('abc', 4, 1024)")
+        .collect().head
+      assert(sk.getSeq[Long](0) ==
+        graft.core.TextStats.hllBucketRank("abc", 8).toSeq)
+      assert(sk.getSeq[Long](1) ==
+        graft.core.TextStats.cmsBuckets("abc", 4, 1024).toSeq)
     } finally {
       // do not stop: the underlying SparkContext is shared with TestSpark's
       // session in this JVM; stopping would kill other suites' session.
