@@ -126,6 +126,22 @@ object Snapshot {
     spark.read.parquet(table.resolve(s"v$k").toString).drop("_chunk")
   }
 
+  /** Version diff (Iceberg's changelog read, keyed flavor): rows of
+    * `toVersion` not in `fromVersion` (`added`) and vice versa (`removed`),
+    * compared on `keyCols` only — two column-pruned anti-joins, so a diff
+    * of two 10^12-row snapshots moves keys, never payloads. The audit
+    * primitive behind "what did yesterday's pipeline commit actually
+    * change". */
+  def diff(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+           fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = read(spark, tablePath, fromVersion).select(keyCols.head, keyCols.tail: _*)
+    val to = read(spark, tablePath, toVersion).select(keyCols.head, keyCols.tail: _*)
+    to.join(from, keyCols, "left_anti").withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, keyCols, "left_anti").withColumn("change", lit("removed")))
+  }
+
   def manifestJson(tablePath: String, version: Int = -1): String = {
     val table = Paths.get(tablePath)
     val k = if (version >= 0) version else currentVersion(table).get

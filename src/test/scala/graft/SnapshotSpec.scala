@@ -129,5 +129,12 @@ class SnapshotSpec extends AnyFunSuite {
       .select(col("keep_id"), col("text")).as[(Long, String)].collect().toSet
     assert(oneShot == Snapshot.read(spark, table)
       .select("doc_id", "text").as[(Long, String)].collect().toSet)
+
+    // version diff: day-1's commit added exactly doc 7 (keyed changelog)
+    val d01 = Snapshot.diff(spark, table, Seq("doc_id"), fromVersion = 0)
+      .as[(Long, String)].collect().toSet
+    assert(d01 == Set((7L, "added")))
+    // diff of a version with itself is empty
+    assert(Snapshot.diff(spark, table, Seq("doc_id"), 0, 0).count() == 0)
   }
 }
