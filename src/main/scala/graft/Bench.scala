@@ -246,6 +246,19 @@ object Bench {
          |Headline query timings (local[$highCores], $sfDir): see the bench
          |JSON (`queries` map, noop-sink materialization per query; failures,
          |if any, listed under `query_errors`).
+         |
+         |## Run-budget notes (why round 2's artifacts were empty)
+         |
+         |Round 2's driver runs timed out (BENCH_r02 rc=124, CORRECTNESS_r02
+         |empty) for three measured, now-fixed reasons: (1) `-XX:+AlwaysPreTouch`
+         |— this kernel zeroes anonymous pages at ~100 MB/s, so pre-touching a
+         |24 GB heap cost ~4 min of wall before `main()` on EVERY `sbt runMain`;
+         |(2) the same page-zero tax resurfaced lazily when G1 lapped a 24 GB
+         |heap mid-sweep (~4 min spread over queries) — the run heap is now 12 GB;
+         |(3) the bench re-derived scaling evidence the committed sample trail
+         |already carried (5-8 quiet-weather minutes per fresh pair) — it now
+         |samples only when a dimension has < 3 quiet pairs. Full driver-style
+         |bench: ~2.5 min end-to-end; verify: ~4 min.
          |""".stripMargin)
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","extraction":$extraction}""")
