@@ -47,6 +47,27 @@ object SparkEntry {
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))) * 100)
           .cast("long").as("revenue_cents"))),
 
+    // OLAP rollup: subtotal lattice over (returnflag, linestatus) with
+    // grouping_id to disambiguate the NULL subtotal rows — one pass, the
+    // same partial-aggregatable shape as the flat agg
+    "q_rollup_pricing" -> ((s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("gid"))),
+
+    // OLAP pivot: per-source language mix as columns — expressed as
+    // conditional aggregation (the portable, engine-neutral plan: one
+    // hash-agg, no transpose operator needed)
+    "q_pivot_lang" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("n_fr"),
+        sum(when(!col("lang").isin("en", "de", "fr"), 1L).otherwise(0L)).as("n_other"),
+        count(lit(1)).as("n_docs"))),
+
     // P1/P4/P7: predicate + projection (pushed to the parquet scan)
     "q_filter_project" -> ((s, d) => t(s, d, "documents")
       .filter(col("text").contains("spark") && col("n_chars") > 200)
@@ -2363,6 +2384,21 @@ FROM lstats""",
          COUNT(*) AS cnt,
          CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT) AS revenue_cents
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    // rollup replica: GROUPING() bits composed exactly like Spark's
+    // grouping_id (first grouping column = most significant bit)
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS cnt,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_pivot_lang" ->
+      """SELECT source,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY source""",
     "q_filter_project" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%spark%' AND n_chars > 200",
     "q_bestmatch_window" ->
