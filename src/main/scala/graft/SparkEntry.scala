@@ -47,6 +47,16 @@ object SparkEntry {
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))) * 100)
           .cast("long").as("revenue_cents"))),
 
+    // partition pruning: documents laid out Hive-partitioned by lang; the
+    // lang predicate becomes a PartitionFilter — non-matching directories
+    // are never listed, the 100-TB-scan primitive for partitioned lakes
+    "q_partition_pruned" -> ((s, d) => s.read
+      .parquet(fixturePartitionedDocs(s, d))
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))),
+
     // OLAP rollup: subtotal lattice over (returnflag, linestatus) with
     // grouping_id to disambiguate the NULL subtotal rows — one pass, the
     // same partial-aggregatable shape as the flat agg
@@ -1152,6 +1162,19 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("doc_id", "payload").repartition(4)
         .write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Hive-partitioned layout of the sf documents table (partition column =
+    * lang), sf-keyed: the q_partition_pruned input demonstrating directory
+    * pruning on the partition predicate. */
+  private def fixturePartitionedDocs(s: SparkSession, d: String): String = synchronized {
+    val path = s"$FixtureDir/docs_bylang_${java.lang.Integer.toHexString(d.hashCode)}"
+    if (!fixtureWritten.contains(path)) {
+      s.read.parquet(s"$d/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
       fixtureWritten += path
     }
     path
@@ -2384,6 +2407,11 @@ FROM lstats""",
          COUNT(*) AS cnt,
          CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT) AS revenue_cents
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    // partition-pruning replica: the layout is content-preserving, so the
+    // oracle reads the ORIGINAL table with the same predicate
+    "q_partition_pruned" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en' GROUP BY source""",
     // rollup replica: GROUPING() bits composed exactly like Spark's
     // grouping_id (first grouping column = most significant bit)
     "q_rollup_pricing" ->
