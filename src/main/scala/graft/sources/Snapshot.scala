@@ -278,6 +278,35 @@ object Snapshot {
       .toSet
   }
 
+  /** Metrics history across every committed version: (version, tag, metric,
+    * value) — the Iceberg-snapshot-summary time series. Extraction metrics
+    * land in each manifest via `Observation` at commit time, so this read
+    * is pure metadata: no data file is opened however large the table. The
+    * "did yesterday's commit extract a plausible record count" telemetry
+    * the north rule's per-partition metrics exist to answer. */
+  def metricsHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val table = Paths.get(tablePath)
+    val verRe = "manifest-v(\\d+)\\.json".r
+    val tagRe = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
+    val metRe = "\"metrics\"\\s*:\\s*\\{([^}]*)\\}".r
+    val kvRe = "\"([^\"]+)\"\\s*:\\s*\"?(-?\\d+)\"?".r
+    val rows =
+      if (!Files.exists(table)) Seq.empty[(Int, String, String, Long)]
+      else Files.list(table).iterator().asScala.toSeq
+        .flatMap { p =>
+          verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
+            .toSeq.flatMap { v =>
+              val txt = Files.readString(p)
+              val tag = tagRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+              metRe.findFirstMatchIn(txt).toSeq.flatMap(m =>
+                kvRe.findAllMatchIn(m.group(1)).map(kv =>
+                  (v, tag, kv.group(1), kv.group(2).toLong)))
+            }
+        }.sortBy(r => (r._1, r._3))
+    rows.toDF("version", "tag", "metric", "value")
+  }
+
   /** Snapshot expiry (Iceberg `expire_snapshots`): drop all but the last
     * `keep` committed snapshots — data dirs and manifests. Time-travel
     * reads of the kept versions are untouched; CURRENT never expires. */

@@ -137,4 +137,20 @@ class SnapshotSpec extends AnyFunSuite {
     // diff of a version with itself is empty
     assert(Snapshot.diff(spark, table, Seq("doc_id"), 0, 0).count() == 0)
   }
+
+  test("Snapshot.metricsHistory: observed metrics per version, metadata-only") {
+    import spark.implicits._
+    val table = freshDir("methist") + "/t"
+    def commit(n: Int): Unit = {
+      val obs = org.apache.spark.sql.Observation(s"o$n")
+      val df = (0 until n).map(i => (s"c$i", i)).toDF("conv_id", "v")
+        .observe(obs, count(lit(1)).as("rows_in"))
+      Snapshot.append(df, table, "conv_id", 2, observation = Some(obs),
+        tag = s"b$n")
+    }
+    commit(10); commit(7)
+    val hist = Snapshot.metricsHistory(spark, table)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(hist == Seq((0, "b10", "rows_in", 10L), (1, "b7", "rows_in", 7L)))
+  }
 }
