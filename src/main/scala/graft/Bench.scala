@@ -60,8 +60,16 @@ object Bench {
   private def readMetaTurns(): Option[Long] = {
     val p = Paths.get(MetaFile)
     if (!Files.exists(p)) None
-    else "\"turns\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(Files.readString(p))
-      .map(_.group(1).toLong)
+    else {
+      val txt = Files.readString(p)
+      // the cached count is only valid for the table shape it was taken
+      // from — a ScalingConvs bump must invalidate it
+      val convsOk = "\"convs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .exists(_.group(1).toLong == ScalingHarness.ScalingConvs)
+      if (!convsOk) None
+      else "\"turns\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    }
   }
 
   // timestamped stderr phase markers: a driver-side timeout leaves a tail
@@ -120,6 +128,12 @@ object Bench {
     val sum = ScalingHarness.summarize()
     val totalTurns: Long = readMetaTurns().getOrElse {
       val sess = newSession(highCores)
+      // the meta cache may be missing while sampling was skipped — the
+      // count fallback must not assume the /dev/shm table exists
+      if (!Files.exists(Paths.get(ScalingHarness.ScalingPath)))
+        TranscriptGen.materialize(sess,
+          FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
+          ScalingHarness.ScalingPath, parallelism = 256)
       val n = try sess.read.parquet(ScalingHarness.ScalingPath).count()
               finally sess.stop()
       Files.createDirectories(Paths.get(MetaFile).getParent)

@@ -266,7 +266,9 @@ object TextStats {
     * rank) is what gets exchanged/persisted, so it must be exactly
     * replayable by another engine; the float estimate is a readout. */
   def hllBucketRank(s: String, p: Int): Array[Long] = {
-    require(p >= 1 && p <= 32, s"hll precision out of range: $p")
+    // upper bound 30 keeps 1 << p (bucket-array size in the readout and in
+    // any Int-indexed register file) inside positive Int range
+    require(p >= 1 && p <= 30, s"hll precision out of range: $p")
     val fp = fingerprint(s)
     val bucket = fp >>> (64 - p)
     val rest = fp & ((1L << (64 - p)) - 1)

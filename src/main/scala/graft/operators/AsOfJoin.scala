@@ -40,9 +40,15 @@ object AsOfJoin {
     * prefixed `asof_` in the output, plus `asof_ts` (match timestamp). */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            seqCol: String, payloadCols: Seq[String]): DataFrame = {
+    // null-ts right rows can never satisfy right.ts <= left.ts — drop them
+    // BEFORE the union: Spark sorts null ASC as NULLS FIRST, so an unfiltered
+    // null-ts right row would otherwise act as a -infinity match. (A null-ts
+    // LEFT row needs no special case: it sorts before every right row and
+    // correctly gets a null match, same as SQL's l.ts >= r.ts never-true.)
     // one right row per (key, ts): greatest seq wins, payload rides the
     // struct-max (field order puts seq first, so struct order == seq order)
     val rightDedup = right
+      .filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), col(tsCol))
       .agg(max(struct((seqCol +: payloadCols).map(col): _*)).as("_asof_rp"))
 

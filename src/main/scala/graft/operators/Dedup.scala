@@ -74,9 +74,12 @@ object Dedup {
     val cached = fresh.persist()
     try {
       val n = cached.count()
-      if (n > 0)
-        graft.sources.Snapshot.append(cached, tablePath, chunkKey = idCol,
-          numChunks = numChunks, tag = batchTag)
+      // commit the tag EVEN when the batch contributed nothing: the no-op
+      // delta (parent files hard-linked, zero new rows) is what makes a
+      // replay of an all-duplicate batch skip the anti-join next time, and
+      // it leaves an audit row that day-N was processed
+      graft.sources.Snapshot.append(cached, tablePath, chunkKey = idCol,
+        numChunks = numChunks, tag = batchTag)
       n
     } finally { cached.unpersist(); () }
   }

@@ -89,6 +89,12 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks
+    // materialize the result, then release the iteration caches — without
+    // this every invocation pins nodes/edges in storage memory for the
+    // session lifetime
+    val out = ranks.localCheckpoint(eager = true)
+    nodes.unpersist()
+    edgesWithDeg.unpersist()
+    out
   }
 }

@@ -841,6 +841,7 @@ object TrainingData {
   /** Driver-side HLL readout: bias-corrected harmonic estimate with the
     * small-range linear-counting correction (Flajolet et al. 2007, §4). */
   def hllEstimate(sketch: Seq[(Long, Long)], p: Int): Double = {
+    require(p >= 1 && p <= 30, s"hll precision out of range: $p")
     val m = 1 << p
     val regs = new Array[Long](m)
     sketch.foreach { case (b, r) => regs(b.toInt) = math.max(regs(b.toInt), r) }

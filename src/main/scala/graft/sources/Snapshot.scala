@@ -38,6 +38,21 @@ object Snapshot {
     if (Files.exists(cur)) Some(Files.readString(cur).trim.toInt) else None
   }
 
+  /** Eager directory listing that CLOSES the underlying stream — a bare
+    * `Files.list(...).iterator()` leaks one directory handle per call,
+    * which matters on per-micro-batch paths (`committedTags`). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Manifest tags are stored in builder-authored JSON and recovered by
+    * regex; restrict them to characters that can never collide with the
+    * framing so the exactly-once tag check is airtight. */
+  private def requireSafeTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9._-]*"),
+      s"snapshot tag must match [A-Za-z0-9._-]*: '$tag'")
+
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -52,6 +67,7 @@ object Snapshot {
             numChunks: Int, snapshotId: Int = -1,
             observation: Option[org.apache.spark.sql.Observation] = None,
             tag: String = ""): Map[String, Long] = {
+    requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     Files.createDirectories(table)
@@ -187,6 +203,7 @@ object Snapshot {
              numChunks: Int,
              observation: Option[org.apache.spark.sql.Observation] = None,
              tag: String = ""): Map[String, Long] = {
+    requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     val parentVersion = currentVersion(table).getOrElse(
@@ -272,7 +289,7 @@ object Snapshot {
     val table = Paths.get(tablePath)
     if (!Files.exists(table)) return Set.empty
     val re = "\"tag\"\\s*:\\s*\"([^\"]+)\"".r
-    Files.list(table).iterator().asScala
+    listDir(table)
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .flatMap(p => re.findFirstMatchIn(Files.readString(p)).map(_.group(1)))
       .toSet
@@ -293,7 +310,7 @@ object Snapshot {
     val kvRe = "\"([^\"]+)\"\\s*:\\s*\"?(-?\\d+)\"?".r
     val rows =
       if (!Files.exists(table)) Seq.empty[(Int, String, String, Long)]
-      else Files.list(table).iterator().asScala.toSeq
+      else listDir(table)
         .flatMap { p =>
           verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
             .toSeq.flatMap { v =>

@@ -49,6 +49,17 @@ class GraphAsOfSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("AsOfJoin.asOf: null-ts right rows are never matches (no -infinity sort)") {
+    val left = Seq((1L, 1L, ts(5))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, Option.empty[java.sql.Timestamp], 9.0), // null ts: must not match
+      (11L, 1L, Some(ts(50)), 8.0)                      // after the left row
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, None)))
+  }
+
   test("AsOfJoin.asOf: partition-count invariance") {
     val r = new scala.util.Random(7)
     val left = (0 until 300).map(i =>

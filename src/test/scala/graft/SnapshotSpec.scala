@@ -123,6 +123,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).count() == 4)
     assert(Snapshot.committedTags(table) == Set("day-0", "day-1"))
 
+    // an ALL-duplicate day still commits its tag (no-op delta): the audit
+    // row exists and a replay of day 2 skips the anti-join entirely
+    val day2 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(day2, table, "doc_id", "text", "day-2") == 0L)
+    assert(Snapshot.read(spark, table).count() == 4)
+    assert(Snapshot.committedTags(table).contains("day-2"))
+    assert(Dedup.incrementalExact(day2, table, "doc_id", "text", "day-2") == 0L)
+
+    // tags are validated against the manifest framing
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalExact(day2, table, "doc_id", "text", "bad\"tag")
+    }
+
     // the incremental table equals one-shot exact dedup over the union
     // (ids ascend across days, so keep-min picks the same survivors)
     val oneShot = Dedup.exact(day0.union(day1), "text", "doc_id")
