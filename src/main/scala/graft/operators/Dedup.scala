@@ -114,6 +114,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental NEAR-dup against history: the [[minHashLsh]] analogue of
+    * [[incrementalExact]]. A signature table (one `graft.sources.Snapshot`
+    * row per kept doc: id, MinHash band keys, sorted shingle hashes)
+    * accumulates across batches; each new batch
+    *  1. computes its signatures ONCE (the same codegen kernels as
+    *     [[minHashLsh]]),
+    *  2. band-joins against history (history moves only (id, band) pairs
+    *     + the candidate hash arrays — never text), verifies exact
+    *     shingle-set Jaccard, and reports (new_id, dup_of, jaccard) pairs
+    *     (in-batch near-dups are minHashLsh-on-the-batch's concern: here
+    *     both members enter history),
+    *  3. appends the NON-duplicate new docs' signatures as one tagged
+    *     delta snapshot (replayed batch tags are no-ops, returning the
+    *     empty pair set conservatively).
+    *
+    * Scale note: this reads the full history signature table per batch;
+    * on a real lake the exploded (band_key → id) plane would be BUCKETED
+    * by band key (the `Extraction.writeBucketed` layout) so a batch joins
+    * only its own band buckets. Text never enters the table: storage is
+    * O(numHashes + shingles) longs per kept doc. Returns the pair
+    * DataFrame (new_id, dup_of, jaccard ≥ threshold). */
+  def incrementalNearDup(newBatch: DataFrame, tablePath: String,
+                         idCol: String, textCol: String, batchTag: String,
+                         shingleK: Int = 3, numHashes: Int = 16,
+                         bands: Int = 8, threshold: Double = 0.6,
+                         numChunks: Int = 8): DataFrame = {
+    import graft.sources.Snapshot
+    val spark = newBatch.sparkSession
+    val sigs = newBatch.select(col(idCol).cast("long").as("id"),
+      shingle_hashes(col(textCol), shingleK).as("th"),
+      minhash_bands(col(textCol), shingleK, numHashes, bands).as("bands"))
+    if (Snapshot.committedTags(tablePath).contains(batchTag))
+      return sigs.select(col("id").as("new_id"), col("id").as("dup_of"),
+        lit(0.0).as("jaccard")).limit(0)
+
+    val bootstrap = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tablePath).resolve("CURRENT"))
+    val cached = sigs.persist()
+    try {
+      val dups =
+        if (bootstrap) cached.select(col("id").as("new_id"),
+          col("id").as("dup_of"), lit(0.0).as("jaccard")).limit(0)
+        else {
+          val hist = Snapshot.read(spark, tablePath)
+          val nb = cached.select(col("id"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+          val hb = hist.select(col("id").as("hid"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+          val cand = nb.join(hb, Seq("band_idx", "band_key"))
+            .select(col("id").as("new_id"), col("hid").as("dup_of"))
+            .dropDuplicates("new_id", "dup_of")
+          cand
+            .join(cached.select(col("id").as("new_id"), col("th").as("lth")), "new_id")
+            .join(hist.select(col("id").as("dup_of"), col("th").as("rth")), "dup_of")
+            .select(col("new_id"), col("dup_of"),
+              sorted_jaccard(col("lth"), col("rth")).as("jaccard"))
+            .filter(col("jaccard") >= threshold)
+        }
+      val dupsOut = dups.persist()
+      val fresh = cached.join(
+        dupsOut.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
+      Snapshot.append(fresh, tablePath, chunkKey = "id",
+        numChunks = numChunks, tag = batchTag)
+      dupsOut
+    } finally { cached.unpersist(); () }
+  }
+
   /** SimHash near-dup with EXACT recall: the 64-bit signature is split into
     * `maxHamming + 1` pigeonhole bands — a pair with Hamming distance ≤
     * maxHamming differs in at most maxHamming bands, so at least one band

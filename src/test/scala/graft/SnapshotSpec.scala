@@ -151,6 +151,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.diff(spark, table, Seq("doc_id"), 0, 0).count() == 0)
   }
 
+  test("Dedup.incrementalNearDup: cross-batch near-dups found; survivors enter history; replay empty") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val table = freshDir("incnd") + "/sigs"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val day0 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDup(day0, table, "doc_id", "text", "d0")
+      .count() == 0) // bootstrap: no history to match
+    // day 1: near-dup of doc 1 (last word changed), a new doc, exact copy of doc 2
+    val fresh4 = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"
+    val day1 = Seq(
+      (3L, base.replace("upsilon", "OMEGA")),
+      (4L, fresh4),
+      (5L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDup(day1, table, "doc_id", "text", "d1")
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L), (5L, 2L)), pairs.toString)
+    // only the non-duplicate doc 4 entered history
+    val ids = graft.sources.Snapshot.read(spark, table)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L))
+    // replay of day 1: committed tag → empty pair set, history unchanged
+    assert(Dedup.incrementalNearDup(day1, table, "doc_id", "text", "d1").count() == 0)
+    assert(graft.sources.Snapshot.read(spark, table).count() == 3)
+    // day 2 near-dups against a doc admitted on day 1
+    val day2 = Seq((6L, fresh4.replace("tt", "ZZ"))).toDF("doc_id", "text")
+    val p2 = Dedup.incrementalNearDup(day2, table, "doc_id", "text", "d2")
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((6L, 4L)), p2.toString)
+  }
+
   test("Snapshot.metricsHistory: observed metrics per version, metadata-only") {
     import spark.implicits._
     val table = freshDir("methist") + "/t"
