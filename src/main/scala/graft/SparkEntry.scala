@@ -472,6 +472,26 @@ object SparkEntry {
       graft.sources.Snapshot.read(s, table).select(col("doc_id"), col("fp"))
     }),
 
+    // incremental NEAR-dup: even-id docs seed the signature table, odd-id
+    // docs arrive as the next batch; emits that batch's (new, dup_of,
+    // jaccard) pairs. The table is rebuilt from scratch each run (tag
+    // replay would otherwise return the empty set on a re-run)
+    "q_incremental_neardup" -> ((s, d) => {
+      val dir = s"$FixtureDir/incnd_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.incrementalNearDup(docs.filter(col("doc_id") % 2 === 0),
+        s"$dir/sigs", "doc_id", "text", "day-0", threshold = 0.35).count()
+      Dedup.incrementalNearDup(docs.filter(col("doc_id") % 2 === 1),
+        s"$dir/sigs", "doc_id", "text", "day-1", threshold = 0.35)
+        .select(col("new_id"), col("dup_of"), ppm(col("jaccard")).as("jaccard_ppm"))
+    }),
+
     // sketch-gated EXACT heavy hitters: CMS estimate as a codegen map-side
     // gate, exact count + HAVING only on survivors — no full-vocabulary
     // exchange; output is exact (the gate has no false negatives)
@@ -1470,7 +1490,14 @@ SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
     * per seed → banded keys (mix-fold) → candidate equi-join → exact
     * shingle-set Jaccard verify. Replicates the BANDING too, so candidate
     * misses on either side would surface as row-count mismatches. */
-  private def minhashOracleSql: String =
+  private def minhashOracleSql: String = minhashPairsSql(
+    "l.doc_id < r.doc_id", "left_id", "right_id")
+
+  /** The full MinHash signature/banding/verify replica, parameterized by
+    * the candidate-pair predicate — shared by the self-join near-dup
+    * oracle and the incremental (new-batch vs history) variant. */
+  private def minhashPairsSql(pairPred: String, leftName: String,
+                              rightName: String): String =
     s"""WITH tl AS (
   SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
   FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
@@ -1498,7 +1525,7 @@ bk10 AS (SELECT k.doc_id, k.band_idx, xor(k.x, s.sig) AS x
 ${Osql.mixCtes("bk1", "x")},
 bk AS (SELECT doc_id, band_idx, x AS band_key FROM bk1d),
 cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
-  FROM bk l JOIN bk r ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+  FROM bk l JOIN bk r ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND ($pairPred)),
 sets AS (SELECT DISTINCT doc_id, h FROM bh),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
 inter AS (SELECT c.left_id, c.right_id, COUNT(*) AS it
@@ -1508,7 +1535,8 @@ jac AS (SELECT c.left_id, c.right_id,
     COALESCE(i.it, 0)::DOUBLE / (nl.n + nr.n - COALESCE(i.it, 0)) AS j
   FROM cand c LEFT JOIN inter i ON i.left_id = c.left_id AND i.right_id = c.right_id
   JOIN sizes nl ON nl.doc_id = c.left_id JOIN sizes nr ON nr.doc_id = c.right_id)
-SELECT left_id, right_id, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_ppm
+SELECT left_id AS $leftName, right_id AS $rightName,
+  CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_ppm
 FROM jac WHERE j >= 0.35"""
 
   /** CTEs computing hyperplane-LSH buckets of an `emb` CTE (vec_id,
@@ -2329,6 +2357,10 @@ FROM e$BpeMerges""",
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
     "q_minhash_lsh" -> minhashOracleSql,
+    // incremental near-dup replica: same signature/band/verify chain, but
+    // candidates are (odd new-batch doc, even history doc) pairs
+    "q_incremental_neardup" -> minhashPairsSql(
+      "l.doc_id % 2 = 1 AND r.doc_id % 2 = 0", "new_id", "dup_of"),
     "q_tfidf_match" -> tfidfOracleSql,
     "q_embedding_neardup" -> embNearDupOracleSql,
     "q_embedding_ann_lsh" -> annLshOracleSql,
