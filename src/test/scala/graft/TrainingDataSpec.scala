@@ -600,6 +600,18 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(enc(4L) == ((0L, 0L, "")))
   }
 
+  test("bpeTrainMerges: driver-side and distributed arms produce identical merges") {
+    // vocab with tie groups, runs, multi-byte chars (é = 2 UTF-8 bytes —
+    // exercises the UTF-8-byte tie order both arms must share)
+    val df = Seq(
+      (1L, "low lower lowest low low banana aaaa"),
+      (2L, "café cafés café naïve naïve naïve"),
+      (3L, "ab ab ba ba")).toDF("doc_id", "text")
+    val local = TrainingData.bpeTrainMerges(df, "text", 8)
+    val dist = TrainingData.bpeTrainMerges(df, "text", 8, collectVocabLimit = 0)
+    assert(local == dist, s"local $local\ndist $dist")
+  }
+
   test("charEntropyTerms: histogram quantized-log identity on crafted strings") {
     import graft.core.TextStats
     // uniform 4-char string: H = ln 4 exactly; each term floor(1e4*ln(4/1))
