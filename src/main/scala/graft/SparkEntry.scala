@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.FixtureGen
 import graft.functions.{Clean, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, SimilaritySearch, TrainingData}
+import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, SimilaritySearch, TrainingData, Transcripts}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2), with DuckDB-checkable `oracleSql` wherever the semantics
@@ -577,6 +577,18 @@ object SparkEntry {
       TrainingData.toolStats(s.read.parquet(fix))
     }),
 
+    // per-conversation well-formedness profile over a fixture with PLANTED
+    // violations (dup turn_idx, index gaps, blank turns, role repeats,
+    // timestamp regressions, orphan tool turns) — one window + one hash-agg
+    "q_conv_wellformed" -> ((s, d) =>
+      Transcripts.wellFormed(s.read.parquet(fixtureMessyParquet(s)))),
+
+    // shared-prefix branch detection (re-rolled/regenerated conversations):
+    // per-turn codegen hash → per-conv prefix-hash chain → (depth, hash)
+    // family agg — only 8-byte hashes shuffle, no pairwise blocking
+    "q_branch_prefixes" -> ((s, d) =>
+      Transcripts.branchPrefixes(s.read.parquet(fixtureBranchParquet(s)))),
+
     "q_fsm_spans" -> ((s, d) => {
       import s.implicits._
       val turns = s.read.parquet(fixtureFsmParquet(s, "fsmspan100",
@@ -1074,6 +1086,71 @@ object SparkEntry {
         .filter(col("turn_idx") % 7 =!= 3)
         .withColumn("conv_id", concat(col("conv_id"), lit("_b")))
       base.unionByName(clones).repartition(8)
+        .write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Transcript fixture with PLANTED well-formedness violations, keyed off
+    * the conversation number so every violation class appears in a known
+    * subset: index gaps (drop turn 2 where id%7=0), blank text (turn 1,
+    * id%11=0), timestamp regressions (turn 3 rewound, id%13=0), forced role
+    * repeats (turns 1-2 both 'assistant', id%3=0), duplicate turn_idx
+    * (turn 6 cloned with different text, id%5=0). The base data's natural
+    * u/a/t role cycle also means every 'tool' turn is an orphan (previous
+    * turn carries no tool call) — deliberate: the oracle must agree on the
+    * natural violations too, not just the planted ones. */
+  private def fixtureMessyParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/messy60"
+    if (!fixtureWritten.contains(path)) {
+      val base = s.read.parquet(fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17)))
+      val idn = substring(col("conv_id"), -2, 2).cast("int")
+      val mutated = base
+        .filter(!(idn % 7 === 0 && col("turn_idx") === 2))
+        .withColumn("text",
+          when(idn % 11 === 0 && col("turn_idx") === 1, lit("  "))
+            .otherwise(col("text")))
+        .withColumn("ts",
+          when(idn % 13 === 0 && col("turn_idx") === 3,
+            col("ts") - expr("INTERVAL 1000000 SECONDS"))
+            .otherwise(col("ts")))
+        .withColumn("role",
+          when(idn % 3 === 0 && col("turn_idx").isin(1, 2), lit("assistant"))
+            .otherwise(col("role")))
+      val dups = base.filter(idn % 5 === 0 && col("turn_idx") === 6)
+        .withColumn("text", concat(col("text"), lit(" [dup-idx clone]")))
+      mutated.unionByName(dups).repartition(8)
+        .write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
+  /** Transcript fixture with re-rolled conversations for branch detection:
+    * every 3rd conversation gets a clone diverging after turn 4 (suffix
+    * regenerated), every 6th an additional clone diverging after turn 2,
+    * every 10th an exact full duplicate — known prefix families of size
+    * 2-4 at known depths, plus untouched singleton conversations. */
+  private def fixtureBranchParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/branch60"
+    if (!fixtureWritten.contains(path)) {
+      val base = s.read.parquet(fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17)))
+      val idn = substring(col("conv_id"), -2, 2).cast("int")
+      def reroll(mod: Int, fromTurn: Int, tag: String) = base
+        .filter(idn % mod === 0)
+        .withColumn("text",
+          when(col("turn_idx") >= fromTurn,
+            concat(col("text"), lit(s" [$tag]"))).otherwise(col("text")))
+        .withColumn("conv_id", concat(col("conv_id"), lit(s"_$tag")))
+      val dup = base.filter(idn % 10 === 0)
+        .withColumn("conv_id", concat(col("conv_id"), lit("_dup")))
+      base.unionByName(reroll(3, 4, "r1")).unionByName(reroll(6, 2, "r2"))
+        .unionByName(dup).repartition(8)
         .write.mode("overwrite").parquet(path)
       fixtureWritten += path
     }
@@ -2356,6 +2433,86 @@ FROM e$BpeMerges""",
             epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    // well-formedness replica: identical window (same deterministic tie
+    // order) + conditional sums; NULLS FIRST pins DuckDB's default NULLS
+    // LAST to Spark's asc-nulls-first (no sort-key nulls in the fixture,
+    // but the order spec should not rely on that)
+    "q_conv_wellformed" ->
+      s"""WITH st AS (
+            SELECT conv_id, turn_idx, role, tool, ts,
+              (text IS NULL OR trim(text) = '') AS is_empty,
+              lag(role) OVER w AS prev_role,
+              lag(tool) OVER w AS prev_tool,
+              lag(ts) OVER w AS prev_ts
+            FROM read_parquet('$FixtureDir/messy60/*.parquet')
+            WINDOW w AS (PARTITION BY conv_id
+              ORDER BY turn_idx NULLS FIRST, text NULLS FIRST, role NULLS FIRST)),
+          agg AS (
+            SELECT conv_id,
+              COUNT(*) AS n_turns,
+              COUNT(*) - COUNT(DISTINCT turn_idx) AS dup_idx,
+              CAST(MAX(turn_idx) - MIN(turn_idx) + 1 AS BIGINT)
+                - COUNT(DISTINCT turn_idx) AS idx_gaps,
+              CAST(MIN(turn_idx) AS BIGINT) AS min_idx,
+              CAST(SUM(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS empty_turns,
+              CAST(SUM(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                THEN 1 ELSE 0 END) AS BIGINT) AS role_repeats,
+              CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions,
+              CAST(SUM(CASE WHEN role = 'tool'
+                AND (prev_tool IS NULL OR prev_tool = '')
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool_turns
+            FROM st GROUP BY conv_id)
+          SELECT *, (dup_idx = 0 AND idx_gaps = 0 AND min_idx = 0
+            AND empty_turns = 0 AND role_repeats = 0 AND ts_regressions = 0
+            AND orphan_tool_turns = 0) AS well_formed
+          FROM agg""",
+
+    // branch-prefix replica: fingerprint64 per (role, text) turn
+    // (q_fingerprint technique), prefix chain re-derived by a RECURSIVE CTE
+    // with the same FNV-prime split multiply mod 2^64, then family sizes
+    // and the per-conversation deepest shared depth
+    "q_branch_prefixes" ->
+      s"""WITH RECURSIVE tx AS (
+            SELECT conv_id, turn_idx,
+              coalesce(role, '') || chr(31) || coalesce(text, '') AS kt
+            FROM read_parquet('$FixtureDir/branch60/*.parquet')),
+          bp0 AS (
+            SELECT conv_id, turn_idx,
+              list_reduce(list_prepend(0::HUGEINT,
+                list_transform(regexp_extract_all(kt, '(?s).'),
+                  c -> ord(c)::HUGEINT)),
+                (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+            FROM tx),
+          ${Osql.mixCtes("bp", "x")},
+          rn AS (SELECT conv_id, row_number() OVER (
+              PARTITION BY conv_id ORDER BY turn_idx) AS pos, x FROM bpd),
+          chain AS (
+            SELECT conv_id, 1::BIGINT AS depth, x AS pref FROM rn WHERE pos = 1
+            UNION ALL
+            SELECT r.conv_id, c.depth + 1,
+              ((c.pref * 435::HUGEINT
+                + ((c.pref * 256::HUGEINT) % 4294967296::HUGEINT)
+                  * 4294967296::HUGEINT) % ${Osql.Mod} + r.x) % ${Osql.Mod}
+            FROM chain c JOIN rn r
+              ON r.conv_id = c.conv_id AND r.pos = c.depth + 1),
+          fams AS (SELECT depth, pref, CAST(COUNT(*) AS BIGINT) AS n_siblings
+            FROM chain GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          deep AS (SELECT c.conv_id, c.depth, c.pref, f.n_siblings,
+              row_number() OVER (PARTITION BY c.conv_id
+                ORDER BY c.depth DESC) AS rk
+            FROM chain c JOIN fams f
+              ON f.depth = c.depth AND f.pref = c.pref)
+          SELECT t.conv_id,
+            COALESCE(d.depth, 0) AS branch_depth,
+            COALESCE(CAST(CASE WHEN d.pref >= 9223372036854775808::HUGEINT
+              THEN d.pref - ${Osql.Mod} ELSE d.pref END AS BIGINT), 0)
+              AS family_hash,
+            COALESCE(d.n_siblings, 0) AS n_siblings
+          FROM (SELECT DISTINCT conv_id FROM tx) t
+          LEFT JOIN (SELECT * FROM deep WHERE rk = 1) d
+            ON d.conv_id = t.conv_id""",
+
     "q_minhash_lsh" -> minhashOracleSql,
     // incremental near-dup replica: same signature/band/verify chain, but
     // candidates are (odd new-batch doc, even history doc) pairs

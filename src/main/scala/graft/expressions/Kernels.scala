@@ -41,4 +41,7 @@ object Kernels {
 
   def byteCosine(a: ArrayData, b: ArrayData): Double =
     VectorExpressions.ByteCosine.compute(a, b)
+
+  def prefixChain(hs: ArrayData): Array[Long] =
+    TextHashExpressions.PrefixChain.compute(hs)
 }

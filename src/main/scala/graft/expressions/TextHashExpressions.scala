@@ -254,6 +254,44 @@ object TextHashExpressions {
     }
   }
 
+  /** array<long> of per-element hashes → array<long> of rolling prefix-chain
+    * hashes: chain(i) = chain(i-1) * 0x100000001B3 + h(i) in wraparound
+    * int64 (== mod 2^64 on the bit pattern), seed 0. The multiplier is the
+    * FNV-1a prime — odd, so the multiply is a bijection mod 2^64 and two
+    * prefixes collide only through the additive hash terms. Order-sensitive
+    * by construction: chain(i) identifies the exact SEQUENCE of the first
+    * i+1 elements, which is what shared-prefix (branch/regeneration)
+    * detection over conversation turns needs. Cross-engine replayable with
+    * the split-multiply HUGEINT arithmetic the other hash oracles use. */
+  case class PrefixChain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(PrefixChain.compute(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.prefixChain($v));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object PrefixChain {
+    final val Prime = 1099511628211L // 0x100000001B3 (FNV-1a)
+    def compute(hs: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+      val n = hs.numElements()
+      val out = new Array[Long](n)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc = acc * Prime + hs.getLong(i)
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+  }
+
   // ---- Column-level API ----------------------------------------------------
   def minhash_bands(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     column(MinHashBands(expression(text), shingleK, numHashes, bands))
@@ -269,6 +307,8 @@ object TextHashExpressions {
   def shingle_hashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
 
   def char_gram_hashes(text: Column, k: Int): Column = column(CharGramHashes(expression(text), k))
+
+  def prefix_chain(hashes: Column): Column = column(PrefixChain(expression(hashes)))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     column(SortedLongJaccard(expression(a), expression(b)))

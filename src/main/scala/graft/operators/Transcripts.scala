@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashExpressions
+
+/** Transcript-table hygiene operators — the validation/bookkeeping pass an
+  * agent-transcript corpus needs BEFORE extraction or training-data curation
+  * (the reference assumes well-formed page streams; real 10^12-turn
+  * transcript tables do not arrive that way).
+  *
+  * Both operators are one-shuffle shapes on the conv_id key: a window or a
+  * grouped fold over (conv_id ORDER BY turn_idx) — the same partitioning the
+  * extraction pipeline already uses, so at scale they ride the SAME exchange
+  * (compute them in the pass that repartitions for the FSM and the
+  * validation is free). */
+object Transcripts {
+
+  /** Per-conversation well-formedness profile. One window (lag over the
+    * stable turn order) + one hash-agg; no data beyond (conv_id, turn_idx,
+    * role, tool, ts, empty-flag) moves — text itself never shuffles.
+    *
+    * Emitted violation counters (all 0 on a clean conversation):
+    *  - `dup_idx`      duplicate turn_idx values (n_turns − distinct idx)
+    *  - `idx_gaps`     missing indexes inside [min_idx, max_idx]
+    *  - `min_idx`      first index (a well-formed conversation starts at 0)
+    *  - `empty_turns`  null/blank text
+    *  - `role_repeats` adjacent turns with the same role
+    *  - `ts_regressions` adjacent turns with a backwards timestamp
+    *  - `orphan_tool_turns` role='tool' turns not preceded by a tool call
+    *    (previous turn's `tool` column null/empty)
+    *
+    * Adjacent-pair checks order by (turn_idx, text, role) so duplicate
+    * indexes still compare deterministically in any engine. */
+  def wellFormed(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id")
+      .orderBy(col("turn_idx"), col("text"), col("role"))
+    val stepped = df.select(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("ts"), col("text"),
+        (col("text").isNull || trim(col("text")) === "").as("is_empty"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_tool", lag(col("tool"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    stepped.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      (count(lit(1)) - countDistinct(col("turn_idx"))).as("dup_idx"),
+      (max(col("turn_idx")) - min(col("turn_idx")) + 1L -
+        countDistinct(col("turn_idx"))).as("idx_gaps"),
+      min(col("turn_idx")).cast("long").as("min_idx"),
+      cnt(col("is_empty")).as("empty_turns"),
+      cnt(col("prev_role").isNotNull && col("prev_role") === col("role"))
+        .as("role_repeats"),
+      cnt(col("prev_ts").isNotNull && col("ts") < col("prev_ts"))
+        .as("ts_regressions"),
+      cnt(col("role") === "tool" &&
+          (col("prev_tool").isNull || col("prev_tool") === ""))
+        .as("orphan_tool_turns"))
+      .withColumn("well_formed",
+        col("dup_idx") === 0L && col("idx_gaps") === 0L &&
+          col("min_idx") === 0L && col("empty_turns") === 0L &&
+          col("role_repeats") === 0L && col("ts_regressions") === 0L &&
+          col("orphan_tool_turns") === 0L)
+  }
+
+  /** Shared-prefix (branch / regeneration) detection: conversations that are
+    * re-rolls of each other share an identical prefix of (role, text) turns
+    * and diverge where the agent was re-sampled. For each conversation,
+    * emits the DEEPEST depth d at which ≥ `minSiblings` conversations share
+    * its exact d-turn prefix, the prefix-family hash at that depth, and the
+    * family size (0/0/0 for conversations with no shared prefix).
+    *
+    * Shape: per-turn content hash (codegen, scan side) → per-conversation
+    * ordered fold into a prefix-hash CHAIN ([[TextHashExpressions.PrefixChain]],
+    * state = one long — the collect_list is bounded by conversation length,
+    * the same bound `Extraction.conversationDocs` already carries) →
+    * posexplode to (depth, prefix_hash) rows (≤ total turn count) → one
+    * hash-agg on (depth, prefix_hash) for family sizes → join back + argmax
+    * per conversation. Only 8-byte hashes shuffle; text never leaves the
+    * scan. Family keys are (depth, chain-hash), so the candidate space never
+    * pairs conversations — no quadratic blocking anywhere. */
+  def branchPrefixes(df: DataFrame, minSiblings: Int = 2): DataFrame = {
+    val turnHash = TextHashExpressions.fingerprint64(
+      concat(coalesce(col("role"), lit("")), lit("\u001F"),
+        coalesce(col("text"), lit(""))))
+    val chains = df
+      .select(col("conv_id"), struct(col("turn_idx"), turnHash.as("h")).as("t"))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("conv_id"), posexplode(TextHashExpressions.prefix_chain(
+        transform(col("ts"), t => t.getField("h")))))
+      .select(col("conv_id"), (col("pos") + 1).cast("long").as("depth"),
+        col("col").as("pref"))
+    val fams = chains.groupBy("depth", "pref")
+      .agg(count(lit(1)).as("n_siblings"))
+      .filter(col("n_siblings") >= minSiblings)
+    val deepest = chains.join(fams, Seq("depth", "pref"))
+      .groupBy("conv_id")
+      .agg(max(struct(col("depth"), col("pref"), col("n_siblings"))).as("m"))
+      .select(col("conv_id"), col("m.depth").as("branch_depth"),
+        col("m.pref").as("family_hash"), col("m.n_siblings").as("n_siblings"))
+    df.select("conv_id").distinct()
+      .join(deepest, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("branch_depth"), lit(0L)).as("branch_depth"),
+        coalesce(col("family_hash"), lit(0L)).as("family_hash"),
+        coalesce(col("n_siblings"), lit(0L)).as("n_siblings"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{TextStats, Turn}
+import graft.operators.Transcripts
+
+class TranscriptsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("wellFormed: each violation class counted exactly; clean conv flagged well_formed") {
+    val rows = Seq(
+      // clean conversation: contiguous from 0, alternating roles, tool turn
+      // preceded by a tool call, monotonic ts
+      Turn("ok", 0, "user", "hi", null, ts(0)),
+      Turn("ok", 1, "assistant", "hello", "search", ts(1)),
+      Turn("ok", 2, "tool", "result", "search", ts(2)),
+      Turn("ok", 3, "assistant", "done", null, ts(3)),
+      // messy conversation: starts at 1 (min_idx), gap at 3, duplicate idx 2
+      // (different text), blank turn, role repeat, ts regression, orphan tool
+      Turn("bad", 1, "user", "a", null, ts(10)),
+      Turn("bad", 2, "assistant", "b", null, ts(11)),
+      Turn("bad", 2, "assistant", "c", null, ts(12)), // dup idx + role repeat
+      Turn("bad", 4, "user", "  ", null, ts(5)),      // gap(3), blank, ts back
+      Turn("bad", 5, "tool", "orphan", null, ts(13))  // prev turn has no tool
+    )
+    val got = Transcripts.wellFormed(rows.toDF())
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("ok") == (("ok", 4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, true)))
+    //                 conv  n  dup gap min empty rr  tsr orph  wf
+    assert(got("bad") == (("bad", 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, false)))
+  }
+
+  test("branchPrefixes == naive replica; singletons 0; exact dup = full-depth family") {
+    // family F: three conversations sharing 2 turns, two of them sharing 3
+    val rows = Seq(
+      Turn("f1", 0, "user", "q", null, ts(0)),
+      Turn("f1", 1, "assistant", "a", null, ts(1)),
+      Turn("f1", 2, "assistant", "x", null, ts(2)),
+      Turn("f2", 0, "user", "q", null, ts(0)),
+      Turn("f2", 1, "assistant", "a", null, ts(1)),
+      Turn("f2", 2, "assistant", "x", null, ts(2)), // f1 == f2 exactly (dup)
+      Turn("f3", 0, "user", "q", null, ts(0)),
+      Turn("f3", 1, "assistant", "a", null, ts(1)),
+      Turn("f3", 2, "assistant", "y", null, ts(2)), // diverges at depth 3
+      Turn("s", 0, "user", "q2", null, ts(0)),      // singleton
+      // role change alone must break the prefix (hash covers role + text)
+      Turn("r", 0, "assistant", "q", null, ts(0)))
+    val got = Transcripts.branchPrefixes(rows.toDF())
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // naive replica: chain per conv, family counts per (depth, prefix)
+    val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
+    val byConv = rows.groupBy(_.conv_id).view.mapValues { ts0 =>
+      val hs = ts0.sortBy(_.turn_idx)
+        .map(t => TextStats.fingerprint(t.role + "\u001F" + t.text))
+      hs.scanLeft(0L)((a, h) => a * P + h).drop(1)
+    }.toMap
+    val fam = byConv.toSeq
+      .flatMap { case (c, ch) => ch.zipWithIndex.map { case (p, i) => (i + 1, p, c) } }
+      .groupBy { case (d, p, _) => (d, p) }.view.mapValues(_.size).toMap
+    val expect = byConv.map { case (c, ch) =>
+      val shared = ch.zipWithIndex
+        .map { case (p, i) => (i + 1L, p, fam((i + 1, p)).toLong) }
+        .filter(_._3 >= 2)
+      c -> (if (shared.isEmpty) (0L, 0L, 0L)
+            else shared.maxBy(_._1) match { case (d, p, n) => (d, p, n) })
+    }
+    assert(got == expect)
+    assert(got("s") == ((0L, 0L, 0L)) && got("r") == ((0L, 0L, 0L)))
+    assert(got("f1")._1 == 3L && got("f1")._3 == 2L) // full-depth dup with f2
+    assert(got("f3")._1 == 2L && got("f3")._3 == 3L) // 3-way family, depth 2
+  }
+
+  test("branchPrefixes: partition-count invariance") {
+    val rows = (0 until 40).flatMap { c =>
+      (0 until 6).map(i => Turn(f"c$c%02d", i, "user",
+        s"t${if (c % 4 == 0 && i >= 3) c else i}", null, ts(i)))
+    }
+    val a = Transcripts.branchPrefixes(rows.toDF().repartition(1))
+      .orderBy("conv_id").collect().toSeq
+    val b = Transcripts.branchPrefixes(rows.toDF().repartition(13))
+      .orderBy("conv_id").collect().toSeq
+    assert(a == b)
+  }
+}
