@@ -92,19 +92,28 @@ object Transcripts {
         transform(col("ts"), t => t.getField("h")))))
       .select(col("conv_id"), (col("pos") + 1).cast("long").as("depth"),
         col("col").as("pref"))
+    // chains feeds BOTH the family census and the per-conv readout; without
+    // a persist the whole scan+fold subtree runs twice (it showed up twice
+    // in the physical plan). Disk-backed: chain rows are ~24 B + conv_id,
+    // far smaller than re-scanning the text table at 10^12 turns.
+    chains.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // family sizes as a partial-combining hash-agg, NOT a count-over-window:
+    // a window would buffer each (depth, pref) partition whole, and depth-1
+    // families are skew magnets (every conversation opening with the same
+    // system prompt lands in one partition)
     val fams = chains.groupBy("depth", "pref")
       .agg(count(lit(1)).as("n_siblings"))
       .filter(col("n_siblings") >= minSiblings)
-    val deepest = chains.join(fams, Seq("depth", "pref"))
+    // left join keeps every conversation's depth-1 row, so the final agg
+    // needs no separate distinct-conv_id pass: unshared conversations fall
+    // out of the conditional argmax as null → 0/0/0
+    chains.join(fams, Seq("depth", "pref"), "left")
       .groupBy("conv_id")
-      .agg(max(struct(col("depth"), col("pref"), col("n_siblings"))).as("m"))
-      .select(col("conv_id"), col("m.depth").as("branch_depth"),
-        col("m.pref").as("family_hash"), col("m.n_siblings").as("n_siblings"))
-    df.select("conv_id").distinct()
-      .join(deepest, Seq("conv_id"), "left")
+      .agg(max(when(col("n_siblings").isNotNull,
+        struct(col("depth"), col("pref"), col("n_siblings")))).as("m"))
       .select(col("conv_id"),
-        coalesce(col("branch_depth"), lit(0L)).as("branch_depth"),
-        coalesce(col("family_hash"), lit(0L)).as("family_hash"),
-        coalesce(col("n_siblings"), lit(0L)).as("n_siblings"))
+        coalesce(col("m.depth"), lit(0L)).as("branch_depth"),
+        coalesce(col("m.pref"), lit(0L)).as("family_hash"),
+        coalesce(col("m.n_siblings"), lit(0L)).as("n_siblings"))
   }
 }
