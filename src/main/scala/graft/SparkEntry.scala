@@ -420,6 +420,20 @@ object SparkEntry {
           graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
     }),
 
+    // ORC sink + source roundtrip (the other columnar interchange format,
+    // bundled with Spark): same content-fingerprint proof as the JSONL
+    // roundtrip — the oracle computes from the PARQUET source only, so a
+    // corrupting write or read would hash-mismatch
+    "q_orc_roundtrip" -> ((s, d) => {
+      val path = s"$FixtureDir/orc_docs_${java.lang.Integer.toHexString(d.hashCode)}"
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .repartition(4).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars_rt"),
+          graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
+    }),
+
     // gzip payload ingestion: JDK inflate in the scan stage; full-content
     // check via the decoded text's fingerprint
     "q_gunzip" -> ((s, d) => graft.sources.BinaryPayloads
@@ -2189,6 +2203,16 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
   FROM documents),
 ${Osql.mixCtes("f", "x")}
 SELECT doc_id, lang, n_chars_rt, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM fd""",
+    // ORC roundtrip: same parquet-source-only replica as the JSONL one
+    "q_orc_roundtrip" ->
+      s"""WITH o0 AS (SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars_rt, text,
+    list_reduce(list_prepend(0::HUGEINT,
+      list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)::HUGEINT)),
+    (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM documents),
+${Osql.mixCtes("o", "x")}
+SELECT doc_id, lang, n_chars_rt, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM od""",
     // gzip replica: fixed-offset stored-deflate extraction (10-byte header,
     // 1-byte block header, LE length, data) + fingerprint64 of the decoded
     // text via the HUGEINT chain — DuckDB "gunzips" with byte arithmetic
