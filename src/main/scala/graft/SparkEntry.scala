@@ -591,6 +591,16 @@ object SparkEntry {
       TrainingData.toolStats(s.read.parquet(fix))
     }),
 
+    // key-skew profile of the heavy-tailed transcript fixture on conv_id —
+    // the salt-factor decision input; count-of-counts histogram, no global
+    // key sort anywhere
+    "q_skew_profile" -> ((s, d) => {
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      graft.operators.Diagnostics.keySkewProfile(s.read.parquet(fix), "conv_id")
+    }),
+
     // per-conversation well-formedness profile over a fixture with PLANTED
     // violations (dup turn_idx, index gaps, blank turns, role repeats,
     // timestamp regressions, orphan tool turns) — one window + one hash-agg
@@ -2457,6 +2467,32 @@ FROM e$BpeMerges""",
             epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    // skew-profile replica: identical count-of-counts chain; sums cast back
+    // from DuckDB's HUGEINT to BIGINT; heaviest key via ORDER BY c, k DESC
+    "q_skew_profile" ->
+      s"""WITH counts AS (SELECT conv_id AS k, COUNT(*) AS c
+            FROM read_parquet('$FixtureDir/fsmrec60/*.parquet') GROUP BY 1),
+          hist AS (SELECT c, COUNT(*) AS nk FROM counts GROUP BY 1),
+          cum AS (SELECT c, nk,
+              CAST(SUM(nk) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(nk) OVER () AS BIGINT) AS n_keys,
+              CAST(SUM(c * nk) OVER () AS BIGINT) AS n_rows
+            FROM hist),
+          dist AS (SELECT MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+              MAX(c) AS max_key_rows,
+              MIN(CASE WHEN cum * 1000000 >= n_keys * 500000 THEN c END)
+                AS p50_key_rows,
+              MIN(CASE WHEN cum * 1000000 >= n_keys * 990000 THEN c END)
+                AS p99_key_rows
+            FROM cum),
+          top AS (SELECT k AS top_key, c AS top_key_rows FROM counts
+            ORDER BY c DESC, k DESC LIMIT 1)
+          SELECT n_keys, n_rows, max_key_rows, p50_key_rows, p99_key_rows,
+            top_key, top_key_rows,
+            (max_key_rows * 1000000) // p50_key_rows AS skew_ppm
+          FROM dist CROSS JOIN top""",
+
     // well-formedness replica: identical window (same deterministic tie
     // order) + conditional sums; NULLS FIRST pins DuckDB's default NULLS
     // LAST to Spark's asc-nulls-first (no sort-key nulls in the fixture,

@@ -77,6 +77,21 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(got("f3")._1 == 2L && got("f3")._3 == 3L) // 3-way family, depth 2
   }
 
+  test("keySkewProfile: exact stats on a planted distribution; quantile edge rule") {
+    // 10 keys with 1 row, 5 with 10, 1 monster with 1000:
+    // n_keys=16, n_rows=1060, p50 = smallest c with cum*1e6 >= 16e6*0.5
+    // (cum(1)=10 >= 8 → p50=1); p99: need cum >= 15.84 → c=1000
+    val rows =
+      (0 until 10).map(k => (f"a$k%02d", 1)) ++
+      (0 until 5).flatMap(k => Seq.fill(10)((f"b$k%02d", 1))) ++
+      Seq.fill(1000)(("monster", 1))
+    val df = rows.toDF("conv_id", "x")
+    val got = graft.operators.Diagnostics.keySkewProfile(df, "conv_id")
+      .as[(Long, Long, Long, Long, Long, String, Long, Long)].collect().head
+    //         n_keys n_rows max  p50 p99  top       top_c  skew_ppm
+    assert(got == ((16L, 1060L, 1000L, 1L, 1000L, "monster", 1000L, 1000000000L)))
+  }
+
   test("branchPrefixes: partition-count invariance") {
     val rows = (0 until 40).flatMap { c =>
       (0 until 6).map(i => Turn(f"c$c%02d", i, "user",
