@@ -58,6 +58,10 @@ object GraftExtensions {
     (FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "_FUNC_(text) - 64-bit rolling document fingerprint"),
       (args: Seq[Expression]) => Fingerprint(args(0))),
+    (FunctionIdentifier("prefix_chain"),
+      info("prefix_chain", "_FUNC_(array<long>) - rolling prefix-chain hashes " +
+        "(chain(i) = chain(i-1) * FNV_PRIME + h(i) mod 2^64)"),
+      (args: Seq[Expression]) => PrefixChain(args(0))),
     (FunctionIdentifier("hll_bucket_rank"),
       info("hll_bucket_rank", "_FUNC_(value, p) - HyperLogLog [bucket, rank] pair"),
       (args: Seq[Expression]) => HllBucketRank(args(0), intArg(args(1), "p"))),

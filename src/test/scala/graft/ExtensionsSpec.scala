@@ -45,6 +45,9 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.core.TextStats.hllBucketRank("abc", 8).toSeq)
       assert(sk.getSeq[Long](1) ==
         graft.core.TextStats.cmsBuckets("abc", 4, 1024).toSeq)
+      val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
+      val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
+      assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))
     } finally {
       // do not stop: the underlying SparkContext is shared with TestSpark's
       // session in this JVM; stopping would kill other suites' session.
