@@ -591,6 +591,20 @@ object SparkEntry {
       TrainingData.toolStats(s.read.parquet(fix))
     }),
 
+    // salted equi-join on the skewed conv_id key (the remedy q_skew_profile
+    // decides on): right side replicated saltFactor×, hot keys split across
+    // tasks; output row-identical to the plain join, which IS the oracle
+    "q_salted_join" -> ((s, d) => {
+      val fix = fixtureFsmParquet(s, "fsmrec60",
+        FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+          monsterTurns = 300, invalidEvery = 17))
+      val turns = s.read.parquet(fix)
+      val dim = turns.groupBy("conv_id").agg(count(lit(1)).as("conv_turns"))
+      Matching.saltedJoin(turns.select("conv_id", "turn_idx", "role"), dim,
+        "conv_id", saltFactor = 8,
+        uniqueCol = concat(col("conv_id"), lit("#"), col("turn_idx")))
+    }),
+
     // key-skew profile of the heavy-tailed transcript fixture on conv_id —
     // the salt-factor decision input; count-of-counts histogram, no global
     // key sort anywhere
@@ -2467,6 +2481,16 @@ FROM e$BpeMerges""",
             epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    // salted-join oracle: the PLAIN inner join — salting must be invisible
+    // in the output
+    "q_salted_join" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role
+            FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')),
+          d AS (SELECT conv_id, COUNT(*) AS conv_turns
+            FROM read_parquet('$FixtureDir/fsmrec60/*.parquet') GROUP BY 1)
+          SELECT t.conv_id, t.turn_idx, t.role, d.conv_turns
+          FROM t JOIN d USING (conv_id)""",
+
     // skew-profile replica: identical count-of-counts chain; sums cast back
     // from DuckDB's HUGEINT to BIGINT; heaviest key via ORDER BY c, k DESC
     "q_skew_profile" ->

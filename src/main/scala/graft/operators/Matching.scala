@@ -46,4 +46,27 @@ object Matching {
   /** J8: scalar-query scored scan — broadcast literal vs every row. */
   def queryScan(df: DataFrame, score: Column): DataFrame =
     df.withColumn("score", score).orderBy(desc("score"))
+
+  /** Salted equi-join for skewed keys — the remedy `Diagnostics.keySkewProfile`
+    * decides on. A plain shuffle join on a hot key (one monster conversation,
+    * one viral domain) lands the whole key on one task; salting splits each
+    * hot left key across `saltFactor` tasks by joining on (key, salt) with
+    * the right side replicated `saltFactor`×.
+    *
+    * Output == the plain inner equi-join, row for row (the DuckDB oracle IS
+    * the plain join). The salt comes from the codegen fingerprint of
+    * `uniqueCol` — deterministic across retries/partitionings, unlike a
+    * rand()-based salt, so task retries at scale cannot duplicate or drop
+    * rows. Use when the right side is too big to broadcast AND the left key
+    * distribution is heavy-tailed; cost = saltFactor× the (small) right
+    * side's shuffle bytes. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int, uniqueCol: Column): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(graft.expressions.TextHashExpressions.fingerprint64(
+        uniqueCol.cast("string")), lit(saltFactor.toLong)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -92,6 +92,30 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(got == ((16L, 1060L, 1000L, 1L, 1000L, "monster", 1000L, 1000000000L)))
   }
 
+  test("saltedJoin == plain join; salt spreads the hot key; partition invariance") {
+    import org.apache.spark.sql.functions._
+    val left = ((0 until 500).map(i => ("hot", i)) ++
+      (0 until 20).map(i => (f"k$i%02d", i))).toDF("k", "v")
+    val right = (Seq(("hot", "H")) ++ (0 until 20).map(i => (f"k$i%02d", "c")))
+      .toDF("k", "attr")
+    val plain = left.join(right, "k").orderBy("k", "v").collect().toSeq
+    val salted = graft.operators.Matching
+      .saltedJoin(left, right, "k", 8, concat(col("k"), lit("#"), col("v")))
+      .orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+    val salted13 = graft.operators.Matching
+      .saltedJoin(left.repartition(13), right, "k", 8,
+        concat(col("k"), lit("#"), col("v")))
+      .orderBy("k", "v").collect().toSeq
+    assert(salted13 == plain)
+    // the hot key's 500 rows must actually split across many salt values
+    val salts = left.filter(col("k") === "hot")
+      .select(pmod(graft.expressions.TextHashExpressions.fingerprint64(
+        concat(col("k"), lit("#"), col("v")).cast("string")), lit(8L)))
+      .distinct().count()
+    assert(salts >= 6, s"hot key only hit $salts of 8 salt buckets")
+  }
+
   test("branchPrefixes: partition-count invariance") {
     val rows = (0 until 40).flatMap { c =>
       (0 until 6).map(i => Turn(f"c$c%02d", i, "user",
