@@ -486,6 +486,31 @@ object SparkEntry {
       graft.sources.Snapshot.read(s, table).select(col("doc_id"), col("fp"))
     }),
 
+    // keyed snapshot MERGE (copy-on-write upsert): day-0 commits all docs,
+    // day-1 upserts modified versions of id%5==0 docs plus brand-new
+    // +1000000-offset rows; only touched chunks rewrite, the rest hard-link.
+    // Table rebuilt each run (the upsert is version-additive, a re-run on a
+    // stale table would double-apply)
+    "q_snapshot_upsert" -> ((s, d) => {
+      val dir = s"$FixtureDir/upsert_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.Snapshot.write(docs, s"$dir/docs", "doc_id", 16)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.sources.Snapshot.upsert(batch, s"$dir/docs", tag = "day-1")
+      graft.sources.Snapshot.read(s, s"$dir/docs")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
+    }),
+
     // incremental NEAR-dup: even-id docs seed the signature table, odd-id
     // docs arrive as the next batch; emits that batch's (new, dup_of,
     // jaccard) pairs. The table is rebuilt from scratch each run (tag
@@ -2481,6 +2506,26 @@ FROM e$BpeMerges""",
             epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    // snapshot-upsert oracle: the merge computed directly from the source
+    // table — update-in-place for id%5==0, original otherwise, +1000000
+    // clones for id%7==0 — then the fingerprint chain over the final text
+    "q_snapshot_upsert" ->
+      s"""WITH merged AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+          u0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+            list_reduce(list_prepend(0::HUGEINT,
+              list_transform(regexp_extract_all(text, '(?s).'),
+                c -> ord(c)::HUGEINT)),
+              (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+          FROM merged),
+          ${Osql.mixCtes("u", "x")}
+          SELECT doc_id, n_chars, CAST(${Osql.signed("x")} AS BIGINT) AS fp
+          FROM ud""",
+
     // salted-join oracle: the PLAIN inner join — salting must be invisible
     // in the output
     "q_salted_join" ->

@@ -281,6 +281,126 @@ object Snapshot {
     observed
   }
 
+  /** Keyed MERGE / upsert (Iceberg copy-on-write MERGE at chunk
+    * granularity): every row of `df` REPLACES the current row with the same
+    * key (or is added if the key is new). Only chunks that contain a batch
+    * key are rewritten; every untouched chunk's files are hard-linked into
+    * the new version (metadata-only) — a small daily correction to a
+    * 10^12-row table costs only its touched chunks. The merge key is the
+    * table's `chunk_key` (from the manifest): that identity is what gives
+    * both the chunk pruning and the rewrite co-partitioning.
+    *
+    * Batch semantics: `df` must carry one row per key (dedup upstream —
+    * duplicate batch keys would all survive as duplicate rows).
+    *
+    * Same staged protocol as `write`/`append`: the touched-chunk list is
+    * persisted next to the staged data (`_TOUCHED`), so a rerun after a
+    * kill at ANY point completes the same commit — no duplicate and no
+    * missing chunks; the manifest commits last. */
+  def upsert(df: DataFrame, tablePath: String, tag: String = ""): Map[String, Long] = {
+    requireSafeTag(tag)
+    val spark = df.sparkSession
+    val table = Paths.get(tablePath)
+    val parentVersion = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"upsert needs a committed snapshot at $tablePath"))
+    val k = parentVersion + 1
+    val manifest = table.resolve(s"manifest-v$k.json")
+    if (Files.exists(manifest)) return Map.empty
+
+    val m = manifestJson(tablePath, parentVersion)
+    val chunkKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(m)
+      .map(_.group(1)).getOrElse(throw new IllegalStateException("manifest missing chunk_key"))
+    val numChunks = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(m)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException("manifest missing num_chunks"))
+    def chunkOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(numChunks))
+
+    val staging = table.resolve(s"_staging-v$k")
+    val stagedMarker = staging.resolve("_STAGED")
+    val touchedFile = staging.resolve("_TOUCHED")
+    if (!Files.exists(stagedMarker)) {
+      if (Files.exists(staging)) deleteRecursively(staging)
+      Files.createDirectories(staging)
+      val batch = df.withColumn("_chunk", chunkOf(col(chunkKey)))
+      // touched chunks from the batch — at most numChunks values, driver-safe
+      val touched = batch.select("_chunk").distinct()
+        .collect().map(_.getLong(0)).sorted
+      // file-level pruning: read ONLY the touched parent chunk dirs
+      val parentDir = table.resolve(s"v$parentVersion")
+      val touchedDirs = touched.map(c => parentDir.resolve(s"_chunk=$c"))
+        .filter(Files.exists(_)).map(_.toString)
+      val survivors =
+        if (touchedDirs.isEmpty) df.filter(lit(false))
+        else spark.read.option("basePath", parentDir.toString)
+          .parquet(touchedDirs: _*).drop("_chunk")
+          .join(df.select(chunkKey), Seq(chunkKey), "left_anti")
+      survivors.select(df.columns.map(col): _*).unionByName(df)
+        .withColumn("_chunk", chunkOf(col(chunkKey)))
+        .write.partitionBy("_chunk").mode("overwrite")
+        .parquet(staging.resolve("data").toString)
+      Files.writeString(touchedFile, touched.mkString(","))
+      Files.writeString(stagedMarker, "ok")
+    }
+    val touched = Files.readString(touchedFile).split(",")
+      .filter(_.nonEmpty).map(_.toLong).toSet
+
+    // promote: link parent files of UNTOUCHED chunks, move staged rewrites
+    val parentDir = table.resolve(s"v$parentVersion")
+    val dataDir = table.resolve(s"v$k")
+    Files.createDirectories(dataDir)
+    listDir(parentDir)
+      .filter { cd =>
+        val n = cd.getFileName.toString
+        n.startsWith("_chunk=") && !touched.contains(n.stripPrefix("_chunk=").toLong)
+      }
+      .foreach { cd =>
+        val dst = dataDir.resolve(cd.getFileName.toString)
+        Files.createDirectories(dst)
+        listDir(cd).filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            val lnk = dst.resolve(f.getFileName.toString)
+            if (!Files.exists(lnk)) Files.createLink(lnk, f)
+          }
+      }
+    val stagedData = staging.resolve("data")
+    if (Files.exists(stagedData))
+      listDir(stagedData)
+        .filter(_.getFileName.toString.startsWith("_chunk=")).foreach { cd =>
+          val dst = dataDir.resolve(cd.getFileName.toString)
+          Files.createDirectories(dst)
+          listDir(cd).filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              val moved = dst.resolve(s"u$k-${f.getFileName.toString}")
+              if (!Files.exists(moved))
+                Files.move(f, moved, StandardCopyOption.ATOMIC_MOVE)
+            }
+        }
+
+    val perChunk = spark.read.parquet(dataDir.toString)
+      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
+      val files = listDir(dataDir.resolve(s"_chunk=$c"))
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+      c.toString -> Json.obj(
+        "rows" -> rows.toString,
+        "files" -> Json.arr(files.map(Json.str)))
+    }
+    atomicWrite(manifest, Json.obj(
+      "snapshot" -> k.toString,
+      "parent" -> parentVersion.toString,
+      "upsert" -> "true",
+      "rewritten_chunks" -> Json.arr(touched.toSeq.sorted.map(_.toString)),
+      "tag" -> Json.str(tag),
+      "chunk_key" -> Json.str(chunkKey),
+      "num_chunks" -> numChunks.toString,
+      "metrics" -> Json.obj(),
+      "chunks" -> Json.obj(chunkJson: _*)))
+    atomicWrite(table.resolve("CURRENT"), k.toString)
+    deleteRecursively(staging)
+    Map("rewritten_chunks" -> touched.size.toLong,
+      "total_chunks" -> perChunk.size.toLong)
+  }
+
   /** Tags of every committed snapshot (empty tags excluded). The
     * exactly-once handshake for streaming micro-batch commits: a replayed
     * batch (at-least-once delivery after a crash) finds its tag already
