@@ -511,6 +511,27 @@ object SparkEntry {
           graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
     }),
 
+    // keyed snapshot DELETE (right-to-be-forgotten): purge id%9==0 docs;
+    // only their chunks rewrite, the rest hard-link — oracle is the
+    // complement select
+    "q_snapshot_delete" -> ((s, d) => {
+      val dir = s"$FixtureDir/del_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.Snapshot.write(docs, s"$dir/docs", "doc_id", 16)
+      graft.sources.Snapshot.deleteKeys(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        s"$dir/docs", tag = "purge")
+      graft.sources.Snapshot.read(s, s"$dir/docs")
+        .select(col("doc_id"),
+          graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
+    }),
+
     // incremental NEAR-dup: even-id docs seed the signature table, odd-id
     // docs arrive as the next batch; emits that batch's (new, dup_of,
     // jaccard) pairs. The table is rebuilt from scratch each run (tag
@@ -2525,6 +2546,17 @@ FROM e$BpeMerges""",
           ${Osql.mixCtes("u", "x")}
           SELECT doc_id, n_chars, CAST(${Osql.signed("x")} AS BIGINT) AS fp
           FROM ud""",
+
+    // snapshot-delete oracle: the complement select + fingerprint chain
+    "q_snapshot_delete" ->
+      s"""WITH dl0 AS (SELECT doc_id,
+            list_reduce(list_prepend(0::HUGEINT,
+              list_transform(regexp_extract_all(text, '(?s).'),
+                c -> ord(c)::HUGEINT)),
+              (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+          FROM documents WHERE doc_id % 9 <> 0),
+          ${Osql.mixCtes("dl", "x")}
+          SELECT doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM dld""",
 
     // salted-join oracle: the PLAIN inner join — salting must be invisible
     // in the output

@@ -297,12 +297,30 @@ object Snapshot {
     * persisted next to the staged data (`_TOUCHED`), so a rerun after a
     * kill at ANY point completes the same commit — no duplicate and no
     * missing chunks; the manifest commits last. */
-  def upsert(df: DataFrame, tablePath: String, tag: String = ""): Map[String, Long] = {
+  def upsert(df: DataFrame, tablePath: String, tag: String = ""): Map[String, Long] =
+    cowRewrite(df, tablePath, tag, "upsert", keepBatch = true)
+
+  /** Keyed DELETE (the GDPR / right-to-be-forgotten primitive over a
+    * training corpus): removes every row whose key appears in `keys` (a
+    * one-column DataFrame of the table's chunk key). Same copy-on-write
+    * machinery as [[upsert]] — only chunks containing a deleted key are
+    * rewritten, everything else hard-links — so purging a handful of
+    * conversations from a 10^12-turn table costs only their chunks, and the
+    * expired old versions (see [[expireSnapshots]]) are what bounds how long
+    * the deleted bytes survive on disk. */
+  def deleteKeys(keys: DataFrame, tablePath: String, tag: String = ""): Map[String, Long] =
+    cowRewrite(keys, tablePath, tag, "delete", keepBatch = false)
+
+  /** Shared copy-on-write engine behind [[upsert]]/[[deleteKeys]]: anti-join
+    * survivors of the touched chunks (+ the batch rows themselves for
+    * upsert), staged-rewrite those chunks, hard-link the rest. */
+  private def cowRewrite(df: DataFrame, tablePath: String, tag: String,
+                         opName: String, keepBatch: Boolean): Map[String, Long] = {
     requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     val parentVersion = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"upsert needs a committed snapshot at $tablePath"))
+      throw new IllegalStateException(s"$opName needs a committed snapshot at $tablePath"))
     val k = parentVersion + 1
     val manifest = table.resolve(s"manifest-v$k.json")
     if (Files.exists(manifest)) return Map.empty
@@ -328,12 +346,17 @@ object Snapshot {
       val parentDir = table.resolve(s"v$parentVersion")
       val touchedDirs = touched.map(c => parentDir.resolve(s"_chunk=$c"))
         .filter(Files.exists(_)).map(_.toString)
+      val tableCols = read(spark, tablePath, parentVersion).columns
       val survivors =
-        if (touchedDirs.isEmpty) df.filter(lit(false))
+        if (touchedDirs.isEmpty)
+          read(spark, tablePath, parentVersion).filter(lit(false))
         else spark.read.option("basePath", parentDir.toString)
           .parquet(touchedDirs: _*).drop("_chunk")
           .join(df.select(chunkKey), Seq(chunkKey), "left_anti")
-      survivors.select(df.columns.map(col): _*).unionByName(df)
+      val staged =
+        if (keepBatch) survivors.select(df.columns.map(col): _*).unionByName(df)
+        else survivors.select(tableCols.map(col): _*)
+      staged
         .withColumn("_chunk", chunkOf(col(chunkKey)))
         .write.partitionBy("_chunk").mode("overwrite")
         .parquet(staging.resolve("data").toString)
@@ -388,7 +411,7 @@ object Snapshot {
     atomicWrite(manifest, Json.obj(
       "snapshot" -> k.toString,
       "parent" -> parentVersion.toString,
-      "upsert" -> "true",
+      opName -> "true",
       "rewritten_chunks" -> Json.arr(touched.toSeq.sorted.map(_.toString)),
       "tag" -> Json.str(tag),
       "chunk_key" -> Json.str(chunkKey),

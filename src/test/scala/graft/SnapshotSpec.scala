@@ -148,6 +148,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).count() == expect.size)
   }
 
+  test("deleteKeys: purged rows gone, untouched chunks hard-linked, others intact") {
+    import spark.implicits._
+    val table = freshDir("snapdelete")
+    val base = (0 until 300).map(i => (f"k$i%03d", i)).toDF("conv_id", "n")
+    Snapshot.write(base, table, "conv_id", 8)
+    val doomed = (0 until 30).map(i => f"k${i * 7 % 300}%03d").distinct
+    val metrics = Snapshot.deleteKeys(doomed.toDF("conv_id"), table, tag = "purge")
+    assert(metrics("rewritten_chunks") > 0)
+    val got = Snapshot.read(spark, table).as[(String, Int)].collect().toSet
+    val expect = base.as[(String, Int)].collect()
+      .filterNot(r => doomed.contains(r._1)).toSet
+    assert(got == expect)
+    // the old version still holds the purged rows until expiry — then gone
+    assert(Snapshot.read(spark, table, version = 0).count() == 300)
+    Snapshot.expireSnapshots(table, keep = 1)
+    assert(!Files.exists(Paths.get(table).resolve("v0")))
+    assert(Snapshot.read(spark, table).as[(String, Int)].collect().toSet == expect)
+  }
+
   test("snapshot versioning: second write becomes CURRENT with parent link") {
     import spark.implicits._
     val table = freshDir("snapver")
