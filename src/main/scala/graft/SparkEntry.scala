@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.FixtureGen
 import graft.functions.{Clean, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, SimilaritySearch, TrainingData, Transcripts}
+import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, SimilaritySearch, TfIdfMatch, TrainingData, Transcripts}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2), with DuckDB-checkable `oracleSql` wherever the semantics
@@ -485,6 +485,12 @@ object SparkEntry {
         table, "doc_id", "text", "day-1")
       graft.sources.Snapshot.read(s, table).select(col("doc_id"), col("fp"))
     }),
+
+    // BM25 retrieval scoring against a literal query: one global stats agg
+    // (N, Σdl, per-term df), broadcast, zero-shuffle scoring; per-term
+    // contributions 1e-4-floor-quantized pre-sum
+    "q_bm25" -> ((s, d) => TfIdfMatch.bm25Scores(
+      t(s, d, "documents"), "doc_id", "text", Seq("join", "hash", "window"))),
 
     // keyed snapshot MERGE (copy-on-write upsert): day-0 commits all docs,
     // day-1 upserts modified versions of id%5==0 docs plus brand-new
@@ -2527,6 +2533,36 @@ FROM e$BpeMerges""",
             epoch_us(MAX(ts)) // 1000000 AS t_last_epoch
           FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
           GROUP BY conv_id""",
+    // BM25 replica: same tokenizer, same stats, same pinned float-op order
+    // (dl/avgdl written (dl·N)/Σdl; per-term floor(idf·tfc·1e4) pre-sum)
+    "q_bm25" -> {
+      def term(t: String, i: Int): String = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"""CAST(floor(
+            ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+            * ($tf * 2.2 / ($tf + 1.2 * (0.25
+                + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / sum_dl)))
+            * 10000.0) AS BIGINT)"""
+      }
+      val terms = Seq("join", "hash", "window")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n            ")
+      s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+          b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+            $dfCols
+          FROM b2)
+          SELECT doc_id, dl AS n_tokens,
+            ${terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")}
+            AS bm25_q4
+          FROM b2 CROSS JOIN stats"""
+    },
+
     // snapshot-upsert oracle: the merge computed directly from the source
     // table — update-in-place for id%5==0, original otherwise, +1000000
     // clones for id%7==0 — then the fingerprint chain over the final text

@@ -118,4 +118,44 @@ object TfIdfMatch {
       .filter(col("rn") === 1)
       .select(col("left_id"), col("right_id"), col("score"))
   }
+
+  /** BM25 retrieval scoring (Robertson/Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * IDF variant) of every document against a literal query — the classical
+    * lexical-retrieval baseline next to the TF-IDF and embedding matchers.
+    *
+    * Scale shape: ONE tiny global agg computes N, Σdl, and per-query-term
+    * document frequencies in a single pass (the query is a literal, so
+    * per-term tf needs no (doc, term) explode — a HOF count inside the
+    * scan); the 1-row stats then broadcast and scoring is zero-shuffle.
+    *
+    * Determinism: per-term contribution floor-quantized to 1e-4 BEFORE the
+    * sum (the [[TrainingData.ngramLmScore]] pattern), with the float
+    * operation order pinned — dl/avgdl written as (dl·N)/Σdl — so the
+    * DuckDB replica lands on identical integers. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val termQ4 = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      val tfc = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") * col("n_docs")) / col("sum_dl")))
+      floor(idf * tfc * lit(10000.0)).cast("long")
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl").as("n_tokens"),
+        termQ4.reduce(_ + _).as("bm25_q4"))
+  }
 }

@@ -116,6 +116,40 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(salts >= 6, s"hot key only hit $salts of 8 salt buckets")
   }
 
+  test("bm25Scores == naive replica; absent terms contribute 0; empty doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick quick quick brown"),
+      (3L, "nothing relevant here at all"),
+      (4L, "   "),
+      (5L, "fox")).toDF("doc_id", "text")
+    val terms = Seq("quick", "fox", "zebra")
+    val got = graft.operators.TfIdfMatch.bm25Scores(docs, "doc_id", "text", terms)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val toks = Map(
+      1L -> "the quick brown fox jumps over the lazy dog".split("\\s+").toSeq,
+      2L -> Seq("quick", "quick", "quick", "brown"),
+      3L -> "nothing relevant here at all".split("\\s+").toSeq,
+      4L -> Seq.empty[String], 5L -> Seq("fox"))
+    val n = toks.size.toDouble
+    val sumDl = toks.values.map(_.size).sum.toDouble
+    def score(id: Long): Long = terms.map { t =>
+      val df = toks.values.count(_.contains(t)).toDouble
+      val tf = toks(id).count(_ == t).toDouble
+      val dl = toks(id).size.toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfc = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / sumDl))
+      math.floor(idf * tfc * 10000.0).toLong
+    }.sum
+    toks.keys.foreach { id =>
+      assert(got(id) == ((toks(id).size.toLong, score(id))), s"doc $id")
+    }
+    assert(got(4L) == ((0L, 0L)))          // empty doc scores 0
+    assert(got(3L)._2 == 0L)               // no query term present
+    assert(got(2L)._2 > got(1L)._2)        // tf dominance on 'quick'
+  }
+
   test("branchPrefixes: partition-count invariance") {
     val rows = (0 until 40).flatMap { c =>
       (0 until 6).map(i => Turn(f"c$c%02d", i, "user",
