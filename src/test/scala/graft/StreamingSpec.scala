@@ -258,4 +258,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).count() == 4)
     assert(Snapshot.committedTags(table).contains("batch-2"))
   }
+
+  test("stream-stream interval join == batch join; out-of-interval events dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(sec: Int) = new java.sql.Timestamp(t0 + sec * 1000L)
+    def turn(conv: String, idx: Int, sec: Int) =
+      Turn(conv, idx, "assistant", "t", null, ts(sec))
+    val turns = Seq(turn("c1", 0, 0), turn("c1", 1, 100), turn("c2", 0, 50))
+    // events: within interval, before the turn (excluded), past the delay
+    val events = Seq(
+      ("c1", "search", ts(20)),   // matches c1/0 (Δ20) only — c1/1 is later
+      ("c1", "browse", ts(140)),  // matches c1/1 (Δ40); c1/0 Δ140 > 60
+      ("c2", "search", ts(40)),   // BEFORE c2/0 — excluded
+      ("c2", "fetch", ts(115)))   // c2/0 Δ65 > 60 — excluded
+
+    val ti = MemoryStream[Turn]
+    val ei = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamingJoin.turnToolEvents(
+      ti.toDF(),
+      ei.toDF().toDF("e_conv_id", "e_tool", "ets"), maxDelaySec = 60)
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ti.addData(turns: _*)
+      ei.addData(events(0), events(1))
+      query.processAllAvailable()
+      ei.addData(events(2), events(3))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("ss_join")
+      .select("conv_id", "turn_idx", "e_tool").as[(String, Int, String)]
+      .collect().toSet
+    assert(got == Set(("c1", 0, "search"), ("c1", 1, "browse")), s"got $got")
+
+    // batch plan of the SAME operator over the same data agrees
+    val batch = graft.streaming.StreamingJoin.turnToolEvents(
+      turns.toDF(), events.toDF("e_conv_id", "e_tool", "ets"), maxDelaySec = 60)
+      .select("conv_id", "turn_idx", "e_tool").as[(String, Int, String)]
+      .collect().toSet
+    assert(batch == got)
+  }
 }
