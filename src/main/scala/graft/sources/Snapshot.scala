@@ -133,14 +133,42 @@ object Snapshot {
     observed
   }
 
-  /** Read the CURRENT snapshot (or an explicit version) of a table. */
-  def read(spark: SparkSession, tablePath: String, version: Int = -1): DataFrame = {
+  /** Read the CURRENT snapshot (or an explicit version) of a table.
+    * `mergeSchema = true` reconciles per-file schemas — needed to read a
+    * version whose delta-appended files added a column (schema evolution:
+    * pre-existing rows surface the new column as null). Off by default: the
+    * merged-footer scan costs one footer read per file. */
+  def read(spark: SparkSession, tablePath: String, version: Int = -1,
+           mergeSchema: Boolean = false): DataFrame = {
     val table = Paths.get(tablePath)
     val k = if (version >= 0) version
       else currentVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $tablePath"))
-    spark.read.parquet(table.resolve(s"v$k").toString).drop("_chunk")
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(table.resolve(s"v$k").toString).drop("_chunk")
   }
+
+  /** Time travel by TAG: read the snapshot whose manifest carries `tag`
+    * (e.g. a streaming micro-batch id or a named release). Resolution is a
+    * pure metadata scan of the manifests. */
+  def readByTag(spark: SparkSession, tablePath: String, tag: String): DataFrame = {
+    require(tag.nonEmpty, "tag must be non-empty")
+    val table = Paths.get(tablePath)
+    val re = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
+    val verRe = "manifest-v(\\d+)\\.json".r
+    val hit = listDir(table)
+      .flatMap { p =>
+        verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
+          .filter(_ => re.findFirstMatchIn(Files.readString(p))
+            .exists(_.group(1) == tag))
+      }.sorted.lastOption
+    readByVersionOpt(spark, tablePath, hit, tag)
+  }
+
+  private def readByVersionOpt(spark: SparkSession, tablePath: String,
+                               v: Option[Int], tag: String): DataFrame =
+    read(spark, tablePath, v.getOrElse(
+      throw new IllegalStateException(s"no snapshot tagged '$tag' at $tablePath")))
 
   /** Version diff (Iceberg's changelog read, keyed flavor): rows of
     * `toVersion` not in `fromVersion` (`added`) and vice versa (`removed`),

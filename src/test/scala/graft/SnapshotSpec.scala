@@ -167,6 +167,27 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).as[(String, Int)].collect().toSet == expect)
   }
 
+  test("readByTag time travel; schema evolution through delta append") {
+    import spark.implicits._
+    val table = freshDir("snaptag")
+    Snapshot.write((1 to 10).map(i => (s"a$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, tag = "day-0")
+    // delta append with an EXTRA nullable column: schema evolution
+    Snapshot.append((11 to 15).map(i => (s"b$i", i, s"lang$i"))
+      .toDF("conv_id", "n", "lang"), table, "conv_id", 2, tag = "day-1")
+    // tag resolution reads the right version
+    assert(Snapshot.readByTag(spark, table, "day-0").count() == 10)
+    intercept[IllegalStateException] {
+      Snapshot.readByTag(spark, table, "nope")
+    }
+    // merged read: old rows surface the new column as null
+    val merged = Snapshot.read(spark, table, mergeSchema = true)
+    assert(merged.columns.toSet == Set("conv_id", "n", "lang"))
+    assert(merged.count() == 15)
+    assert(merged.filter(col("lang").isNull).count() == 10)
+    assert(merged.filter(col("lang").isNotNull).count() == 5)
+  }
+
   test("snapshot versioning: second write becomes CURRENT with parent link") {
     import spark.implicits._
     val table = freshDir("snapver")
