@@ -673,6 +673,14 @@ object SparkEntry {
     "q_conv_wellformed" -> ((s, d) =>
       Transcripts.wellFormed(s.read.parquet(fixtureMessyParquet(s)))),
 
+    // repair side of the validator: blank turns dropped, duplicate indexes
+    // resolved by keep-min struct, indexes re-sequenced contiguously from 0
+    "q_conv_repair" -> ((s, d) =>
+      Transcripts.repair(s.read.parquet(fixtureMessyParquet(s)))
+        .select(col("conv_id"), col("turn_idx"), col("orig_turn_idx"),
+          col("role"), col("ts").cast("long").as("ts_epoch"),
+          graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))),
+
     // shared-prefix branch detection (re-rolled/regenerated conversations):
     // per-turn codegen hash → per-conv prefix-hash chain → (depth, hash)
     // family agg — only 8-byte hashes shuffle, no pairwise blocking
@@ -2664,6 +2672,32 @@ FROM e$BpeMerges""",
             AND empty_turns = 0 AND role_repeats = 0 AND ts_regressions = 0
             AND orphan_tool_turns = 0) AS well_formed
           FROM agg""",
+
+    // repair replica: same keep-min struct dedup (field-lexicographic,
+    // NULLS FIRST pins DuckDB to Spark's asc-nulls-first) + re-sequencing
+    "q_conv_repair" ->
+      s"""WITH kept AS (
+            SELECT conv_id, turn_idx AS orig_turn_idx, role, text, ts,
+              row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY ts NULLS FIRST, text NULLS FIRST, role NULLS FIRST,
+                  tool NULLS FIRST) AS dup_rn
+            FROM read_parquet('$FixtureDir/messy60/*.parquet')
+            WHERE text IS NOT NULL AND trim(text) <> ''),
+          rs AS (SELECT conv_id, orig_turn_idx, role, text, ts,
+              row_number() OVER (PARTITION BY conv_id
+                ORDER BY orig_turn_idx, ts NULLS FIRST, text) - 1 AS turn_idx
+            FROM kept WHERE dup_rn = 1),
+          r0 AS (SELECT conv_id, turn_idx, orig_turn_idx, role,
+            epoch_us(ts) // 1000000 AS ts_epoch,
+            list_reduce(list_prepend(0::HUGEINT,
+              list_transform(regexp_extract_all(text, '(?s).'),
+                c -> ord(c)::HUGEINT)),
+              (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+          FROM rs),
+          ${Osql.mixCtes("r", "x")}
+          SELECT conv_id, turn_idx, orig_turn_idx, role, ts_epoch,
+            CAST(${Osql.signed("x")} AS BIGINT) AS fp
+          FROM rd""",
 
     // branch-prefix replica: fingerprint64 per (role, text) turn
     // (q_fingerprint technique), prefix chain re-derived by a RECURSIVE CTE

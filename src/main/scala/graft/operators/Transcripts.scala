@@ -64,6 +64,32 @@ object Transcripts {
           col("orphan_tool_turns") === 0L)
   }
 
+  /** The repair side of [[wellFormed]]: normalize a messy transcript table
+    * into the shape the extraction pipeline assumes —
+    *  1. drop null/blank turns,
+    *  2. resolve duplicate (conv_id, turn_idx) pairs deterministically
+    *     (keep the struct-min by (ts, text, role) — a partial-aggregatable
+    *     keep-first, skew-safe like `TrainingData.chunkDedup`),
+    *  3. re-sequence turn_idx contiguously from 0 in (turn_idx, ts, text)
+    *     order, closing gaps.
+    * One hash-agg + one window, both on the conv_id key the downstream FSM
+    * repartitions by anyway. Emits the original index as `orig_turn_idx`
+    * for lineage. */
+  def repair(df: DataFrame): DataFrame = {
+    val kept = df
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min(struct(col("ts"), col("text"), col("role"), col("tool"))).as("t"))
+      .select(col("conv_id"), col("turn_idx").as("orig_turn_idx"),
+        col("t.role").as("role"), col("t.text").as("text"),
+        col("t.tool").as("tool"), col("t.ts").as("ts"))
+    kept.withColumn("turn_idx",
+        (row_number().over(Window.partitionBy("conv_id")
+          .orderBy(col("orig_turn_idx"), col("ts"), col("text"))) - 1))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "orig_turn_idx")
+  }
+
   /** Shared-prefix (branch / regeneration) detection: conversations that are
     * re-rolls of each other share an identical prefix of (role, text) turns
     * and diverge where the agent was re-sampled. For each conversation,

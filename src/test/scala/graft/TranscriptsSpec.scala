@@ -35,6 +35,27 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(got("bad") == (("bad", 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, false)))
   }
 
+  test("repair: blanks dropped, dup idx resolved keep-min, contiguous re-sequencing") {
+    val rows = Seq(
+      Turn("m", 1, "user", "a", null, ts(10)),
+      Turn("m", 2, "assistant", "b", null, ts(12)), // loses dup: ts later
+      Turn("m", 2, "assistant", "c", null, ts(11)), // wins dup (min ts)
+      Turn("m", 4, "user", "  ", null, ts(13)),     // blank → dropped
+      Turn("m", 5, "tool", "r", "srch", ts(14)))
+    val got = Transcripts.repair(rows.toDF())
+      .as[(String, Int, String, String, String, java.sql.Timestamp, Int)]
+      .collect().sortBy(_._2).toSeq
+    // columns: conv_id, turn_idx, role, text, tool, ts, orig_turn_idx
+    assert(got.map(r => (r._2, r._4, r._7)) ==
+      Seq((0, "a", 1), (1, "c", 2), (2, "r", 5)))
+    // the repaired table passes the index/blank checks of wellFormed
+    val wf = Transcripts.wellFormed(Transcripts.repair(rows.toDF())
+        .drop("orig_turn_idx"))
+      .select("dup_idx", "idx_gaps", "min_idx", "empty_turns")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(wf == ((0L, 0L, 0L, 0L)))
+  }
+
   test("branchPrefixes == naive replica; singletons 0; exact dup = full-depth family") {
     // family F: three conversations sharing 2 turns, two of them sharing 3
     val rows = Seq(
