@@ -2557,7 +2557,8 @@ FROM e$BpeMerges""",
         s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
       }.mkString(",\n            ")
       s"""WITH base AS (SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '\\s+'),
+            list_filter(string_split_regex(regexp_replace(
+                lower(coalesce(text, '')), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
               x -> len(x) > 0) AS toks
           FROM documents),
           b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
@@ -2643,15 +2644,23 @@ FROM e$BpeMerges""",
     // LAST to Spark's asc-nulls-first (no sort-key nulls in the fixture,
     // but the order spec should not rely on that)
     "q_conv_wellformed" ->
-      s"""WITH st AS (
+      s"""WITH wf0 AS (
             SELECT conv_id, turn_idx, role, tool, ts,
               (text IS NULL OR trim(text) = '') AS is_empty,
+              list_reduce(list_prepend(0::HUGEINT,
+                list_transform(regexp_extract_all(coalesce(text, ''), '(?s).'),
+                  c -> ord(c)::HUGEINT)),
+                (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+            FROM read_parquet('$FixtureDir/messy60/*.parquet')),
+          ${Osql.mixCtes("wf", "x")},
+          st AS (
+            SELECT conv_id, turn_idx, role, tool, ts, is_empty,
               lag(role) OVER w AS prev_role,
               lag(tool) OVER w AS prev_tool,
               lag(ts) OVER w AS prev_ts
-            FROM read_parquet('$FixtureDir/messy60/*.parquet')
+            FROM (SELECT *, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM wfd)
             WINDOW w AS (PARTITION BY conv_id
-              ORDER BY turn_idx NULLS FIRST, text NULLS FIRST, role NULLS FIRST)),
+              ORDER BY turn_idx NULLS FIRST, fp NULLS FIRST, role NULLS FIRST)),
           agg AS (
             SELECT conv_id,
               COUNT(*) AS n_turns,
@@ -2717,7 +2726,8 @@ FROM e$BpeMerges""",
             FROM tx),
           ${Osql.mixCtes("bp", "x")},
           rn AS (SELECT conv_id, row_number() OVER (
-              PARTITION BY conv_id ORDER BY turn_idx) AS pos, x FROM bpd),
+              PARTITION BY conv_id ORDER BY turn_idx,
+                CAST(${Osql.signed("x")} AS BIGINT)) AS pos, x FROM bpd),
           chain AS (
             SELECT conv_id, 1::BIGINT AS depth, x AS pref FROM rn WHERE pos = 1
             UNION ALL

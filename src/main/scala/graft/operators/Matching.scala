@@ -62,9 +62,12 @@ object Matching {
     * side's shuffle bytes. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, uniqueCol: Column): DataFrame = {
+    // coalesce: a null uniqueCol (fingerprint64(null) → null salt) would
+    // silently DROP the row from the equi-join, breaking the plain-join
+    // output contract; salt 0 keeps it (merely unsalted)
     val l = left.withColumn("_salt",
-      pmod(graft.expressions.TextHashExpressions.fingerprint64(
-        uniqueCol.cast("string")), lit(saltFactor.toLong)).cast("int"))
+      coalesce(pmod(graft.expressions.TextHashExpressions.fingerprint64(
+        uniqueCol.cast("string")), lit(saltFactor.toLong)).cast("int"), lit(0)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

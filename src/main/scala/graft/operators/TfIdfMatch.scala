@@ -135,7 +135,12 @@ object TfIdfMatch {
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    // coalesce: Spark size(null array) is -1, which would poison dl/sum_dl
+    // while DuckDB's SUM just skips the NULL. Control strip: Java \s
+    // includes \x0B, RE2's does not (the bpeTrainMerges parity rule).
+    val cleaned = regexp_replace(
+      lower(coalesce(col(textCol), lit(""))), "[\\x00-\\x1F]", " ")
+    val toks = filter(split(cleaned, "\\s+"), x => length(x) > 0)
     val base = df.select(col(idCol), toks.as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val aggs = count(lit(1)).cast("double").as("n_docs") +:

@@ -651,17 +651,24 @@ object TrainingData {
   def bpeTrainMerges(df: DataFrame, textCol: String, numMerges: Int,
                      collectVocabLimit: Int): Seq[(Int, String, String, String, Long)] = {
     val cleaned = regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " ")
+    // cached across the probe and the distributed arm's first round, so the
+    // corpus-scale hash-agg runs once even when the probe overflows the cap
     val wordCounts = df
       .select(explode(filter(split(cleaned, "\\s+"), x => length(x) > 0)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
+      .cache()
     val probe = wordCounts.limit(collectVocabLimit + 1).collect()
-    if (probe.length <= collectVocabLimit)
+    if (probe.length <= collectVocabLimit) {
+      wordCounts.unpersist()
       return bpeTrainLocal(
         probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    }
     var words = wordCounts
       .select(regexp_replace(col("tok"), "(?s)(.)", Us + "$1" + Us).as("w"),
         col("n"))
       .cache()
+    words.count()
+    wordCounts.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var done = false

@@ -31,13 +31,17 @@ object Transcripts {
     *  - `orphan_tool_turns` role='tool' turns not preceded by a tool call
     *    (previous turn's `tool` column null/empty)
     *
-    * Adjacent-pair checks order by (turn_idx, text, role) so duplicate
-    * indexes still compare deterministically in any engine. */
+    * Adjacent-pair checks order by (turn_idx, fingerprint64(text), role) so
+    * duplicate indexes still compare deterministically in any engine — the
+    * 8-byte fingerprint stands in for text as the tie key, which is what
+    * keeps text itself out of the exchange. */
   def wellFormed(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id")
-      .orderBy(col("turn_idx"), col("text"), col("role"))
+      .orderBy(col("turn_idx"), col("fp"), col("role"))
     val stepped = df.select(col("conv_id"), col("turn_idx"), col("role"),
-        col("tool"), col("ts"), col("text"),
+        col("tool"), col("ts"),
+        graft.expressions.TextHashExpressions.fingerprint64(
+          coalesce(col("text"), lit(""))).as("fp"),
         (col("text").isNull || trim(col("text")) === "").as("is_empty"))
       .withColumn("prev_role", lag(col("role"), 1).over(w))
       .withColumn("prev_tool", lag(col("tool"), 1).over(w))
@@ -133,7 +137,7 @@ object Transcripts {
     // left join keeps every conversation's depth-1 row, so the final agg
     // needs no separate distinct-conv_id pass: unshared conversations fall
     // out of the conditional argmax as null → 0/0/0
-    chains.join(fams, Seq("depth", "pref"), "left")
+    val out = chains.join(fams, Seq("depth", "pref"), "left")
       .groupBy("conv_id")
       .agg(max(when(col("n_siblings").isNotNull,
         struct(col("depth"), col("pref"), col("n_siblings")))).as("m"))
@@ -141,5 +145,13 @@ object Transcripts {
         coalesce(col("m.depth"), lit(0L)).as("branch_depth"),
         coalesce(col("m.pref"), lit(0L)).as("family_hash"),
         coalesce(col("m.n_siblings"), lit(0L)).as("n_siblings"))
+    // Materialize the (one-row-per-conversation) result eagerly so the
+    // per-turn chain blocks can be released HERE instead of leaking for the
+    // session lifetime; the caller gets cheap cached rows and may
+    // .unpersist() them when done.
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    chains.unpersist()
+    out
   }
 }

@@ -60,6 +60,54 @@ object Snapshot {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Resume path for a commit whose manifest already landed: the manifest IS
+    * the commit, but a kill between the manifest write and the CURRENT swap
+    * would otherwise wedge the table forever (every rerun computes the same
+    * k, sees the manifest, and returns — CURRENT never advances, all future
+    * commits silently no-op). Finish the swap + staging cleanup here. */
+  private def finishCommitted(table: Path, k: Int): Boolean = {
+    val manifest = table.resolve(s"manifest-v$k.json")
+    if (!Files.exists(manifest)) return false
+    if (currentVersion(table).getOrElse(-1) < k)
+      atomicWrite(table.resolve("CURRENT"), k.toString)
+    deleteRecursively(table.resolve(s"_staging-v$k"))
+    true
+  }
+
+  /** Shared commit tail of write/append/cowRewrite: per-chunk lineage from
+    * the promoted data dir, manifest (the commit point), CURRENT swap,
+    * staging cleanup. `extraFields` go into the manifest verbatim. */
+  private def commitManifest(spark: SparkSession, table: Path, k: Int,
+                             parent: Int, chunkKey: String, numChunks: Int,
+                             observed: Map[String, Long],
+                             tag: String,
+                             extraFields: Seq[(String, String)]): Unit = {
+    val dataDir = table.resolve(s"v$k")
+    val perChunk = spark.read.parquet(dataDir.toString)
+      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
+      val files = listDir(dataDir.resolve(s"_chunk=$c"))
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+      c.toString -> Json.obj(
+        "rows" -> rows.toString,
+        "files" -> Json.arr(files.map(Json.str)))
+    }
+    val fields =
+      Seq("snapshot" -> k.toString, "parent" -> parent.toString) ++
+      extraFields ++
+      Seq("tag" -> Json.str(tag),
+        "chunk_key" -> Json.str(chunkKey),
+        "num_chunks" -> numChunks.toString,
+        "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
+          .map { case (key, v) => key -> v.toString }: _*),
+        "chunks" -> Json.obj(chunkJson: _*))
+    atomicWrite(table.resolve(s"manifest-v$k.json"), Json.obj(fields: _*))
+    if (currentVersion(table).getOrElse(-1) < k)
+      atomicWrite(table.resolve("CURRENT"), k.toString)
+    deleteRecursively(table.resolve(s"_staging-v$k"))
+  }
+
   /** Write `df` as snapshot `snapshotId` of `tablePath`, chunked by
     * `pmod(xxhash64(chunkKey), numChunks)`. Safe to re-invoke after a kill at
     * any point; a completed snapshot is a no-op. Returns observed metrics. */
@@ -72,8 +120,7 @@ object Snapshot {
     val table = Paths.get(tablePath)
     Files.createDirectories(table)
     val k = if (snapshotId >= 0) snapshotId else currentVersion(table).getOrElse(-1) + 1
-    val manifest = table.resolve(s"manifest-v$k.json")
-    if (Files.exists(manifest)) return Map.empty // snapshot already committed
+    if (finishCommitted(table, k)) return Map.empty // already committed
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
@@ -104,32 +151,10 @@ object Snapshot {
         Files.move(cd, dst, StandardCopyOption.ATOMIC_MOVE)
     }
 
-    // 3. manifest = the commit. Per-chunk lineage: files + rows (parquet
-    // footers only — metadata-count, no data scan).
-    val perChunk = spark.read.parquet(dataDir.toString)
-      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
-      val files = Files.list(dataDir.resolve(s"_chunk=$c")).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      c.toString -> Json.obj(
-        "rows" -> rows.toString,
-        "files" -> Json.arr(files.map(Json.str)))
-    }
-    val parent = currentVersion(table).getOrElse(-1)
-    atomicWrite(manifest, Json.obj(
-      "snapshot" -> k.toString,
-      "parent" -> parent.toString,
-      "tag" -> Json.str(tag),
-      "chunk_key" -> Json.str(chunkKey),
-      "num_chunks" -> numChunks.toString,
-      "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
-        .map { case (key, v) => key -> v.toString }: _*),
-      "chunks" -> Json.obj(chunkJson: _*)))
-
-    // 4. pointer swap + staging cleanup
-    atomicWrite(table.resolve("CURRENT"), k.toString)
-    deleteRecursively(staging)
+    // 3+4. manifest (= the commit, per-chunk lineage from parquet footers
+    // only), pointer swap, staging cleanup
+    commitManifest(spark, table, k, currentVersion(table).getOrElse(-1),
+      chunkKey, numChunks, observed, tag, Nil)
     observed
   }
 
@@ -155,12 +180,16 @@ object Snapshot {
     require(tag.nonEmpty, "tag must be non-empty")
     val table = Paths.get(tablePath)
     val re = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
+    // FULL-name match: a leftover manifest-v<k>.json.tmp from a killed
+    // atomicWrite must never resolve a tag to an uncommitted version
     val verRe = "manifest-v(\\d+)\\.json".r
     val hit = listDir(table)
       .flatMap { p =>
-        verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
-          .filter(_ => re.findFirstMatchIn(Files.readString(p))
-            .exists(_.group(1) == tag))
+        p.getFileName.toString match {
+          case verRe(v) if re.findFirstMatchIn(Files.readString(p))
+            .exists(_.group(1) == tag) => Some(v.toInt)
+          case _ => None
+        }
       }.sorted.lastOption
     readByVersionOpt(spark, tablePath, hit, tag)
   }
@@ -238,8 +267,7 @@ object Snapshot {
       return write(df, tablePath, chunkKey, numChunks,
         observation = observation, tag = tag))
     val k = parentVersion + 1
-    val manifest = table.resolve(s"manifest-v$k.json")
-    if (Files.exists(manifest)) return Map.empty
+    if (finishCommitted(table, k)) return Map.empty
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
@@ -284,28 +312,8 @@ object Snapshot {
             }
         }
 
-    val perChunk = spark.read.parquet(dataDir.toString)
-      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
-      val files = Files.list(dataDir.resolve(s"_chunk=$c")).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      c.toString -> Json.obj(
-        "rows" -> rows.toString,
-        "files" -> Json.arr(files.map(Json.str)))
-    }
-    atomicWrite(manifest, Json.obj(
-      "snapshot" -> k.toString,
-      "parent" -> parentVersion.toString,
-      "append" -> "true",
-      "tag" -> Json.str(tag),
-      "chunk_key" -> Json.str(chunkKey),
-      "num_chunks" -> numChunks.toString,
-      "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
-        .map { case (key, v) => key -> v.toString }: _*),
-      "chunks" -> Json.obj(chunkJson: _*)))
-    atomicWrite(table.resolve("CURRENT"), k.toString)
-    deleteRecursively(staging)
+    commitManifest(spark, table, k, parentVersion, chunkKey, numChunks,
+      observed, tag, Seq("append" -> "true"))
     observed
   }
 
@@ -350,8 +358,7 @@ object Snapshot {
     val parentVersion = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"$opName needs a committed snapshot at $tablePath"))
     val k = parentVersion + 1
-    val manifest = table.resolve(s"manifest-v$k.json")
-    if (Files.exists(manifest)) return Map.empty
+    if (finishCommitted(table, k)) return Map.empty
 
     val m = manifestJson(tablePath, parentVersion)
     val chunkKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(m)
@@ -374,11 +381,16 @@ object Snapshot {
       val parentDir = table.resolve(s"v$parentVersion")
       val touchedDirs = touched.map(c => parentDir.resolve(s"_chunk=$c"))
         .filter(Files.exists(_)).map(_.toString)
-      val tableCols = read(spark, tablePath, parentVersion).columns
+      // mergeSchema: a delta append may have added columns — a single-footer
+      // schema pick would silently drop them from the rewritten chunks
+      val tableCols =
+        read(spark, tablePath, parentVersion, mergeSchema = true).columns
       val survivors =
         if (touchedDirs.isEmpty)
-          read(spark, tablePath, parentVersion).filter(lit(false))
+          read(spark, tablePath, parentVersion, mergeSchema = true)
+            .filter(lit(false))
         else spark.read.option("basePath", parentDir.toString)
+          .option("mergeSchema", "true")
           .parquet(touchedDirs: _*).drop("_chunk")
           .join(df.select(chunkKey), Seq(chunkKey), "left_anti")
       val staged =
@@ -426,30 +438,13 @@ object Snapshot {
             }
         }
 
-    val perChunk = spark.read.parquet(dataDir.toString)
-      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
-      val files = listDir(dataDir.resolve(s"_chunk=$c"))
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
-      c.toString -> Json.obj(
-        "rows" -> rows.toString,
-        "files" -> Json.arr(files.map(Json.str)))
-    }
-    atomicWrite(manifest, Json.obj(
-      "snapshot" -> k.toString,
-      "parent" -> parentVersion.toString,
-      opName -> "true",
-      "rewritten_chunks" -> Json.arr(touched.toSeq.sorted.map(_.toString)),
-      "tag" -> Json.str(tag),
-      "chunk_key" -> Json.str(chunkKey),
-      "num_chunks" -> numChunks.toString,
-      "metrics" -> Json.obj(),
-      "chunks" -> Json.obj(chunkJson: _*)))
-    atomicWrite(table.resolve("CURRENT"), k.toString)
-    deleteRecursively(staging)
+    commitManifest(spark, table, k, parentVersion, chunkKey, numChunks,
+      Map.empty, tag, Seq(opName -> "true",
+        "rewritten_chunks" -> Json.arr(touched.toSeq.sorted.map(_.toString))))
+    val totalChunks = listDir(dataDir)
+      .count(_.getFileName.toString.startsWith("_chunk=")).toLong
     Map("rewritten_chunks" -> touched.size.toLong,
-      "total_chunks" -> perChunk.size.toLong)
+      "total_chunks" -> totalChunks)
   }
 
   /** Tags of every committed snapshot (empty tags excluded). The

@@ -22,8 +22,10 @@ class TranscriptsSpec extends AnyFunSuite {
       // messy conversation: starts at 1 (min_idx), gap at 3, duplicate idx 2
       // (different text), blank turn, role repeat, ts regression, orphan tool
       Turn("bad", 1, "user", "a", null, ts(10)),
+      // dup idx + role repeat; EQUAL ts so the count is independent of the
+      // fingerprint tie order between the two duplicates
       Turn("bad", 2, "assistant", "b", null, ts(11)),
-      Turn("bad", 2, "assistant", "c", null, ts(12)), // dup idx + role repeat
+      Turn("bad", 2, "assistant", "c", null, ts(11)),
       Turn("bad", 4, "user", "  ", null, ts(5)),      // gap(3), blank, ts back
       Turn("bad", 5, "tool", "orphan", null, ts(13))  // prev turn has no tool
     )
