@@ -304,9 +304,13 @@ object Dedup {
         base.select(col("id"), col("pos"),
           col("t").substr(col("pos") + 1, lit(k)).as("key"))
       }
-    val dup = keyed.groupBy("key").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("key")
-    val cov = keyed.join(dup, "key").select("id", "pos")
+    // ONE exchange: count-over-window on the gram key instead of
+    // groupBy+self-join, which would shuffle the exploded gram set twice
+    // AND recompute the explosion for each branch. WindowExec spills its
+    // per-key buffer, so a pathologically hot gram degrades to disk, not OOM.
+    val wk = Window.partitionBy("key")
+    val cov = keyed.withColumn("nk", count(lit(1)).over(wk))
+      .filter(col("nk") > 1).select("id", "pos")
     val w = Window.partitionBy("id").orderBy("pos")
     val brk = when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0)
     cov.withColumn("island", sum(brk).over(w))
@@ -325,6 +329,9 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 32, hashGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // spans feeds BOTH the mids and tails branches, but the expensive gram
+    // exchange is deduplicated by ReuseExchange — no persist needed (and a
+    // measured persist was a net loss: it forces an extra materialize+read).
     val spans = duplicateSpans(df, idCol, textCol, k, hashGrams)
     val w = Window.partitionBy("id").orderBy("start")
     val mids = spans.select(col("id"),
