@@ -460,6 +460,20 @@ object SparkEntry {
         x => length(x) > 0)).as("tok")),
       col("tok"), p = 8)),
 
+    // KMV (bottom-k) distinct sketch over (doc_id, token) incidences — a
+    // stream whose distinct count exceeds k, so the D-check exercises the
+    // truncation path (the raw vocabulary is sub-k at this SF). Only 8-byte
+    // fps shuffle, TakeOrdered bottom-k (no global sort); deterministic
+    // state (byte-identical cross-engine, unlike HLL registers) and exactly
+    // mergeable across shards/days
+    "q_kmv_tokens" -> ((s, d) => TrainingData.kmvSketch(
+      t(s, d, "documents").select(col("doc_id"), explode(filter(split(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+        x => length(x) > 0)).as("tok"))
+        .select(concat(col("doc_id").cast("string"), lit(":"), col("tok"))
+          .as("v")),
+      col("v"), k = 256)),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -2368,6 +2382,23 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
   CAST(MAX(CASE WHEN rest = 0 THEN 57
        ELSE 57 - length(bin(CAST(rest AS BIGINT))) END) AS BIGINT) AS max_rank
 FROM br GROUP BY bucket""",
+    // KMV replica: same fingerprint chain, DISTINCT at the fp level (Spark
+    // dedups fingerprints, so hash-colliding distinct tokens collapse in
+    // both engines), unsigned HUGEINT order = the Spark side's sign-bit
+    // flip, rank from row_number over the full distinct set before LIMIT
+    "q_kmv_tokens" ->
+      s"""WITH tk AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) || ':' || tok AS tok
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+      regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+      x -> len(x) > 0)) AS tok FROM documents)),
+h0 AS (SELECT list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(tok, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tk),
+${Osql.mixCtes("h", "x")},
+u AS (SELECT DISTINCT x FROM hd),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rnk FROM u ORDER BY x LIMIT 256)
+SELECT CAST(rnk AS BIGINT) AS rank, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM r""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT

@@ -957,4 +957,55 @@ object TrainingData {
     val zeros = regs.count(_ == 0L)
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  /** KMV ("k minimum values" / bottom-k) distinct sketch of `value`
+    * (Bar-Yossef et al. 2002): the k smallest DISTINCT fingerprints in
+    * unsigned order, emitted as (rank, fp) with fp signed for engine
+    * neutrality. Deterministic — unlike HLL's register floats there is no
+    * estimator inside the state, so two engines produce byte-identical
+    * sketches — and exactly mergeable: union ∪ bottom-k == bottom-k of the
+    * union ([[kmvMerge]]), which is what makes per-shard/per-day sketches
+    * composable without re-reading history. Readout = [[kmvEstimate]]. As a
+    * bonus the sketch IS a coordinated uniform sample of the distinct
+    * values, so the same rows drive sampled quantiles and cross-table
+    * Jaccard (matching bottom-k sets estimate resemblance).
+    *
+    * Scale shape: one compiled map pass → hash-distinct on the 8-byte fp
+    * (partial agg collapses each task's duplicates before the exchange;
+    * only fingerprints ever shuffle) → `TakeOrderedAndProject` for the
+    * bottom-k (per-partition heap of k, driver merge of k·partitions rows —
+    * never a global sort). The final rank window touches k rows. */
+  def kmvSketch(df: DataFrame, value: Column, k: Int = 256): DataFrame =
+    bottomK(df.select(
+      TextHashExpressions.fingerprint64(value.cast("string")).as("fp")), k)
+
+  /** Merge two KMV sketches (or any frames with an `fp` column): bottom-k
+    * of the union. kmvMerge(kmvSketch(A), kmvSketch(B)) == kmvSketch(A ∪ B)
+    * exactly (spec-asserted), so shards compose associatively. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    bottomK(a.select("fp").unionByName(b.select("fp")), k)
+
+  private def bottomK(fps: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    // sign-bit flip = unsigned order as signed; XOR is overflow-free under
+    // ANSI (an additive bias would throw on Long.MinValue)
+    val u = col("fp").bitwiseXOR(lit(Long.MinValue))
+    val w = Window.orderBy("u") // post-limit: ≤ k rows, one tiny partition
+    fps.distinct().withColumn("u", u)
+      .orderBy(col("u")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank").cast("long").as("rank"), col("fp"))
+  }
+
+  /** Driver-side KMV readout: (k-1) · 2^64 / u_k with u_k the k-th smallest
+    * unsigned fingerprint (the unbiased KMV estimator; relative error
+    * ~1/√(k−2)). A sketch with fewer than k rows saw fewer than k distinct
+    * fingerprints — the count is exact. */
+  def kmvEstimate(sketch: Seq[(Long, Long)], k: Int): Double = {
+    if (sketch.size < k) return sketch.size.toDouble
+    val fpK = sketch.maxBy { case (rank, _) => rank }._2
+    val uK = BigInt(fpK) + (if (fpK < 0) BigInt(1) << 64 else BigInt(0))
+    (BigDecimal(BigInt(k - 1) << 64) / BigDecimal(uK)).toDouble
+  }
 }

@@ -668,4 +668,34 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(br(0) >= 0 && br(0) < (1 << p) && br(1) >= 1 && br(1) <= 64 - p + 1)
     }
   }
+
+  test("kmvSketch: bottom-k == naive replica; shard merge EXACT; estimate sane") {
+    import graft.core.TextStats
+    val k = 64
+    val values = (0 until 3000).map(i => s"val-${i % 900}") // 900 distinct > k
+    val df = values.map(Tuple1(_)).toDF("v")
+    val sketch = TrainingData.kmvSketch(df, col("v"), k)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // naive replica: distinct fingerprints, unsigned order, first k
+    val expect = values.distinct.map(TextStats.fingerprint)
+      .distinct.sortBy(_ ^ Long.MinValue).take(k).zipWithIndex
+      .map { case (fp, i) => ((i + 1).toLong, fp) }
+    assert(sketch == expect)
+    // mergeability is EXACT (not just approximate): bottom-k of two shard
+    // sketches == the whole-corpus sketch, row for row
+    val (l, r) = values.splitAt(1100)
+    def sk(xs: Seq[String]) =
+      TrainingData.kmvSketch(xs.map(Tuple1(_)).toDF("v"), col("v"), k)
+    val merged = TrainingData.kmvMerge(sk(l), sk(r), k)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == sketch)
+    // readout: within 3 standard errors (1/sqrt(k-2) ≈ 12.7% → 38%)
+    val est = TrainingData.kmvEstimate(sketch, k)
+    assert(math.abs(est - 900.0) / 900.0 < 0.38, s"estimate $est vs 900")
+    // fewer distincts than k → the sketch is the exact distinct count
+    val tiny = TrainingData.kmvSketch(
+      Seq("a", "b", "c", "a").map(Tuple1(_)).toDF("v"), col("v"), k)
+      .as[(Long, Long)].collect().toSeq
+    assert(tiny.size == 3 && TrainingData.kmvEstimate(tiny, k) == 3.0)
+  }
 }
