@@ -506,6 +506,14 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TfIdfMatch.bm25Scores(
       t(s, d, "documents"), "doc_id", "text", Seq("join", "hash", "window"))),
 
+    // retrieve-then-rerank: BM25 top-50 via TakeOrdered, then the positional
+    // rerank features (coverage / ordered-bigram adjacency / tf) computed
+    // ONLY on the candidates through a broadcast join-back — the two-stage
+    // retrieval shape that keeps expensive scoring off the corpus scan
+    "q_bm25_rerank" -> ((s, d) => TfIdfMatch.bm25Rerank(
+      t(s, d, "documents"), "doc_id", "text", Seq("join", "hash", "window"),
+      k = 50, m = 10)),
+
     // keyed snapshot MERGE (copy-on-write upsert): day-0 commits all docs,
     // day-1 upserts modified versions of id%5==0 docs plus brand-new
     // +1000000-offset rows; only touched chunks rewrite, the rest hard-link.
@@ -2601,6 +2609,62 @@ FROM e$BpeMerges""",
             ${terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")}
             AS bm25_q4
           FROM b2 CROSS JOIN stats"""
+    },
+
+    // rerank replica: the full q_bm25 chain → ORDER BY/LIMIT 50 candidates →
+    // positional features over the candidate token lists (1-indexed
+    // generate_series probe for ordered bigrams) → packed integer rerank key
+    "q_bm25_rerank" -> {
+      def term(t: String, i: Int): String = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"""CAST(floor(
+            ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+            * ($tf * 2.2 / ($tf + 1.2 * (0.25
+                + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / sum_dl)))
+            * 10000.0) AS BIGINT)"""
+      }
+      val terms = Seq("join", "hash", "window")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n            ")
+      val coverage = terms
+        .map(t => s"CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val adjacency = terms.sliding(2).map { bg =>
+        s"""len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = '${bg.head}' AND toks[i + 1] = '${bg(1)}'))"""
+      }.mkString(" + ")
+      val tfTotal = terms
+        .map(t => s"len(list_filter(toks, x -> x = '$t'))").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(
+                lower(coalesce(text, '')), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+          b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+            $dfCols
+          FROM b2),
+          scored AS (SELECT doc_id, toks,
+            ${terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")}
+            AS bm25_q4
+          FROM b2 CROSS JOIN stats),
+          cand AS (SELECT doc_id, toks, bm25_q4 FROM scored
+            ORDER BY bm25_q4 DESC, doc_id LIMIT 50),
+          feat AS (SELECT doc_id, bm25_q4,
+            CAST($coverage AS BIGINT) AS coverage,
+            least(999999::BIGINT, CAST($adjacency AS BIGINT)) AS adjacency,
+            least(999999::BIGINT, CAST($tfTotal AS BIGINT)) AS tf_capped
+          FROM cand),
+          r AS (SELECT doc_id, bm25_q4, coverage, adjacency,
+            coverage * 1000000000000::BIGINT + adjacency * 1000000::BIGINT
+              + tf_capped AS rerank_q
+          FROM feat)
+          SELECT CAST(row_number() OVER (
+              ORDER BY rerank_q DESC, bm25_q4 DESC, doc_id) AS BIGINT) AS rank,
+            doc_id, bm25_q4, coverage, adjacency, rerank_q
+          FROM r ORDER BY rerank_q DESC, bm25_q4 DESC, doc_id LIMIT 10"""
     },
 
     // snapshot-upsert oracle: the merge computed directly from the source

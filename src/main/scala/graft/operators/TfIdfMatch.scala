@@ -163,4 +163,63 @@ object TfIdfMatch {
       .select(col(idCol), col("dl").as("n_tokens"),
         termQ4.reduce(_ + _).as("bm25_q4"))
   }
+
+  /** Retrieve-then-rerank: BM25 top-`k` candidates, rescored by a richer
+    * candidate-only "cross-encoder-style" lexical score — term coverage,
+    * ordered query-bigram adjacency, total tf — then top-`m`. The integer
+    * rerank key packs (coverage, adjacency, tf) into one Long with the
+    * narrower signals capped, so ordering is exact in any engine.
+    *
+    * Scale shape: stage 1 is [[bm25Scores]]' zero-shuffle scan +
+    * `TakeOrderedAndProject` top-k (per-partition heap, never a global
+    * sort); stage 2 re-reads ONLY the k candidates via a broadcast
+    * equi-join — the expensive positional features never run over
+    * non-candidates, which is the entire point of the rerank pattern at
+    * corpus scale. Final top-m touches k rows. */
+  def bm25Rerank(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 50, m: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25Rerank needs at least one query term")
+    val candidates = bm25Scores(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25_q4").desc, col(idCol).asc).limit(k)
+    val cleaned = regexp_replace(
+      lower(coalesce(col(textCol), lit(""))), "[\\x00-\\x1F]", " ")
+    val toks = filter(split(cleaned, "\\s+"), x => length(x) > 0)
+    val cand = df
+      .join(broadcast(candidates.select(col(idCol), col("bm25_q4"))), Seq(idCol))
+      .select(col(idCol), col("bm25_q4"), toks.as("toks"))
+    val distinctTerms = queryTerms.distinct
+    val coverage = distinctTerms
+      .map(t => when(array_contains(col("toks"), t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // ordered query bigrams against the token stream: zip each token with
+    // its successor (zip_with right-pads with null, which no term equals)
+    val shifted =
+      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))
+    val bigrams = queryTerms.sliding(2).filter(_.size == 2).toSeq
+    val adjacency =
+      if (bigrams.isEmpty) lit(0L)
+      else bigrams.map { bg =>
+        val (x, y) = (bg.head, bg(1))
+        size(filter(zip_with(col("toks"), shifted,
+          (a, c) => a === x && c === y), p => p)).cast("long")
+      }.reduce(_ + _)
+    val tfTotal = distinctTerms
+      .map(t => size(filter(col("toks"), x => x === t)).cast("long"))
+      .reduce(_ + _)
+    val rer = cand.select(col(idCol), col("bm25_q4"),
+      coverage.as("coverage"),
+      least(adjacency, lit(999999L)).as("adjacency"),
+      least(tfTotal, lit(999999L)).as("tf_capped"))
+      .withColumn("rerank_q",
+        col("coverage") * lit(1000000000000L) +
+          col("adjacency") * lit(1000000L) + col("tf_capped"))
+    val ord = Seq(col("rerank_q").desc, col("bm25_q4").desc, col(idCol).asc)
+    val w = Window.orderBy(ord: _*) // post-limit: ≤ m rows
+    rer.orderBy(ord: _*).limit(m)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col("bm25_q4"), col("coverage"),
+        col("adjacency"), col("rerank_q"))
+  }
 }

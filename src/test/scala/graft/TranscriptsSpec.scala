@@ -173,6 +173,37 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)        // tf dominance on 'quick'
   }
 
+  test("bm25Rerank: coverage > adjacency > tf precedence; candidate gating") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "quick fox zebra and more words here"), // cov 3, adj 2 (qf + fz)
+      (2L, "quick fox quick fox quick fox"),       // cov 2, adj 3, tf 6
+      (3L, "zebra elsewhere quick"),               // cov 2, adj 0, tf 2
+      (4L, "quick quick quick quick quick quick quick quick"), // cov 1, tf 8
+      (5L, "irrelevant text entirely"),            // score 0 — drops at k=5
+      (6L, "fox")).toDF("doc_id", "text")          // cov 1, tf 1
+    val terms = Seq("quick", "fox", "zebra")
+    val got = graft.operators.TfIdfMatch
+      .bm25Rerank(docs, "doc_id", "text", terms, k = 5, m = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    val byId = got.map(r => r._2 -> r).toMap
+    assert(byId(1L)._4 == 3L && byId(1L)._5 == 2L) // coverage, adjacency
+    assert(byId(2L)._4 == 2L && byId(2L)._5 == 3L)
+    assert(byId(3L)._4 == 2L && byId(3L)._5 == 0L)
+    // rank 4 decided by tf: doc 4 (tf 8) beats doc 6 (tf 1) at cov 1 / adj 0
+    assert(byId(4L)._4 == 1L)
+    // candidate gating: at k=2 the rerank may only ever see stage-1's top-2
+    val top2 = graft.operators.TfIdfMatch
+      .bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy(col("bm25_q4").desc, col("doc_id")).limit(2)
+      .select("doc_id").as[Long].collect().toSet
+    val rer2 = graft.operators.TfIdfMatch
+      .bm25Rerank(docs, "doc_id", "text", terms, k = 2, m = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rer2 == top2)
+  }
+
   test("branchPrefixes: partition-count invariance") {
     val rows = (0 until 40).flatMap { c =>
       (0 until 6).map(i => Turn(f"c$c%02d", i, "user",
