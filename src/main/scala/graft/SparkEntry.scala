@@ -474,6 +474,27 @@ object SparkEntry {
           .as("v")),
       col("v"), k = 256)),
 
+    // KMV resemblance: Jaccard of the even-doc vs odd-doc token-BIGRAM
+    // vocabularies (~900 distinct per side, > k=256 → truncation path) from
+    // the two bottom-k sketches ALONE — the bottom-k of the union is a
+    // coordinated sample, so two 10^12-row corpora compare for the price of
+    // two sketch scans plus a ≤k-row reconciliation
+    "q_kmv_resemblance" -> ((s, d) => {
+      def side(m: Int) = {
+        val t0 = filter(split(
+          regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+          x => length(x) > 0)
+        val n1 = greatest(size(t0) - 1, lit(0))
+        val bigrams = zip_with(slice(t0, lit(1), n1), slice(t0, lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))
+        TrainingData.kmvSketch(
+          t(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === m)
+            .select(explode(bigrams).as("v")),
+          col("v"), k = 256)
+      }
+      TrainingData.kmvResemblance(side(0), side(1), k = 256)
+    }),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -2407,6 +2428,34 @@ ${Osql.mixCtes("h", "x")},
 u AS (SELECT DISTINCT x FROM hd),
 r AS (SELECT x, row_number() OVER (ORDER BY x) AS rnk FROM u ORDER BY x LIMIT 256)
 SELECT CAST(rnk AS BIGINT) AS rank, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM r""",
+    // KMV-resemblance replica: per-side distinct bigram fingerprints (same
+    // ord-polynomial + splitmix chain; `side` rides through mixCtes via
+    // SELECT * REPLACE), per-side bottom-k, bottom-k of the union, and the
+    // coordinated-sample intersection count — all exact integers
+    "q_kmv_resemblance" ->
+      s"""WITH tk AS (SELECT side, t AS tok FROM (
+    SELECT doc_id % 2 AS side,
+      unnest(list_transform(generate_series(1, len(l) - 1),
+        k -> l[k] || ' ' || l[k + 1])) AS t
+    FROM (SELECT doc_id, list_filter(string_split_regex(
+        regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+        x -> len(x) > 0) AS l FROM documents))
+  GROUP BY side, t),
+h0 AS (SELECT side, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(tok, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tk),
+${Osql.mixCtes("h", "x")},
+ka AS (SELECT DISTINCT x FROM hd WHERE side = 0 ORDER BY x LIMIT 256),
+kb AS (SELECT DISTINCT x FROM hd WHERE side = 1 ORDER BY x LIMIT 256),
+un AS (SELECT DISTINCT x FROM (SELECT x FROM ka UNION ALL SELECT x FROM kb)
+  ORDER BY x LIMIT 256),
+i AS (SELECT count(*) AS n_inter FROM un JOIN ka USING (x) JOIN kb USING (x)),
+u AS (SELECT count(*) AS k_union FROM un)
+SELECT CAST(k_union AS BIGINT) AS k_union, CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(CASE WHEN k_union = 0 THEN 0
+       ELSE n_inter * 1000000 // k_union END AS BIGINT) AS jaccard_ppm
+FROM u, i""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT

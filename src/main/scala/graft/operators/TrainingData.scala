@@ -998,6 +998,30 @@ object TrainingData {
       .select(col("rank").cast("long").as("rank"), col("fp"))
   }
 
+  /** Bottom-k resemblance (Broder 1997): estimate the Jaccard similarity of
+    * two SETS from their KMV sketches alone — the bottom-k of the union is a
+    * coordinated uniform sample of A ∪ B, so the fraction of it present in
+    * BOTH sketches estimates |A∩B|/|A∪B|. One row out: (k_union, n_inter,
+    * jaccard_ppm), all exact integers (ppm-floored ratio — no float
+    * boundary). Sub-k sketches make the estimate EXACT.
+    *
+    * Scale shape: corpus-sized work already happened inside [[kmvSketch]];
+    * this is joins over ≤k-row frames. Comparing two 10^12-row corpora
+    * costs two sketch scans + a constant-size reconciliation — the same
+    * telemetry contract as [[kmvMerge]]. */
+  def kmvResemblance(sketchA: DataFrame, sketchB: DataFrame,
+                     k: Int = 256): DataFrame = {
+    val u = kmvMerge(sketchA, sketchB, k).select("fp")
+    val inter = u
+      .join(sketchA.select("fp").distinct(), "fp")
+      .join(sketchB.select("fp").distinct(), "fp")
+    u.agg(count(lit(1)).cast("long").as("k_union"))
+      .crossJoin(inter.agg(count(lit(1)).cast("long").as("n_inter")))
+      .withColumn("jaccard_ppm",
+        when(col("k_union") === 0L, 0L)
+          .otherwise(expr("(n_inter * 1000000) div k_union")))
+  }
+
   /** Driver-side KMV readout: (k-1) · 2^64 / u_k with u_k the k-th smallest
     * unsigned fingerprint (the unbiased KMV estimator; relative error
     * ~1/√(k−2)). A sketch with fewer than k rows saw fewer than k distinct

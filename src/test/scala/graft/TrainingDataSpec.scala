@@ -698,4 +698,33 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(tiny.size == 3 && TrainingData.kmvEstimate(tiny, k) == 3.0)
   }
+
+  test("kmvResemblance: sketch-only Jaccard == naive replica; sub-k EXACT") {
+    import graft.core.TextStats
+    val k = 64
+    // two overlapping sets, each > k distinct → truncation path on both
+    // sides AND on the union
+    val as = (0 until 600).map(i => s"a-$i") ++ (0 until 400).map(i => s"s-$i")
+    val bs = (0 until 500).map(i => s"b-$i") ++ (0 until 400).map(i => s"s-$i")
+    def sk(xs: Seq[String]) =
+      TrainingData.kmvSketch(xs.map(Tuple1(_)).toDF("v"), col("v"), k)
+    val out = TrainingData.kmvResemblance(sk(as), sk(bs), k)
+      .as[(Long, Long, Long)].collect().toSeq
+    // naive replica: per-side bottom-k fingerprint sets, bottom-k of the
+    // union as the coordinated sample, membership count in both
+    def fps(xs: Seq[String]) = xs.distinct.map(TextStats.fingerprint).distinct
+    val ua = fps(as).sortBy(_ ^ Long.MinValue).take(k).toSet
+    val ub = fps(bs).sortBy(_ ^ Long.MinValue).take(k).toSet
+    val un = (ua ++ ub).toSeq.sortBy(_ ^ Long.MinValue).take(k)
+    val nI = un.count(x => ua(x) && ub(x)).toLong
+    assert(out == Seq((un.size.toLong, nI, nI * 1000000L / un.size)))
+    // estimate sanity: true J = 400/1500 ≈ 0.267; 3σ ≈ 3·√(J(1−J)/k) ≈ 0.17
+    val j = out.head._3 / 1e6
+    assert(math.abs(j - 400.0 / 1500.0) < 0.17, s"jaccard $j vs 0.267")
+    // sub-k sketches → the estimate is EXACT: |{y,z}| / |{w,x,y,z,q}|
+    val exact = TrainingData.kmvResemblance(
+      sk(Seq("x", "y", "z", "w")), sk(Seq("y", "z", "q")), k)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact == Seq((5L, 2L, 400000L)))
+  }
 }
