@@ -542,12 +542,7 @@ object SparkEntry {
     // stale table would double-apply)
     "q_snapshot_upsert" -> ((s, d) => {
       val dir = s"$FixtureDir/upsert_v1_${java.lang.Integer.toHexString(d.hashCode)}"
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
+      deleteDir(dir)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       graft.sources.Snapshot.write(docs, s"$dir/docs", "doc_id", 16)
       val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -565,12 +560,7 @@ object SparkEntry {
     // complement select
     "q_snapshot_delete" -> ((s, d) => {
       val dir = s"$FixtureDir/del_v1_${java.lang.Integer.toHexString(d.hashCode)}"
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
+      deleteDir(dir)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       graft.sources.Snapshot.write(docs, s"$dir/docs", "doc_id", 16)
       graft.sources.Snapshot.deleteKeys(
@@ -587,12 +577,7 @@ object SparkEntry {
     // replay would otherwise return the empty set on a re-run)
     "q_incremental_neardup" -> ((s, d) => {
       val dir = s"$FixtureDir/incnd_v1_${java.lang.Integer.toHexString(d.hashCode)}"
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
+      deleteDir(dir)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       Dedup.incrementalNearDup(docs.filter(col("doc_id") % 2 === 0),
         s"$dir/sigs", "doc_id", "text", "day-0", threshold = 0.35).count()
@@ -1113,6 +1098,18 @@ object SparkEntry {
     * rows-only merely because the oracle could not see their input).
     * Written once per JVM; content is a pure function of `convs` (seeded). */
   val FixtureDir = "/root/repo/target/qfix"
+
+  /** Remove a fixture directory tree if present — the snapshot-table
+    * queries rebuild from scratch each run (their commits are
+    * version-additive; a re-run on a stale table would double-apply). */
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
 
   /** Merge rounds for the BPE induction queries (q_bpe_train/q_bpe_encode);
     * the oracle unrolls one CTE block per round. */

@@ -60,8 +60,12 @@ object Dedup {
       .agg(min(struct(col(idCol), col(textCol))).as("r"))
       .select(col("r").getField(idCol).as(idCol),
         col("r").getField(textCol).as(textCol), col("fp"))
-    val bootstrap = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(tablePath).resolve("CURRENT"))
+    // bootstrap = nothing has ever COMMITTED (manifest scan, which repairs
+    // a wedged CURRENT): testing the CURRENT file would mistake a table
+    // killed between manifest write and pointer swap for an empty one,
+    // skipping the anti-join and losing the batch inside append
+    val bootstrap =
+      graft.sources.Snapshot.committedVersion(tablePath).isEmpty
     val fresh =
       if (bootstrap) selfDeduped
       else {
@@ -149,8 +153,8 @@ object Dedup {
       return sigs.select(col("id").as("new_id"), col("id").as("dup_of"),
         lit(0.0).as("jaccard")).limit(0)
 
-    val bootstrap = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(tablePath).resolve("CURRENT"))
+    // committed-manifest bootstrap test, same rationale as incrementalExact
+    val bootstrap = Snapshot.committedVersion(tablePath).isEmpty
     val cached = sigs.persist()
     try {
       val dups =
@@ -172,7 +176,13 @@ object Dedup {
               sorted_jaccard(col("lth"), col("rth")).as("jaccard"))
             .filter(col("jaccard") >= threshold)
         }
-      val dupsOut = dups.persist()
+      // eager localCheckpoint, not persist(): the pair set is needed twice
+      // (the signature-append anti-join below + the caller's read) but a
+      // persist() pins it in the CacheManager until an unpersist nobody is
+      // contracted to call — one leaked cache entry per ingested batch on a
+      // long-running driver. The checkpointed blocks are reclaimed by the
+      // ContextCleaner once the caller drops the returned frame.
+      val dupsOut = dups.localCheckpoint()
       val fresh = cached.join(
         dupsOut.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
       Snapshot.append(fresh, tablePath, chunkKey = "id",

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
 import org.apache.spark.ml.linalg.SparseVector
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,18 @@ object TfIdfMatch {
       .select(col("left_id"), col("right_id"), col("score"))
   }
 
+  /** The ONE BM25 tokenizer, shared by retrieval ([[bm25Scores]]) and
+    * rerank ([[bm25Rerank]]) so the candidate-selection and rescoring
+    * stages can never drift onto different token streams. coalesce: Spark
+    * `size(null array)` is -1, which would poison dl/Σdl while an oracle
+    * engine's SUM just skips the NULL. Control strip: Java `\s` includes
+    * \x0B, RE2's does not (the bpeTrainMerges parity rule). */
+  private def bm25Tokens(text: Column): Column = {
+    val cleaned = regexp_replace(
+      lower(coalesce(text, lit(""))), "[\\x00-\\x1F]", " ")
+    filter(split(cleaned, "\\s+"), x => length(x) > 0)
+  }
+
   /** BM25 retrieval scoring (Robertson/Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
     * IDF variant) of every document against a literal query — the classical
     * lexical-retrieval baseline next to the TF-IDF and embedding matchers.
@@ -135,13 +147,8 @@ object TfIdfMatch {
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // coalesce: Spark size(null array) is -1, which would poison dl/sum_dl
-    // while DuckDB's SUM just skips the NULL. Control strip: Java \s
-    // includes \x0B, RE2's does not (the bpeTrainMerges parity rule).
-    val cleaned = regexp_replace(
-      lower(coalesce(col(textCol), lit(""))), "[\\x00-\\x1F]", " ")
-    val toks = filter(split(cleaned, "\\s+"), x => length(x) > 0)
-    val base = df.select(col(idCol), toks.as("toks"))
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val base = df.select(col(idCol), bm25Tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val aggs = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
@@ -183,12 +190,9 @@ object TfIdfMatch {
     require(queryTerms.nonEmpty, "bm25Rerank needs at least one query term")
     val candidates = bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25_q4").desc, col(idCol).asc).limit(k)
-    val cleaned = regexp_replace(
-      lower(coalesce(col(textCol), lit(""))), "[\\x00-\\x1F]", " ")
-    val toks = filter(split(cleaned, "\\s+"), x => length(x) > 0)
     val cand = df
       .join(broadcast(candidates.select(col(idCol), col("bm25_q4"))), Seq(idCol))
-      .select(col(idCol), col("bm25_q4"), toks.as("toks"))
+      .select(col(idCol), col("bm25_q4"), bm25Tokens(col(textCol)).as("toks"))
     val distinctTerms = queryTerms.distinct
     val coverage = distinctTerms
       .map(t => when(array_contains(col("toks"), t), 1L).otherwise(0L))

@@ -992,7 +992,10 @@ object TrainingData {
     // ANSI (an additive bias would throw on Long.MinValue)
     val u = col("fp").bitwiseXOR(lit(Long.MinValue))
     val w = Window.orderBy("u") // post-limit: ≤ k rows, one tiny partition
-    fps.distinct().withColumn("u", u)
+    // drop null fingerprints (null input values): Spark's asc is
+    // nulls-FIRST, so one null would occupy rank 1 and evict a real
+    // fingerprint — and diverge from any NULLS-LAST engine's replica
+    fps.filter(col("fp").isNotNull).distinct().withColumn("u", u)
       .orderBy(col("u")).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank").cast("long").as("rank"), col("fp"))

@@ -38,6 +38,25 @@ object Snapshot {
     if (Files.exists(cur)) Some(Files.readString(cur).trim.toInt) else None
   }
 
+  /** Highest COMMITTED snapshot version — decided from the manifests (the
+    * manifest IS the commit), not the CURRENT pointer, repairing a wedged
+    * CURRENT on the way (kill between manifest write and pointer swap).
+    * This is the version every "does the table exist / what is its tip"
+    * decision must use: the CURRENT file alone under-reports a wedged
+    * table, which would make an `append` fall through to `write`, collide
+    * with the wedged version's manifest, and silently drop its batch. */
+  def committedVersion(tablePath: String): Option[Int] =
+    recoverCommitted(Paths.get(tablePath))
+
+  private def recoverCommitted(table: Path): Option[Int] = {
+    if (!Files.exists(table)) return None
+    val verRe = "manifest-v(\\d+)\\.json".r
+    val ks = listDir(table).flatMap(p =>
+      verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+    if (ks.isEmpty) None
+    else { val k = ks.max; finishCommitted(table, k); Some(k) }
+  }
+
   /** Eager directory listing that CLOSES the underlying stream — a bare
     * `Files.list(...).iterator()` leaks one directory handle per call,
     * which matters on per-micro-batch paths (`committedTags`). */
@@ -119,7 +138,11 @@ object Snapshot {
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     Files.createDirectories(table)
-    val k = if (snapshotId >= 0) snapshotId else currentVersion(table).getOrElse(-1) + 1
+    // auto-id from the committed tip (manifest scan), not CURRENT: on a
+    // wedged table CURRENT under-reports and the new snapshot would collide
+    // with the wedged version's manifest, silently dropping this df
+    val k = if (snapshotId >= 0) snapshotId
+            else recoverCommitted(table).getOrElse(-1) + 1
     if (finishCommitted(table, k)) return Map.empty // already committed
 
     val staging = table.resolve(s"_staging-v$k")
@@ -143,8 +166,8 @@ object Snapshot {
     val dataDir = table.resolve(s"v$k")
     Files.createDirectories(dataDir)
     val stagedData = staging.resolve("data")
-    val chunkDirs = Files.list(stagedData).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("_chunk=")).toSeq.sortBy(_.toString)
+    val chunkDirs = listDir(stagedData)
+      .filter(p => p.getFileName.toString.startsWith("_chunk=")).sortBy(_.toString)
     chunkDirs.foreach { cd =>
       val dst = dataDir.resolve(cd.getFileName.toString)
       if (!Files.exists(dst))
@@ -263,7 +286,9 @@ object Snapshot {
     requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
-    val parentVersion = currentVersion(table).getOrElse(
+    // committed tip from manifests (repairing a wedged CURRENT): falling
+    // through to write() is only correct when NOTHING has ever committed
+    val parentVersion = recoverCommitted(table).getOrElse(
       return write(df, tablePath, chunkKey, numChunks,
         observation = observation, tag = tag))
     val k = parentVersion + 1
@@ -287,11 +312,11 @@ object Snapshot {
     // link every parent data file into v<k> (idempotent)
     val parentDir = table.resolve(s"v$parentVersion")
     val dataDir = table.resolve(s"v$k")
-    Files.list(parentDir).iterator().asScala
+    listDir(parentDir)
       .filter(_.getFileName.toString.startsWith("_chunk=")).foreach { cd =>
         val dst = dataDir.resolve(cd.getFileName.toString)
         Files.createDirectories(dst)
-        Files.list(cd).iterator().asScala
+        listDir(cd)
           .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
             val lnk = dst.resolve(f.getFileName.toString)
             if (!Files.exists(lnk)) Files.createLink(lnk, f)
@@ -300,11 +325,11 @@ object Snapshot {
     // promote staged files under an s<k>- prefix (idempotent)
     val stagedData = staging.resolve("data")
     if (Files.exists(stagedData))
-      Files.list(stagedData).iterator().asScala
+      listDir(stagedData)
         .filter(_.getFileName.toString.startsWith("_chunk=")).foreach { cd =>
           val dst = dataDir.resolve(cd.getFileName.toString)
           Files.createDirectories(dst)
-          Files.list(cd).iterator().asScala
+          listDir(cd)
             .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
               val moved = dst.resolve(s"s$k-${f.getFileName.toString}")
               if (!Files.exists(moved))
@@ -355,7 +380,7 @@ object Snapshot {
     requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
-    val parentVersion = currentVersion(table).getOrElse(
+    val parentVersion = recoverCommitted(table).getOrElse(
       throw new IllegalStateException(s"$opName needs a committed snapshot at $tablePath"))
     val k = parentVersion + 1
     if (finishCommitted(table, k)) return Map.empty
@@ -393,8 +418,12 @@ object Snapshot {
           .option("mergeSchema", "true")
           .parquet(touchedDirs: _*).drop("_chunk")
           .join(df.select(chunkKey), Seq(chunkKey), "left_anti")
+      // upsert keeps EVERY table column (survivors carry delta-evolved
+      // columns the batch may not know about — selecting df.columns here
+      // would destroy their values in rewritten chunks while untouched
+      // chunks keep them); missing columns on either side null-fill
       val staged =
-        if (keepBatch) survivors.select(df.columns.map(col): _*).unionByName(df)
+        if (keepBatch) survivors.unionByName(df, allowMissingColumns = true)
         else survivors.select(tableCols.map(col): _*)
       staged
         .withColumn("_chunk", chunkOf(col(chunkKey)))
@@ -496,7 +525,7 @@ object Snapshot {
   def expireSnapshots(tablePath: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, "must keep at least the current snapshot")
     val table = Paths.get(tablePath)
-    val versions = Files.list(table).iterator().asScala
+    val versions = listDir(table)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
         s.stripPrefix("manifest-v").stripSuffix(".json").toInt }

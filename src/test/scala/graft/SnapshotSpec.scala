@@ -285,6 +285,63 @@ class SnapshotSpec extends AnyFunSuite {
     assert(p2 == Set((6L, 4L)), p2.toString)
   }
 
+  test("wedged CURRENT (kill between manifest and pointer swap): append and near-dup recover, no batch loss") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val table = freshDir("snapwedge")
+    Snapshot.write((1 to 10).map(i => (s"a$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, tag = "day-0")
+    // simulate the kill window: manifest-v0 landed, CURRENT never swapped
+    Files.delete(Paths.get(table).resolve("CURRENT"))
+    assert(Snapshot.committedVersion(table).contains(0)) // repairs the pointer
+    assert(Files.exists(Paths.get(table).resolve("CURRENT")))
+    // wedge again, then append: the batch must NOT fall through to write(),
+    // collide with the wedged manifest, and vanish
+    Files.delete(Paths.get(table).resolve("CURRENT"))
+    Snapshot.append((11 to 15).map(i => (s"b$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, tag = "day-1")
+    assert(Snapshot.read(spark, table).count() == 15)
+    assert(Snapshot.committedTags(table) == Set("day-0", "day-1"))
+
+    // same window through incrementalNearDup: a wedged signature table must
+    // NOT be mistaken for bootstrap (history join skipped, signatures lost)
+    val sigs = freshDir("incndwedge") + "/sigs"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Dedup.incrementalNearDup(Seq((1L, base)).toDF("doc_id", "text"),
+      sigs, "doc_id", "text", "d0").count()
+    Files.delete(Paths.get(sigs).resolve("CURRENT"))
+    val pairs = Dedup.incrementalNearDup(
+      Seq((2L, base.replace("upsilon", "OMEGA")), (3L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"))
+        .toDF("doc_id", "text"), sigs, "doc_id", "text", "d1")
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)), pairs.toString) // history join DID run
+    // the fresh day-1 doc entered history (append did not no-op)
+    assert(Snapshot.read(spark, sigs).select("id").as[Long].collect().toSet
+      == Set(1L, 3L))
+  }
+
+  test("upsert preserves delta-evolved columns in rewritten chunks") {
+    import spark.implicits._
+    val table = freshDir("snapevol")
+    Snapshot.write((1 to 20).map(i => (s"a$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2)
+    // schema evolution: delta append adds `lang`
+    Snapshot.append(Seq(("z1", 100, "fr"), ("z2", 101, "de"))
+      .toDF("conv_id", "n", "lang"), table, "conv_id", 2)
+    // upsert a batch WITHOUT the evolved column, touching both chunks —
+    // survivor rows' lang values must not be destroyed by the rewrite
+    Snapshot.upsert((1 to 4).map(i => (s"a$i", i * 1000)).toDF("conv_id", "n"),
+      table, tag = "fix")
+    val back = Snapshot.read(spark, table, mergeSchema = true)
+    assert(back.count() == 22)
+    val langs = back.filter(col("lang").isNotNull)
+      .select("conv_id", "lang").as[(String, String)].collect().toSet
+    assert(langs == Set(("z1", "fr"), ("z2", "de")), langs.toString)
+    // the batch rows themselves updated, surfacing lang as null
+    assert(back.filter(col("conv_id") === "a3").select("n").as[Int].head() == 3000)
+  }
+
   test("Snapshot.metricsHistory: observed metrics per version, metadata-only") {
     import spark.implicits._
     val table = freshDir("methist") + "/t"

@@ -697,6 +697,16 @@ class TrainingDataSpec extends AnyFunSuite {
       Seq("a", "b", "c", "a").map(Tuple1(_)).toDF("v"), col("v"), k)
       .as[(Long, Long)].collect().toSeq
     assert(tiny.size == 3 && TrainingData.kmvEstimate(tiny, k) == 3.0)
+    // null values must not enter the sketch: fingerprint64(null) is null,
+    // and Spark's asc (nulls FIRST) would hand it rank 1, evicting a real
+    // fingerprint and diverging from a NULLS-LAST oracle engine
+    val withNull = TrainingData.kmvSketch(
+      Seq(Some("a"), None, Some("b")).toDF("v"), col("v"), k)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val expectNn = Seq("a", "b").map(TextStats.fingerprint)
+      .sortBy(_ ^ Long.MinValue).zipWithIndex
+      .map { case (fp, i) => ((i + 1).toLong, fp) }
+    assert(withNull == expectNn)
   }
 
   test("kmvResemblance: sketch-only Jaccard == naive replica; sub-k EXACT") {
