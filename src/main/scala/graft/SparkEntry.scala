@@ -495,6 +495,25 @@ object SparkEntry {
       TrainingData.kmvResemblance(side(0), side(1), k = 256)
     }),
 
+    // per-GROUP KMV sketch via the native Catalyst aggregate (kmv_agg, a
+    // TypedImperativeAggregate): one sketch per language over (doc, token)
+    // incidences. Partial aggregation combines map-side, so the exchange
+    // carries ≤ one O(k) buffer per (task, lang) — per-key distinct
+    // telemetry over 10^12 rows without a per-key distinct explosion
+    "q_kmv_per_lang" -> ((s, d) => {
+      import graft.expressions.{SketchAggregates, TextHashExpressions}
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), explode(filter(split(
+          regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+        .select(col("lang"), TextHashExpressions.fingerprint64(
+          concat(col("doc_id").cast("string"), lit(":"), col("tok"))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(SketchAggregates.kmv_agg(col("fp"), 64).as("sketch"))
+        .select(col("lang"), posexplode(col("sketch")).as(Seq("idx", "fp")))
+        .select(col("lang"), (col("idx") + 1).cast("long").as("rank"), col("fp"))
+    }),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -2453,6 +2472,26 @@ SELECT CAST(k_union AS BIGINT) AS k_union, CAST(n_inter AS BIGINT) AS n_inter,
   CAST(CASE WHEN k_union = 0 THEN 0
        ELSE n_inter * 1000000 // k_union END AS BIGINT) AS jaccard_ppm
 FROM u, i""",
+    // per-lang KMV replica: distinct (lang, doc:token) pairs → fingerprint
+    // chain (lang rides through mixCtes) → per-lang DISTINCT fp → per-lang
+    // bottom-64 via QUALIFY-style row_number
+    "q_kmv_per_lang" ->
+      s"""WITH tk AS (SELECT DISTINCT lang,
+    CAST(doc_id AS VARCHAR) || ':' || tok AS tok
+  FROM (SELECT lang, doc_id, unnest(list_filter(string_split_regex(
+      regexp_replace(lower(text), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+      x -> len(x) > 0)) AS tok FROM documents)),
+h0 AS (SELECT lang, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(tok, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tk),
+${Osql.mixCtes("h", "x")},
+u AS (SELECT DISTINCT lang, x FROM hd),
+r AS (SELECT lang, x,
+    row_number() OVER (PARTITION BY lang ORDER BY x) AS rnk FROM u)
+SELECT lang, CAST(rnk AS BIGINT) AS rank,
+  CAST(${Osql.signed("x")} AS BIGINT) AS fp
+FROM r WHERE rnk <= 64""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT

@@ -45,6 +45,20 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.core.TextStats.hllBucketRank("abc", 8).toSeq)
       assert(sk.getSeq[Long](1) ==
         graft.core.TextStats.cmsBuckets("abc", 4, 1024).toSeq)
+      // the aggregate path: kmv_agg from plain SQL with GROUP BY
+      val ag = spark.sql(
+        """SELECT g, kmv_agg(fingerprint64(v), 4) AS sk FROM (
+             SELECT 'a' AS g, 'x1' AS v UNION ALL SELECT 'a', 'x2' UNION ALL
+             SELECT 'a', 'x3' UNION ALL SELECT 'a', 'x4' UNION ALL
+             SELECT 'a', 'x5' UNION ALL SELECT 'a', 'x1' UNION ALL
+             SELECT 'b', 'y1')
+           GROUP BY g ORDER BY g""").collect()
+      val expectA = Seq("x1", "x2", "x3", "x4", "x5")
+        .map(graft.core.TextStats.fingerprint)
+        .sortBy(_ ^ Long.MinValue).take(4)
+      assert(ag(0).getSeq[Long](1) == expectA)
+      assert(ag(1).getSeq[Long](1) ==
+        Seq(graft.core.TextStats.fingerprint("y1")))
       val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
       val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
       assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))

@@ -709,6 +709,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(withNull == expectNn)
   }
 
+  test("kmv_agg: per-group native aggregate == per-group kmvSketch; partition-invariant") {
+    import graft.expressions.{SketchAggregates, TextHashExpressions}
+    val k = 16
+    // 3 groups with > k distinct values each, plus dupes and a null
+    val rows = (0 until 900).map(i => (s"g${i % 3}", s"v-${i % 300}")) ++
+      Seq(("g0", null))
+    val df = rows.toDF("g", "v")
+      .select(col("g"), TextHashExpressions.fingerprint64(col("v")).as("fp"))
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy(col("g")).agg(SketchAggregates.kmv_agg(col("fp"), k).as("sk"))
+      .select(col("g"), col("sk"))
+      .as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    val one = run(1)   // single partition: no merge path
+    val many = run(7)  // multi-partition: partial buffers + merge
+    assert(one == many)
+    // each group's sketch == the standalone kmvSketch operator on that group
+    for (g <- Seq("g0", "g1", "g2")) {
+      val expect = TrainingData.kmvSketch(
+        rows.filter(r => r._1 == g && r._2 != null).map(r => Tuple1(r._2))
+          .toDF("v"), col("v"), k)
+        .orderBy("rank").as[(Long, Long)].collect().map(_._2).toSeq
+      assert(one.find(_._1 == g).get._2 == expect, s"group $g")
+    }
+  }
+
   test("kmvResemblance: sketch-only Jaccard == naive replica; sub-k EXACT") {
     import graft.core.TextStats
     val k = 64
