@@ -146,7 +146,7 @@ UNION ALL SELECT conv_id, turn_idx, 'cis_controls' AS label,
 FROM pages WHERE strpos(text, 'CIS Controls:') > 0"""
 
   val records: String =
-    """WITH RECURSIVE t AS (SELECT conv_id, turn_idx, text,
+    """WITH RECURSIVE t AS MATERIALIZED (SELECT conv_id, turn_idx, text,
     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS ord
   FROM parquet_scan('__FIX__')),
 cover AS (SELECT conv_id, text AS cov FROM t WHERE ord = 0),
@@ -209,7 +209,7 @@ Audit:') + 7), 'Remediation') - 1) END, ' ' || chr(9) || chr(10) || chr(13) || c
          ELSE substr(substr(text, strpos(text, 'CIS Controls:') + 13), 1,
               strpos(substr(text, strpos(text, 'CIS Controls:') + 13), 'P a g e') - 1) END, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || chr(28) || chr(29) || chr(30) || chr(31) || chr(133) || chr(160) || chr(5760) || chr(8192) || chr(8193) || chr(8194) || chr(8195) || chr(8196) || chr(8197) || chr(8198) || chr(8199) || chr(8200) || chr(8201) || chr(8202) || chr(8232) || chr(8233) || chr(8239) || chr(8287) || chr(12288)), '[^a-zA-Z0-9\n.-]+', ' ', 'g') END AS v_cis
   FROM pages),
-cum AS (SELECT *,
+cum AS MATERIALIZED (SELECT *,
     SUM(CASE WHEN m_rule THEN 1 ELSE 0 END) OVER w AS c_rule,
     SUM(CASE WHEN v_level IS NOT NULL THEN 1 ELSE 0 END) OVER w AS c_level,
     SUM(CASE WHEN v_desc IS NOT NULL THEN 1 ELSE 0 END) OVER w AS c_desc,

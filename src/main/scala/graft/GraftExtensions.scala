@@ -74,6 +74,16 @@ object GraftExtensions {
         "of a long fingerprint column (aggregate; exactly mergeable)"),
       (args: Seq[Expression]) => graft.expressions.SketchAggregates.KmvAgg(
         args(0), intArg(args(1), "k"))),
+    (FunctionIdentifier("topk_agg"),
+      info("topk_agg", "_FUNC_(rank, id, k) - per-group top-k (rank desc, " +
+        "id asc) as array<struct<rank,id>> with O(k) partial-agg state"),
+      (args: Seq[Expression]) => graft.expressions.RankAggregates.TopKAgg(
+        args(0), args(1), intArg(args(2), "k"))),
+    (FunctionIdentifier("bottomk_agg"),
+      info("bottomk_agg", "_FUNC_(rank, id, k) - per-group bottom-k (rank " +
+        "asc, id asc) as array<struct<rank,id>> with O(k) partial-agg state"),
+      (args: Seq[Expression]) => graft.expressions.RankAggregates.TopKAgg(
+        args(0), args(1), intArg(args(2), "k"), descending = false)),
   )
 
   /** Register the functions on an ALREADY-CREATED session (builder-time

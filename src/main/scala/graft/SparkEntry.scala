@@ -514,6 +514,24 @@ object SparkEntry {
         .select(col("lang"), (col("idx") + 1).cast("long").as("rank"), col("fp"))
     }),
 
+    // per-group top-k via the native Catalyst aggregate (topk_agg): longest
+    // 3 documents per language. Unlike the row_number window (which ships
+    // EVERY row to its key's partition and sorts whole groups), the
+    // aggregate keeps O(k) state per (task, lang) map-side, so only top-k
+    // buffers reach the exchange. Ranks are integers (n_chars); ties break
+    // by doc_id's UTF-8 byte order — both engine-neutral
+    "q_topk_agg" -> ((s, d) => {
+      import graft.expressions.RankAggregates
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          col("doc_id").cast("string").as("doc_id"))
+        .groupBy(col("lang"))
+        .agg(RankAggregates.topk_agg(col("n_chars"), col("doc_id"), 3).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("idx", "e")))
+        .select(col("lang"), (col("idx") + 1).cast("long").as("rn"),
+          col("e.rank").as("len"), col("e.id").as("doc_id"))
+    }),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -1706,13 +1724,13 @@ WHERE bit_count(xor(l.sim, r.sim)) <= 3"""
     * Spark computes by iterative min-label propagation. */
   private def neardupClustersOracleSql: String =
     s"""WITH RECURSIVE $simhashCtes,
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT l.doc_id AS left_id, r.doc_id AS right_id
   FROM sims l JOIN sims r ON l.doc_id < r.doc_id
   WHERE bit_count(xor(l.sim, r.sim)) <= 3),
-edges AS (SELECT left_id AS a, right_id AS b FROM pairs
+edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM pairs
   UNION ALL SELECT right_id, left_id FROM pairs),
-nodes AS (SELECT DISTINCT a AS id FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
 reach AS (
   SELECT id, id AS r FROM nodes
   UNION
@@ -2009,7 +2027,7 @@ c AS (SELECT vec_id AS cid, embedding AS cv,
   FROM emb WHERE vec_id >= 100 AND vec_id < 130),
 gn AS (SELECT gid, list_reduce(list_transform(generate_series(1, 64), i -> gv[i]::DOUBLE * gv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM g),
 cn AS (SELECT cid, list_reduce(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM c),
-rw AS (SELECT g.gid, list(${cosExpr("g.gv", "c.cv", "gn.nn", "cn.nn", 64)} ORDER BY c.ci) AS rewards
+rw AS MATERIALIZED (SELECT g.gid, list(${cosExpr("g.gv", "c.cv", "gn.nn", "cn.nn", 64)} ORDER BY c.ci) AS rewards
   FROM g JOIN gn ON gn.gid = g.gid CROSS JOIN c JOIN cn ON cn.cid = c.cid
   GROUP BY g.gid),
 r0 AS (SELECT gid, e, kind,
@@ -2017,7 +2035,7 @@ r0 AS (SELECT gid, e, kind,
   FROM g CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS e) es
   CROSS JOIN (SELECT unnest([0, 1]) AS kind) ks),
 ${Osql.mixCtes("r", "x")},
-rnd AS (SELECT gid, e,
+rnd AS MATERIALIZED (SELECT gid, e,
     MAX(CASE WHEN kind = 0 THEN (x // 2048::HUGEINT)::DOUBLE / 9007199254740992.0 END) AS u,
     MAX(CASE WHEN kind = 1 THEN CAST(x % 30::HUGEINT AS INTEGER) END) AS ra
   FROM rd GROUP BY gid, e),
@@ -2492,6 +2510,15 @@ r AS (SELECT lang, x,
 SELECT lang, CAST(rnk AS BIGINT) AS rank,
   CAST(${Osql.signed("x")} AS BIGINT) AS fp
 FROM r WHERE rnk <= 64""",
+    // topk_agg replica: the aggregate's (rank desc, id asc-binary) order IS
+    // a row_number window over the same keys — the oracle proves the O(k)
+    // partial-agg path equals the full-sort semantics
+    "q_topk_agg" ->
+      """SELECT lang, rn, len, doc_id FROM (
+  SELECT lang, n_chars AS len, CAST(doc_id AS VARCHAR) AS doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents) WHERE rn <= 3""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT
@@ -2891,13 +2918,17 @@ FROM e$BpeMerges""",
     // branch-prefix replica: fingerprint64 per (role, text) turn
     // (q_fingerprint technique), prefix chain re-derived by a RECURSIVE CTE
     // with the same FNV-prime split multiply mod 2^64, then family sizes
-    // and the per-conversation deepest shared depth
+    // and the per-conversation deepest shared depth. `rn` (and the hash
+    // chain feeding it) MUST be MATERIALIZED: the recursive `chain` CTE
+    // joins it once per depth level, and without the hint DuckDB re-runs
+    // the whole per-char fingerprint scan on every iteration — minutes
+    // instead of ~2 s on the fixed 96-conv fixture
     "q_branch_prefixes" ->
-      s"""WITH RECURSIVE tx AS (
+      s"""WITH RECURSIVE tx AS MATERIALIZED (
             SELECT conv_id, turn_idx,
               coalesce(role, '') || chr(31) || coalesce(text, '') AS kt
             FROM read_parquet('$FixtureDir/branch60/*.parquet')),
-          bp0 AS (
+          bp0 AS MATERIALIZED (
             SELECT conv_id, turn_idx,
               list_reduce(list_prepend(0::HUGEINT,
                 list_transform(regexp_extract_all(kt, '(?s).'),
@@ -2905,7 +2936,7 @@ FROM e$BpeMerges""",
                 (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
             FROM tx),
           ${Osql.mixCtes("bp", "x")},
-          rn AS (SELECT conv_id, row_number() OVER (
+          rn AS MATERIALIZED (SELECT conv_id, row_number() OVER (
               PARTITION BY conv_id ORDER BY turn_idx,
                 CAST(${Osql.signed("x")} AS BIGINT)) AS pos, x FROM bpd),
           chain AS (
@@ -3758,7 +3789,7 @@ FROM t LEFT JOIN agg a ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx""",
 
     // greedy fold as a recursive CTE over the per-lang row_number chain
     "q_seq_packing" ->
-      """WITH RECURSIVE base AS (
+      """WITH RECURSIVE base AS MATERIALIZED (
   SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
   FROM documents),

@@ -59,6 +59,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ag(0).getSeq[Long](1) == expectA)
       assert(ag(1).getSeq[Long](1) ==
         Seq(graft.core.TextStats.fingerprint("y1")))
+      // topk_agg / bottomk_agg from plain SQL, plus the partial-agg plan
+      // shape (ObjectHashAggregate with a partial_topk_agg map-side step)
+      val tkDf = spark.sql(
+        """SELECT g, topk_agg(r, id, 2) AS tk, bottomk_agg(r, id, 2) AS bk
+           FROM (SELECT 'a' AS g, 5L AS r, 'd1' AS id UNION ALL
+                 SELECT 'a', 7L, 'd2' UNION ALL SELECT 'a', 5L, 'd0' UNION ALL
+                 SELECT 'b', 1L, 'x')
+           GROUP BY g ORDER BY g""")
+      val plan = tkDf.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), plan)
+      assert(plan.contains("partial_topk_agg"), plan)
+      val tk = tkDf.collect()
+      def pairs(row: org.apache.spark.sql.Row, i: Int) =
+        row.getSeq[org.apache.spark.sql.Row](i).map(e => (e.getLong(0), e.getString(1)))
+      assert(pairs(tk(0), 1) == Seq((7L, "d2"), (5L, "d0")))   // desc, id tie-break
+      assert(pairs(tk(0), 2) == Seq((5L, "d0"), (5L, "d1")))   // asc bottom-k
+      assert(pairs(tk(1), 1) == Seq((1L, "x")) && pairs(tk(1), 2) == Seq((1L, "x")))
       val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
       val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
       assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))

@@ -734,6 +734,45 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_agg: per-group top-k == row_number window; ties, nulls, dup pairs, partition-invariant") {
+    import graft.expressions.RankAggregates
+    import org.apache.spark.sql.expressions.Window
+    // 40 groups, rank collisions within groups (i % 7), some groups smaller
+    // than k, plus nulls in each argument and one exactly-duplicated pair
+    val rows = (0 until 400).map(i =>
+      (s"g${i % 40}", Option((i % 7).toLong), Option(s"id-$i"))) ++
+      Seq(("g0", None: Option[Long], Option("id-null-rank")),
+          ("g0", Option(99L), None: Option[String]),
+          ("g1", Option(6L), Option("id-6")),   // dup pair with itself:
+          ("g1", Option(6L), Option("id-6")))   // counts ONCE (set semantics)
+    val df = rows.toDF("g", "r", "id")
+    val k = 3
+    def agg(parts: Int, desc0: Boolean) = df.repartition(parts)
+      .groupBy(col("g"))
+      .agg((if (desc0) RankAggregates.topk_agg(col("r"), col("id"), k)
+            else RankAggregates.bottomk_agg(col("r"), col("id"), k)).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).cast("long").as("rn"),
+        col("e.rank").as("r"), col("e.id").as("id"))
+      .as[(String, Long, Long, String)].collect().sorted.toSeq
+    // window replica over DISTINCT non-null (g, r, id) — the aggregate's
+    // documented semantics
+    def win(desc0: Boolean) = {
+      val ord = if (desc0) Seq(col("r").desc, col("id").asc)
+                else Seq(col("r").asc, col("id").asc)
+      df.na.drop().distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(ord: _*)).cast("long"))
+        .filter(col("rn") <= k).select(col("g"), col("rn"), col("r"), col("id"))
+        .as[(String, Long, Long, String)].collect().sorted.toSeq
+    }
+    assert(agg(1, desc0 = true) == win(desc0 = true))
+    assert(agg(7, desc0 = true) == win(desc0 = true))    // partial + merge path
+    assert(agg(7, desc0 = false) == win(desc0 = false))  // bottom-k arm
+    // dup-pair group: id-6 appears once despite two input rows
+    assert(agg(7, desc0 = true).filter(t => t._1 == "g1" && t._4 == "id-6").size == 1)
+  }
+
   test("kmvResemblance: sketch-only Jaccard == naive replica; sub-k EXACT") {
     import graft.core.TextStats
     val k = 64
