@@ -532,6 +532,26 @@ object SparkEntry {
           col("e.rank").as("len"), col("e.id").as("doc_id"))
     }),
 
+    // deterministic per-group uniform sample: bottom-k by a salted
+    // fingerprint of the doc id. Hash order is uniform over the group, so
+    // the k smallest hashes ARE a uniform sample without replacement —
+    // reproducible across runs, partitionings, and engines (no RNG state),
+    // and the losers never cross the exchange (O(k) agg state per
+    // (task, lang) map-side, same partial-agg plane as topk_agg)
+    "q_group_sample" -> ((s, d) => {
+      import graft.expressions.{RankAggregates, TextHashExpressions}
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextHashExpressions.fingerprint64(
+            concat(lit("sample:"), col("doc_id").cast("string"))).as("fp"),
+          col("doc_id").cast("string").as("doc_id"))
+        .groupBy(col("lang"))
+        .agg(RankAggregates.bottomk_agg(col("fp"), col("doc_id"), 4).as("smp"))
+        .select(col("lang"), posexplode(col("smp")).as(Seq("idx", "e")))
+        .select(col("lang"), (col("idx") + 1).cast("long").as("draw"),
+          col("e.rank").as("fp"), col("e.id").as("doc_id"))
+    }),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -2519,6 +2539,22 @@ FROM r WHERE rnk <= 64""",
     ROW_NUMBER() OVER (PARTITION BY lang
       ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS rn
   FROM documents) WHERE rn <= 3""",
+    // group-sample replica: same salted fingerprint chain per doc_id, then
+    // a row_number window over the SIGNED hash (bottomk_agg compares Java
+    // longs) with the id tie-break — proves the O(k) sampler draws exactly
+    // the hash-order bottom-k
+    "q_group_sample" ->
+      s"""WITH tk AS (SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+    'sample:' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+h0 AS (SELECT lang, doc_id, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(s, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x FROM tk),
+${Osql.mixCtes("h", "x")},
+r AS (SELECT lang, doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY CAST(${Osql.signed("x")} AS BIGINT), doc_id) AS rnk
+  FROM hd)
+SELECT lang, CAST(rnk AS BIGINT) AS draw, fp, doc_id FROM r WHERE rnk <= 4""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT
