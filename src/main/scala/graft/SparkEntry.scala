@@ -515,11 +515,12 @@ object SparkEntry {
     }),
 
     // per-group top-k via the native Catalyst aggregate (topk_agg): longest
-    // 3 documents per language. Unlike the row_number window (which ships
-    // EVERY row to its key's partition and sorts whole groups), the
-    // aggregate keeps O(k) state per (task, lang) map-side, so only top-k
-    // buffers reach the exchange. Ranks are integers (n_chars); ties break
-    // by doc_id's UTF-8 byte order — both engine-neutral
+    // 3 documents per language. Spark's InferWindowGroupLimit already keeps
+    // the row_number form to <=k rows per task+group before the exchange;
+    // the aggregate additionally drops BOTH local sorts (O(k) heap, no
+    // input sort), ships (rank, id)-only buffers instead of whole rows,
+    // and composes with other aggregates in one GROUP BY pass. Ranks are
+    // integers (n_chars); ties break by doc_id's UTF-8 byte order
     "q_topk_agg" -> ((s, d) => {
       import graft.expressions.RankAggregates
       t(s, d, "documents")

@@ -14,16 +14,27 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Order-statistic aggregates as native Catalyst functions.
   *
-  * The motivating scale problem: "top-k rows per key" written as
-  * `row_number() OVER (PARTITION BY key ORDER BY rank DESC) <= k` shuffles
-  * EVERY row to its key's partition and sorts the whole group before
-  * discarding all but k — on a 10^12-row table with hot keys that is a
-  * full-data exchange plus a sort dominated by rows that were never going
-  * to survive. A [[TypedImperativeAggregate]] instead participates in
-  * partial aggregation: each map task keeps at most k entries PER GROUP
-  * (ObjectHashAggregate), the exchange carries those O(k) buffers, and the
-  * reduce side merges heaps. Rows beyond the per-task top-k never reach the
-  * wire at all.
+  * Spark 4's own `InferWindowGroupLimit` already saves the classic
+  * "top-k per key as `row_number() <= k`" pattern from a full-data
+  * exchange: it plants a Partial WindowGroupLimit BELOW the shuffle, so
+  * each map task forwards at most k rows per group. What the built-in
+  * path still pays, and this aggregate does not:
+  *
+  *  - two full local SORTS (each map task sorts its whole input before
+  *    the partial limit, the reduce side re-sorts the survivors) — the
+  *    aggregate replaces both with an O(k) bounded buffer per group,
+  *    O(n log k) updates, no sort of the input at all;
+  *  - whole-ROW transfer (the group-limit forwards entire rows; wide
+  *    payloads ride the exchange k times per task×group) — the aggregate
+  *    ships one (rank, id)-only buffer per task×group;
+  *  - a separate pass: as a true aggregate it composes with other
+  *    aggregates in the SAME GROUP BY scan (`count(*)`, `kmv_agg`, a
+  *    top-k — one shuffle), where the window form needs its own
+  *    sort+window stage and a join to combine with group totals.
+  *
+  * Each map task keeps at most k entries PER GROUP (ObjectHashAggregate),
+  * the exchange carries those O(k) buffers, and the reduce side merges
+  * heaps. Rows beyond the per-task top-k never reach the wire at all.
   *
   * Payloads deliberately do NOT ride through the aggregate — the entry is
   * (rank, id) only, the repo-wide ids-only join discipline: compute the
