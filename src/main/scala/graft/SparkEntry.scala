@@ -553,6 +553,32 @@ object SparkEntry {
           col("e.rank").as("fp"), col("e.id").as("doc_id"))
     }),
 
+    // the one-pass composability payoff of aggregate-shaped top-k: corpus
+    // profile per language — doc count, total chars, the longest doc, and
+    // a deterministic 2-doc sample — in a SINGLE GROUP BY scan (one
+    // ObjectHashAggregate, one exchange of O(k) buffers). The window form
+    // of the same report needs a sort+window stage per ranking plus a join
+    // back to the counts
+    "q_lang_profile" -> ((s, d) => {
+      import graft.expressions.{RankAggregates, TextHashExpressions}
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          col("doc_id").cast("string").as("doc_id"),
+          TextHashExpressions.fingerprint64(
+            concat(lit("sample:"), col("doc_id").cast("string"))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          RankAggregates.topk_agg(col("n_chars"), col("doc_id"), 1).as("tk"),
+          RankAggregates.bottomk_agg(col("fp"), col("doc_id"), 2).as("smp"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          col("tk").getItem(0).getField("id").as("longest_doc"),
+          col("tk").getItem(0).getField("rank").as("longest_chars"),
+          concat_ws(",", transform(col("smp"), e => e.getField("id")))
+            .as("sample_docs"))
+    }),
+
     // count-min sketch of the token stream: mergeable (depth, bucket, cnt)
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
@@ -2556,6 +2582,30 @@ r AS (SELECT lang, doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp,
       ORDER BY CAST(${Osql.signed("x")} AS BIGINT), doc_id) AS rnk
   FROM hd)
 SELECT lang, CAST(rnk AS BIGINT) AS draw, fp, doc_id FROM r WHERE rnk <= 4""",
+    // lang-profile replica: plain aggregates + the two window replicas the
+    // one-pass Spark aggregate fuses (top-1 by n_chars, bottom-2 by salted
+    // fingerprint), joined per lang
+    "q_lang_profile" ->
+      s"""WITH tk AS (SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+    'sample:' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+h0 AS (SELECT lang, doc_id, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(s, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x FROM tk),
+${Osql.mixCtes("h", "x")},
+smp AS (SELECT lang, string_agg(doc_id, ',' ORDER BY rnk) AS sample_docs
+  FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      ORDER BY CAST(${Osql.signed("x")} AS BIGINT), doc_id) AS rnk FROM hd)
+  WHERE rnk <= 2 GROUP BY lang),
+top1 AS (SELECT lang, doc_id AS longest_doc, n_chars AS longest_chars
+  FROM (SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
+      row_number() OVER (PARTITION BY lang
+        ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS rn
+    FROM documents) WHERE rn = 1),
+agg AS (SELECT lang, COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang)
+SELECT a.lang, a.n_docs, a.total_chars, t.longest_doc, t.longest_chars,
+  s.sample_docs
+FROM agg a JOIN top1 t ON t.lang = a.lang JOIN smp s ON s.lang = a.lang""",
     // CMS replica: fingerprint64 per token, then per depth row d the
     // splitmix rehash of xor(fp, (d+1)*GOLDEN) — the minHash hash family —
     // and the low 10 bits (width 1024 divides 2^64, so unsigned HUGEINT

@@ -773,6 +773,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(agg(7, desc0 = true).filter(t => t._1 == "g1" && t._4 == "id-6").size == 1)
   }
 
+  test("q_lang_profile: count+sum+topk+sample fuse into ONE aggregate pass (single Exchange)") {
+    val df = SparkEntry.queries("q_lang_profile")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // all four aggregates ride one partial/final ObjectHashAggregate pair:
+    // exactly one Exchange in the whole plan, both rank aggregates partial
+    assert(plan.contains("partial_topk_agg") &&
+      plan.contains("partial_bottomk_agg"), plan)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges\n$plan")
+    // and the fused numbers agree with independently-computed parts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tc"),
+        max(col("n_chars")).as("mx"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    df.collect().foreach { r =>
+      val (n, tc, mx) = (expected(r.getString(0))._2,
+        expected(r.getString(0))._3, expected(r.getString(0))._4)
+      assert(r.getLong(1) == n && r.getLong(2) == tc && r.getLong(4) == mx)
+      assert(r.getString(5).split(",").length == math.min(2, n))
+    }
+  }
+
   test("kmvResemblance: sketch-only Jaccard == naive replica; sub-k EXACT") {
     import graft.core.TextStats
     val k = 64
