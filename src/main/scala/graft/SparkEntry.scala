@@ -403,6 +403,12 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TrainingData.dsirWeights(
       t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
 
+    // CCNet-style perplexity filter: conditional bigram LM (add-one
+    // smoothing over hashed word buckets) trained on the 'en' slice,
+    // scoring every other doc by quantized total/avg NLL
+    "q_lm_perplexity" -> ((s, d) => TrainingData.lmPerplexity(
+      t(s, d, "documents"), "doc_id", "text", col("lang") === "en", 4096)),
+
     // JSONL sink+source roundtrip: the query WRITES documents as JSON lines
     // then reads them back; the oracle computes the same projection from
     // the parquet source directly, so any escape/encoding corruption in
@@ -2399,6 +2405,41 @@ sc AS (SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
   FROM f JOIN c USING(b) CROSS JOIN tot WHERE NOT is_t GROUP BY f.doc_id)
 SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
   COALESCE(sc.dsir_q4_sum, 0)::BIGINT AS dsir_q4_sum
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
+    // LM-perplexity replica: per-token fingerprint64 chain → signed pmod
+    // word bucket → adjacent-pair keys u*V+v → add-one conditional bigram
+    // LM from the 'en' slice → quantized NLL sum over the rest
+    "q_lm_perplexity" ->
+      s"""WITH base AS (SELECT doc_id, (lang = 'en') AS is_t,
+    regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g') AS text FROM documents),
+tk AS (SELECT doc_id, is_t,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+  FROM base),
+tr AS (SELECT doc_id, is_t, unnest(generate_series(1, len(tk))) AS i, tk
+  FROM tk WHERE len(tk) >= 2),
+m0 AS (SELECT doc_id, is_t, i,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(regexp_extract_all(tk[i], '(?s).'), c -> ord(c)::HUGEINT)),
+      (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM tr),
+${Osql.mixCtes("m", "x")},
+bkt AS (SELECT doc_id, is_t, i,
+    CAST(((${Osql.signed("x")} % 4096) + 4096) % 4096 AS BIGINT) AS b FROM md),
+pairs AS (SELECT a.doc_id, a.is_t, a.b * 4096 + n.b AS k
+  FROM bkt a JOIN bkt n ON a.doc_id = n.doc_id AND n.i = a.i + 1),
+c AS (SELECT k, COUNT(*)::BIGINT AS c_uv FROM pairs WHERE is_t GROUP BY k),
+cu AS (SELECT k // 4096 AS u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM c GROUP BY 1),
+sc AS (SELECT p.doc_id, COUNT(*)::BIGINT AS n_pairs,
+    CAST(SUM(-CAST(FLOOR(ln(
+      (COALESCE(c.c_uv, 0) + 1)::DOUBLE / (COALESCE(cu.c_u, 0) + 4096)::DOUBLE
+    ) * 10000) AS BIGINT)) AS BIGINT) AS nll_q4_sum
+  FROM pairs p LEFT JOIN c USING (k) LEFT JOIN cu ON p.k // 4096 = cu.u
+  WHERE NOT p.is_t GROUP BY p.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_pairs, 0)::BIGINT AS n_pairs,
+  COALESCE(sc.nll_q4_sum, 0)::BIGINT AS nll_q4_sum,
+  CASE WHEN COALESCE(sc.n_pairs, 0) = 0 THEN 0
+       ELSE sc.nll_q4_sum // sc.n_pairs END::BIGINT AS avg_nll_q4
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id WHERE d.lang <> 'en'""",
     // JSONL roundtrip oracle: computed from the PARQUET source — it never
     // sees the intermediate JSON, so equality proves the roundtrip

@@ -250,6 +250,34 @@ object TextStats {
     out
   }
 
+  /** Ordered conditional-bigram keys for n-gram LM scoring (CCNet-style
+    * perplexity filtering): per lowercase ws-token bucket
+    * b = pmod(fingerprint64(tok), numBuckets), emit one key
+    * `b(i) * numBuckets + b(i+1)` per ADJACENT pair, in document order
+    * (duplicates kept — this is a sequence, not the shingle SET
+    * [[shingleHashes]] builds). Context bucket recovers as `key / numBuckets`,
+    * next-word bucket as `key % numBuckets`, so one key stream carries both
+    * the bigram numerator and the unigram-context denominator of
+    * P(v|u) = (c(u,v)+1) / (c(u)+V). One compiled pass per row. */
+  def bigramPairKeys(s: String, numBuckets: Int): Array[Long] = {
+    val tk = wsTokens(s.toLowerCase)
+    if (tk.length < 2) return Array.emptyLongArray
+    val b = new Array[Long](tk.length)
+    var i = 0
+    while (i < tk.length) {
+      val m = fingerprint(tk(i)) % numBuckets
+      b(i) = if (m < 0) m + numBuckets else m
+      i += 1
+    }
+    val out = new Array[Long](tk.length - 1)
+    i = 0
+    while (i < tk.length - 1) {
+      out(i) = b(i) * numBuckets + b(i + 1)
+      i += 1
+    }
+    out
+  }
+
   /** Rolling polynomial document fingerprint (Rabin-Karp style, base 257). */
   def fingerprint(s: String): Long = {
     var h = 0L

@@ -162,6 +162,24 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** text → ordered conditional-bigram LM keys (TextStats.bigramPairKeys)
+    * in one compiled pass — the map side of the CCNet-style perplexity
+    * filter: token buckets u,v packed as u*V+v per adjacent pair, document
+    * order preserved (unlike the sorted-set ShingleHashes). */
+  case class BigramPairKeys(child: Expression, numBuckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.bigramPairKeys(
+        v.asInstanceOf[UTF8String].toString, numBuckets))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.bigramPairKeys($v.toString(), $numBuckets));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** value-string → [hll bucket, hll rank] (TextStats.hllBucketRank) in one
     * compiled pass — the map side of the approx-distinct sketch; the whole
     * sketch is then one 2^p-row hash aggregation. */
@@ -318,6 +336,9 @@ object TextHashExpressions {
 
   def bigram_buckets(text: Column, numBuckets: Int): Column =
     column(BigramBuckets(expression(text), numBuckets))
+
+  def bigram_pair_keys(text: Column, numBuckets: Int): Column =
+    column(BigramPairKeys(expression(text), numBuckets))
 
   def hll_bucket_rank(value: Column, p: Int): Column =
     column(HllBucketRank(expression(value), p))

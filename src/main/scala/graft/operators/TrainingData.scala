@@ -603,6 +603,64 @@ object TrainingData {
         coalesce(col("dsir_q4_sum"), lit(0L)).as("dsir_q4_sum"))
   }
 
+  /** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2020 §3.3:
+    * score web documents by the perplexity of a language model trained on a
+    * reference-quality corpus; keep the low-perplexity head). The sibling of
+    * [[dsirWeights]] on the same hashed-feature plane, but a CONDITIONAL
+    * model: an add-one-smoothed bigram LM over hashed word buckets,
+    * P(v|u) = (c(u,v)+1)/(c(u)+V), trained on the `targetPred` slice and
+    * scoring every other document by total + per-token negative
+    * log-likelihood. Per-pair NLL terms are floor-quantized to 1e-4 BEFORE
+    * summing, so the doc score is an exact integer both engines reproduce
+    * bit-for-bit (the dsirWeights technique).
+    *
+    * Plan shape: one codegen'd [[graft.core.TextStats.bigramPairKeys]] pass
+    * per row (only 8-byte keys leave the scan), ONE tiny-key hash-agg for
+    * the model (≤ observed distinct bigrams, Zipf-bounded far below V²), the
+    * context model derived from it by a second micro-agg — both broadcast to
+    * the scoring scan, then one partial-aggregatable per-doc agg. If a huge
+    * target corpus outgrows the broadcast threshold, drop the hints: the
+    * same plan runs with a shuffle join on the 8-byte key stream.
+    *
+    * Output: one row per non-target doc —
+    * (id, n_pairs, nll_q4_sum, avg_nll_q4 = nll_q4_sum floor-div n_pairs);
+    * docs with < 2 tokens score (0, 0, 0). Lower avg = more target-like. */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, numBuckets: Int = 4096): DataFrame = {
+    // controls → space up front: Java-\s vs RE2-\s parity (see dsirWeights)
+    val cleanedText = regexp_replace(col(textCol), "[\\x00-\\x1F]", " ")
+    val feats = df.withColumn("is_t", targetPred)
+      .select(col(idCol), col("is_t"),
+        explode(TextHashExpressions.bigram_pair_keys(cleanedText, numBuckets))
+          .as("k"))
+    val pairCounts = feats.filter(col("is_t"))
+      .groupBy("k").agg(count(lit(1)).as("c_uv"))
+    // c(u) = Σ_v c(u,v): derived from the SAME table, so numerator and
+    // denominator can never drift out of consistency
+    val ctxCounts = pairCounts
+      .groupBy(floor(col("k") / numBuckets).cast("long").as("u"))
+      .agg(sum("c_uv").as("c_u"))
+    val scored = feats.filter(!col("is_t"))
+      .withColumn("u", floor(col("k") / numBuckets).cast("long"))
+      .join(broadcast(pairCounts), Seq("k"), "left")
+      .join(broadcast(ctxCounts), Seq("u"), "left")
+      .withColumn("nll_q4", -floor(log(
+        (coalesce(col("c_uv"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_u"), lit(0L)) + numBuckets).cast("double"))
+        * 10000.0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("nll_q4")).as("nll_q4_sum"))
+    df.filter(!targetPred).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("nll_q4_sum"), lit(0L)).as("nll_q4_sum"))
+      .withColumn("avg_nll_q4",
+        when(col("n_pairs") === 0L, lit(0L))
+          // integer DIV: every nll term is ≥ 0, so trunc == floor == DuckDB //
+          .otherwise(expr("nll_q4_sum div n_pairs")))
+  }
+
   // Unit Separator: the symbol delimiter of the BPE word encoding below.
   // Tokens are control-stripped first, so no symbol can contain it.
   private val Us = "\u001F"

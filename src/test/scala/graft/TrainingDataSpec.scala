@@ -538,6 +538,51 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(3L)._2 > got(4L)._2)
   }
 
+  test("lmPerplexity: conditional bigram LM NLL matches a naive local model") {
+    val data = Map(
+      1L -> (("en", "the quick brown fox jumps over the quick dog")),
+      2L -> (("en", "the quick blue fox sleeps")),
+      3L -> (("de", "the quick brown fox jumps")), // in-model phrases → low NLL
+      4L -> (("de", "der schnelle braune fuchs springt")), // all-unseen → high
+      5L -> (("de", "solo")),                      // one token → (0, 0, 0)
+      6L -> (("fr", "")))                          // empty → (0, 0, 0)
+    val df = data.toSeq.map { case (id, (l, t)) => (id, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val got = TrainingData.lmPerplexity(df, "doc_id", "text",
+        col("lang") === "en", numBuckets = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val B = 64L
+    def buckets(t: String): Seq[Long] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.map { w =>
+        val fp = graft.core.TextStats.fingerprint(w)
+        ((fp % B) + B) % B
+      }
+    def pairKeys(t: String): Seq[Long] = {
+      val b = buckets(t)
+      if (b.length < 2) Seq.empty
+      else b.zip(b.tail).map { case (u, v) => u * B + v }
+    }
+    val target = data.filter(_._2._1 == "en").values.flatMap(v => pairKeys(v._2)).toSeq
+    val cUV = target.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cU = target.map(_ / B).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = data.filter(_._2._1 != "en").map { case (id, (_, t)) =>
+      val ks = pairKeys(t)
+      val nll = ks.map { k =>
+        -math.floor(math.log(
+          (cUV.getOrElse(k, 0L) + 1).toDouble /
+            (cU.getOrElse(k / B, 0L) + B).toDouble) * 10000.0).toLong
+      }.sum
+      val n = ks.size.toLong
+      id -> ((n, nll, if (n == 0) 0L else nll / n))
+    }
+    assert(got == expect)
+    assert(got(5L) == ((0L, 0L, 0L)) && got(6L) == ((0L, 0L, 0L)))
+    // in-model phrasing must be cheaper per token than all-unseen text
+    assert(got(3L)._3 < got(4L)._3)
+  }
+
   test("bpeTrainMerges + bpeEncode == naive reference BPE (merge order, ties, encode)") {
     val corpus = Seq(
       (1L, "low lower lowest low low"),
