@@ -69,6 +69,11 @@ object GraftExtensions {
       info("cms_buckets", "_FUNC_(value, depth, width) - count-min-sketch bucket per depth row"),
       (args: Seq[Expression]) => CmsBuckets(args(0),
         intArg(args(1), "depth"), intArg(args(2), "width"))),
+    (FunctionIdentifier("bigram_pair_keys"),
+      info("bigram_pair_keys", "_FUNC_(text, numBuckets) - ordered " +
+        "conditional-bigram LM keys u*V+v, one per adjacent token pair"),
+      (args: Seq[Expression]) => BigramPairKeys(args(0),
+        intArg(args(1), "numBuckets"))),
     (FunctionIdentifier("kmv_agg"),
       info("kmv_agg", "_FUNC_(fp, k) - per-group KMV bottom-k distinct sketch " +
         "of a long fingerprint column (aggregate; exactly mergeable)"),

@@ -45,6 +45,10 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.core.TextStats.hllBucketRank("abc", 8).toSeq)
       assert(sk.getSeq[Long](1) ==
         graft.core.TextStats.cmsBuckets("abc", 4, 1024).toSeq)
+      val pk = spark.sql(
+        "SELECT bigram_pair_keys('the quick brown fox', 64)").collect().head
+      assert(pk.getSeq[Long](0) ==
+        graft.core.TextStats.bigramPairKeys("the quick brown fox", 64).toSeq)
       // the aggregate path: kmv_agg from plain SQL with GROUP BY
       val ag = spark.sql(
         """SELECT g, kmv_agg(fingerprint64(v), 4) AS sk FROM (
