@@ -33,6 +33,18 @@ object SparkEntry {
 
   // ---- shared helpers ----------------------------------------------------
   private def ppm(c: Column): Column = floor(c * 1000000L).cast("long")
+
+  /** The repo's ONE whitespace tokenizer expression (control-strip → lower →
+    * \s+ split → drop empties). Parity-sensitive: controls become spaces
+    * BEFORE the split because Java `\s` includes \x0B while RE2's does not,
+    * and `$` differs on trailing \r — every DuckDB oracle replays exactly
+    * `list_filter(string_split_regex(lower(regexp_replace(text,
+    * '[\x00-\x1F]', ' ', 'g')), '\s+'), x -> len(x) > 0)`. Keep the copies
+    * from drifting: change it here and in every oracle together. */
+  private def wsToks(text: Column): Column =
+    filter(split(
+      regexp_replace(lower(text), "[\\x00-\\x1F]", " "), "\\s+"),
+      x => length(x) > 0)
   private val centsSum: Column => Column = c =>
     floor(sum(c.cast("decimal(18,4)")) * 100).cast("long")
 
@@ -461,9 +473,7 @@ object SparkEntry {
     // mergeable integer state (2^8 buckets × max rank) — constant-width
     // shuffle regardless of corpus size; estimate readout is driver-side
     "q_hll_tokens" -> ((s, d) => TrainingData.hllSketch(
-      t(s, d, "documents").select(explode(filter(split(
-        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-        x => length(x) > 0)).as("tok")),
+      t(s, d, "documents").select(explode(wsToks(col("text"))).as("tok")),
       col("tok"), p = 8)),
 
     // KMV (bottom-k) distinct sketch over (doc_id, token) incidences — a
@@ -473,9 +483,7 @@ object SparkEntry {
     // state (byte-identical cross-engine, unlike HLL registers) and exactly
     // mergeable across shards/days
     "q_kmv_tokens" -> ((s, d) => TrainingData.kmvSketch(
-      t(s, d, "documents").select(col("doc_id"), explode(filter(split(
-        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-        x => length(x) > 0)).as("tok"))
+      t(s, d, "documents").select(col("doc_id"), explode(wsToks(col("text"))).as("tok"))
         .select(concat(col("doc_id").cast("string"), lit(":"), col("tok"))
           .as("v")),
       col("v"), k = 256)),
@@ -487,9 +495,7 @@ object SparkEntry {
     // two sketch scans plus a ≤k-row reconciliation
     "q_kmv_resemblance" -> ((s, d) => {
       def side(m: Int) = {
-        val t0 = filter(split(
-          regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-          x => length(x) > 0)
+        val t0 = wsToks(col("text"))
         val n1 = greatest(size(t0) - 1, lit(0))
         val bigrams = zip_with(slice(t0, lit(1), n1), slice(t0, lit(2), n1),
           (a, b) => concat(a, lit(" "), b))
@@ -509,9 +515,7 @@ object SparkEntry {
     "q_kmv_per_lang" -> ((s, d) => {
       import graft.expressions.{SketchAggregates, TextHashExpressions}
       t(s, d, "documents")
-        .select(col("lang"), col("doc_id"), explode(filter(split(
-          regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-          x => length(x) > 0)).as("tok"))
+        .select(col("lang"), col("doc_id"), explode(wsToks(col("text"))).as("tok"))
         .select(col("lang"), TextHashExpressions.fingerprint64(
           concat(col("doc_id").cast("string"), lit(":"), col("tok"))).as("fp"))
         .groupBy(col("lang"))
@@ -589,9 +593,7 @@ object SparkEntry {
     // state — constant-width shuffle, heavy-hitter probes without a
     // full-vocabulary exchange
     "q_cms_tokens" -> ((s, d) => TrainingData.cmsSketch(
-      t(s, d, "documents").select(explode(filter(split(
-        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-        x => length(x) > 0)).as("tok")),
+      t(s, d, "documents").select(explode(wsToks(col("text"))).as("tok")),
       col("tok"), depth = 4, width = 1024)),
 
     // incremental exact dedup: documents split into two "daily" batches
@@ -680,9 +682,7 @@ object SparkEntry {
     // gate, exact count + HAVING only on survivors — no full-vocabulary
     // exchange; output is exact (the gate has no false negatives)
     "q_heavy_hitters" -> ((s, d) => TrainingData.heavyHitters(
-      t(s, d, "documents").select(explode(filter(split(
-        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", " "), "\\s+"),
-        x => length(x) > 0)).as("tok")),
+      t(s, d, "documents").select(explode(wsToks(col("text"))).as("tok")),
       col("tok"), minCount = 900L)),
 
     // as-of join: latest click at-or-before each purchase per user —
@@ -1687,6 +1687,39 @@ bitsu AS (SELECT l.media_id, SUM(CASE WHEN l.lum >= m.mean THEN (1::HUGEINT << l
   FROM luma l JOIN m ON l.media_id = m.media_id GROUP BY l.media_id),
 ah AS (SELECT media_id,
   CAST(${Osql.signed("u")} AS BIGINT) AS ahash FROM bitsu)"""
+  }
+
+  /** Shared BM25 oracle scaffolding: q_bm25 and q_bm25_rerank must replay
+    * the SAME pinned float-operation order as `TfIdfMatch.bm25Scores`
+    * bit-for-bit — one generator serves both so the pinned order can never
+    * drift in just one of them. */
+  private object Bm25Osql {
+    val terms = Seq("join", "hash", "window")
+    def term(t: String, i: Int): String = {
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"""CAST(floor(
+            ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+            * ($tf * 2.2 / ($tf + 1.2 * (0.25
+                + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / sum_dl)))
+            * 10000.0) AS BIGINT)"""
+    }
+    val dfCols: String = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n            ")
+    val scoreExpr: String =
+      terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")
+    /** base/b2/stats CTE prefix (tokenized docs, doc lengths, corpus stats). */
+    val statsCtes: String =
+      s"""base AS (SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(
+                lower(coalesce(text, '')), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+          b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+            $dfCols
+          FROM b2)"""
   }
 
   /** CTE chain re-decoding the WAV fixture blobs with little-endian byte
@@ -2822,51 +2855,18 @@ FROM e$BpeMerges""",
           GROUP BY conv_id""",
     // BM25 replica: same tokenizer, same stats, same pinned float-op order
     // (dl/avgdl written (dl·N)/Σdl; per-term floor(idf·tfc·1e4) pre-sum)
-    "q_bm25" -> {
-      def term(t: String, i: Int): String = {
-        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
-        s"""CAST(floor(
-            ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
-            * ($tf * 2.2 / ($tf + 1.2 * (0.25
-                + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / sum_dl)))
-            * 10000.0) AS BIGINT)"""
-      }
-      val terms = Seq("join", "hash", "window")
-      val dfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
-      }.mkString(",\n            ")
-      s"""WITH base AS (SELECT doc_id,
-            list_filter(string_split_regex(regexp_replace(
-                lower(coalesce(text, '')), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
-              x -> len(x) > 0) AS toks
-          FROM documents),
-          b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
-          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-            CAST(SUM(dl) AS DOUBLE) AS sum_dl,
-            $dfCols
-          FROM b2)
+    "q_bm25" ->
+      s"""WITH ${Bm25Osql.statsCtes}
           SELECT doc_id, dl AS n_tokens,
-            ${terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")}
+            ${Bm25Osql.scoreExpr}
             AS bm25_q4
-          FROM b2 CROSS JOIN stats"""
-    },
+          FROM b2 CROSS JOIN stats""",
 
     // rerank replica: the full q_bm25 chain → ORDER BY/LIMIT 50 candidates →
     // positional features over the candidate token lists (1-indexed
     // generate_series probe for ordered bigrams) → packed integer rerank key
     "q_bm25_rerank" -> {
-      def term(t: String, i: Int): String = {
-        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
-        s"""CAST(floor(
-            ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
-            * ($tf * 2.2 / ($tf + 1.2 * (0.25
-                + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / sum_dl)))
-            * 10000.0) AS BIGINT)"""
-      }
-      val terms = Seq("join", "hash", "window")
-      val dfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
-      }.mkString(",\n            ")
+      val terms = Bm25Osql.terms
       val coverage = terms
         .map(t => s"CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END")
         .mkString(" + ")
@@ -2876,18 +2876,9 @@ FROM e$BpeMerges""",
       }.mkString(" + ")
       val tfTotal = terms
         .map(t => s"len(list_filter(toks, x -> x = '$t'))").mkString(" + ")
-      s"""WITH base AS (SELECT doc_id,
-            list_filter(string_split_regex(regexp_replace(
-                lower(coalesce(text, '')), '[\\x00-\\x1F]', ' ', 'g'), '\\s+'),
-              x -> len(x) > 0) AS toks
-          FROM documents),
-          b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
-          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-            CAST(SUM(dl) AS DOUBLE) AS sum_dl,
-            $dfCols
-          FROM b2),
+      s"""WITH ${Bm25Osql.statsCtes},
           scored AS (SELECT doc_id, toks,
-            ${terms.zipWithIndex.map { case (t, i) => term(t, i) }.mkString(" + ")}
+            ${Bm25Osql.scoreExpr}
             AS bm25_q4
           FROM b2 CROSS JOIN stats),
           cand AS (SELECT doc_id, toks, bm25_q4 FROM scored
@@ -2981,6 +2972,7 @@ FROM e$BpeMerges""",
     "q_conv_wellformed" ->
       s"""WITH wf0 AS (
             SELECT conv_id, turn_idx, role, tool, ts,
+              (text IS NULL) AS tnull,
               (text IS NULL OR trim(text) = '') AS is_empty,
               list_reduce(list_prepend(0::HUGEINT,
                 list_transform(regexp_extract_all(coalesce(text, ''), '(?s).'),
@@ -2995,7 +2987,9 @@ FROM e$BpeMerges""",
               lag(ts) OVER w AS prev_ts
             FROM (SELECT *, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM wfd)
             WINDOW w AS (PARTITION BY conv_id
-              ORDER BY turn_idx NULLS FIRST, fp NULLS FIRST, role NULLS FIRST)),
+              ORDER BY turn_idx NULLS FIRST, fp NULLS FIRST,
+                tnull NULLS FIRST, role NULLS FIRST,
+                tool NULLS FIRST, ts NULLS FIRST)),
           agg AS (
             SELECT conv_id,
               COUNT(*) AS n_turns,

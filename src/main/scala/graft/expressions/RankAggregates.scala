@@ -73,8 +73,16 @@ object RankAggregates {
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[java.util.TreeSet[Entry]]
-      with BinaryLike[Expression] {
+      with BinaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(k >= 1, s"topk_agg needs k >= 1, got $k")
+
+    // analysis-time contract (the SQL surface accepts arbitrary columns):
+    // int ranks widen to long, numeric ids cast to string — instead of a
+    // runtime ClassCastException in update() on the executors
+    override def inputTypes:
+        Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
+      Seq(LongType, StringType)
 
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("rank", LongType, nullable = false),

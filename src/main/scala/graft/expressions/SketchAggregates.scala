@@ -44,7 +44,14 @@ object SketchAggregates {
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-      with UnaryLike[Expression] {
+      with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+    // analysis-time contract: int fingerprints widen to long instead of a
+    // runtime ClassCastException in update() on the executors
+    override def inputTypes:
+        Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
+      Seq(org.apache.spark.sql.types.LongType)
     require(k >= 2, s"kmv_agg needs k >= 2, got $k")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

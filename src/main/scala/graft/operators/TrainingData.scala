@@ -637,11 +637,13 @@ object TrainingData {
       .groupBy("k").agg(count(lit(1)).as("c_uv"))
     // c(u) = Σ_v c(u,v): derived from the SAME table, so numerator and
     // denominator can never drift out of consistency
+    // integer DIV, not floor(k / V): Column `/` is double division, exact
+    // only below 2^53 — a large numBuckets would mis-bucket some contexts
     val ctxCounts = pairCounts
-      .groupBy(floor(col("k") / numBuckets).cast("long").as("u"))
+      .groupBy(expr(s"k div ${numBuckets}L").as("u"))
       .agg(sum("c_uv").as("c_u"))
     val scored = feats.filter(!col("is_t"))
-      .withColumn("u", floor(col("k") / numBuckets).cast("long"))
+      .withColumn("u", expr(s"k div ${numBuckets}L"))
       .join(broadcast(pairCounts), Seq("k"), "left")
       .join(broadcast(ctxCounts), Seq("u"), "left")
       .withColumn("nll_q4", -floor(log(

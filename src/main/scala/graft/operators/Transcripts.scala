@@ -31,17 +31,27 @@ object Transcripts {
     *  - `orphan_tool_turns` role='tool' turns not preceded by a tool call
     *    (previous turn's `tool` column null/empty)
     *
-    * Adjacent-pair checks order by (turn_idx, fingerprint64(text), role) so
-    * duplicate indexes still compare deterministically in any engine — the
-    * 8-byte fingerprint stands in for text as the tie key, which is what
-    * keeps text itself out of the exchange. */
+    * Adjacent-pair checks order by (turn_idx, fingerprint64(text),
+    * text-is-null, role, tool, ts) so duplicate indexes still compare
+    * deterministically in any engine — the 8-byte fingerprint stands in for
+    * text as the tie key (keeping text itself out of the exchange), and the
+    * remaining keys make the order total up to fully interchangeable rows. */
   def wellFormed(df: DataFrame): DataFrame = {
+    // the tie order must be TOTAL up to interchangeable rows: fp alone
+    // collapses NULL text with '' (both hash ""), so a NULL/'' duplicate
+    // pair at one turn_idx would order arbitrarily and flip the lag-based
+    // counters between runs/engines — tnull, tool and ts complete the key
+    // (rows still tied after all six are fully interchangeable for every
+    // adjacent-pair counter). Spark asc = nulls-first; the oracle window
+    // pins DuckDB to NULLS FIRST per key.
     val w = Window.partitionBy("conv_id")
-      .orderBy(col("turn_idx"), col("fp"), col("role"))
+      .orderBy(col("turn_idx"), col("fp"), col("tnull"), col("role"),
+        col("tool"), col("ts"))
     val stepped = df.select(col("conv_id"), col("turn_idx"), col("role"),
         col("tool"), col("ts"),
         graft.expressions.TextHashExpressions.fingerprint64(
           coalesce(col("text"), lit(""))).as("fp"),
+        col("text").isNull.as("tnull"),
         (col("text").isNull || trim(col("text")) === "").as("is_empty"))
       .withColumn("prev_role", lag(col("role"), 1).over(w))
       .withColumn("prev_tool", lag(col("tool"), 1).over(w))
@@ -145,13 +155,15 @@ object Transcripts {
         coalesce(col("m.depth"), lit(0L)).as("branch_depth"),
         coalesce(col("m.pref"), lit(0L)).as("family_hash"),
         coalesce(col("m.n_siblings"), lit(0L)).as("n_siblings"))
-    // Materialize the (one-row-per-conversation) result eagerly so the
-    // per-turn chain blocks can be released HERE instead of leaking for the
-    // session lifetime; the caller gets cheap cached rows and may
-    // .unpersist() them when done.
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // Eager localCheckpoint, not persist(): the one-row-per-conversation
+    // result must be materialized so the per-turn chain blocks can be
+    // released HERE, but a persist() pins it in the CacheManager until an
+    // unpersist nobody is contracted to call (one leaked entry per call on
+    // a long-running driver — the incrementalNearDup failure mode). The
+    // checkpointed blocks are reclaimed by the ContextCleaner once the
+    // caller drops the returned frame.
+    val outCp = out.localCheckpoint()
     chains.unpersist()
-    out
+    outCp
   }
 }

@@ -189,8 +189,11 @@ object Snapshot {
   def read(spark: SparkSession, tablePath: String, version: Int = -1,
            mergeSchema: Boolean = false): DataFrame = {
     val table = Paths.get(tablePath)
+    // tip from the manifests (repairing a wedged CURRENT on the way), never
+    // the raw pointer: a kill between manifest write and pointer swap must
+    // not make the default read disagree with readByTag on the same table
     val k = if (version >= 0) version
-      else currentVersion(table).getOrElse(
+      else recoverCommitted(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $tablePath"))
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(table.resolve(s"v$k").toString).drop("_chunk")
@@ -240,7 +243,7 @@ object Snapshot {
 
   def manifestJson(tablePath: String, version: Int = -1): String = {
     val table = Paths.get(tablePath)
-    val k = if (version >= 0) version else currentVersion(table).get
+    val k = if (version >= 0) version else recoverCommitted(table).get
     Files.readString(table.resolve(s"manifest-v$k.json"))
   }
 
@@ -256,7 +259,7 @@ object Snapshot {
     * current manifest, so co-location invariants survive compaction. */
   def compact(spark: SparkSession, tablePath: String): Map[String, Long] = {
     val table = Paths.get(tablePath)
-    val k = currentVersion(table).getOrElse(
+    val k = recoverCommitted(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tablePath"))
     val m = manifestJson(tablePath, k)
     val chunkKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(m)
@@ -530,7 +533,10 @@ object Snapshot {
       .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
         s.stripPrefix("manifest-v").stripSuffix(".json").toInt }
       .toSeq.sorted
-    val cur = currentVersion(table).getOrElse(return Seq.empty)
+    // committed tip from the manifests: on a wedged table the raw CURRENT
+    // under-reports, and expiry keyed off it would DELETE the newest
+    // committed-but-unpointed snapshot (repair first, then protect it)
+    val cur = recoverCommitted(table).getOrElse(return Seq.empty)
     val expire = versions.filter(_ != cur).dropRight(math.max(0, keep - 1))
     expire.foreach { v =>
       deleteRecursively(table.resolve(s"v$v"))

@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is private[sql] in Spark 4, but `ExpectsInputTypes.
+    * inputTypes` (the analysis-time input contract custom aggregates must
+    * override to get implicit casts instead of executor-side
+    * ClassCastExceptions) returns Seq of it — this public alias lets
+    * graft's expressions name the type from outside the package. */
+  type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -321,6 +321,37 @@ class SnapshotSpec extends AnyFunSuite {
       == Set(1L, 3L))
   }
 
+  test("wedged CURRENT: default read, compact, and expiry key off the committed tip") {
+    import spark.implicits._
+    val table = freshDir("snapwedge2")
+    Snapshot.write((1 to 10).map(i => (s"a$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, tag = "v0")
+    Snapshot.append((11 to 14).map(i => (s"b$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, tag = "v1")
+    def wedge(): Unit =
+      Files.writeString(Paths.get(table).resolve("CURRENT"), "0")
+    // kill window: manifest-v1 committed, CURRENT still points at v0 —
+    // the default read must agree with readByTag on the same table
+    wedge()
+    assert(Snapshot.read(spark, table).count() == 14)
+    assert(Snapshot.readByTag(spark, table, "v1").count() == 14)
+    // compact on a wedged table must compact the COMMITTED tip (v1, all 14
+    // rows), not the stale pointer's v0
+    wedge()
+    Snapshot.compact(spark, table)
+    assert(Snapshot.committedVersion(table).contains(2))
+    assert(Snapshot.read(spark, table).count() == 14)
+    // expiry on a wedged table must protect the committed-but-unpointed
+    // newest snapshot, not delete it while keeping the stale one
+    wedge()
+    val expired = Snapshot.expireSnapshots(table, keep = 1)
+    assert(expired.toSet == Set(0, 1), expired.toString)
+    assert(Files.exists(Paths.get(table).resolve("manifest-v2.json")))
+    assert(Snapshot.read(spark, table).count() == 14)
+    assert(Snapshot.manifestJson(table).contains("\"version\": 2") ||
+      Snapshot.manifestJson(table).nonEmpty)
+  }
+
   test("upsert preserves delta-evolved columns in rewritten chunks") {
     import spark.implicits._
     val table = freshDir("snapevol")

@@ -37,6 +37,24 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(got("bad") == (("bad", 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, false)))
   }
 
+  test("wellFormed: NULL-text vs ''-text duplicates order deterministically (total tie key)") {
+    // both texts hash fingerprint64("") — fp alone ties completely, and the
+    // lag counters would then depend on partition order; tnull (and ts)
+    // complete the key: '' (tnull=false) sorts BEFORE NULL (tnull=true)
+    val rows = Seq(
+      Turn("nn", 0, "user", "x", null, ts(0)),
+      Turn("nn", 1, "assistant", null, null, ts(5)),
+      Turn("nn", 1, "assistant", "", null, ts(3)))
+    def run(parts: Int) = Transcripts.wellFormed(rows.toDF().repartition(parts))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    val one = run(1)
+    assert(one == run(7)) // partition invariance
+    // pinned order is ('' ts3) then (NULL ts5): monotone → 0 regressions;
+    // the flipped order would count 1
+    assert(one == (("nn", 3L, 1L, 0L, 0L, 2L, 1L, 0L, 0L, false)))
+  }
+
   test("repair: blanks dropped, dup idx resolved keep-min, contiguous re-sequencing") {
     val rows = Seq(
       Turn("m", 1, "user", "a", null, ts(10)),
