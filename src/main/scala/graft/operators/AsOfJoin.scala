@@ -45,10 +45,16 @@ object AsOfJoin {
     // null-ts right row would otherwise act as a -infinity match. (A null-ts
     // LEFT row needs no special case: it sorts before every right row and
     // correctly gets a null match, same as SQL's l.ts >= r.ts never-true.)
+    // null-KEY right rows are dropped too: Window.partitionBy groups nulls
+    // together, so an unfiltered null-key right row would match null-key
+    // left rows — but ASOF/equi-join semantics (and the DuckDB oracle's
+    // l.key = r.key) never match on NULL. A null-key LEFT row then sits in
+    // a partition with no right rows and correctly emits null asof_* via
+    // the left-outer path.
     // one right row per (key, ts): greatest seq wins, payload rides the
     // struct-max (field order puts seq first, so struct order == seq order)
     val rightDedup = right
-      .filter(col(tsCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(col(keyCol), col(tsCol))
       .agg(max(struct((seqCol +: payloadCols).map(col): _*)).as("_asof_rp"))
 

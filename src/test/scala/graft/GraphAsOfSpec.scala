@@ -60,6 +60,24 @@ class GraphAsOfSpec extends AnyFunSuite {
     assert(got == Seq((1L, None)))
   }
 
+  test("AsOfJoin.asOf: null KEYS never match (equi semantics, unlike window partitioning)") {
+    // Window.partitionBy groups null keys together — without the right-side
+    // null-key filter, the null-key right row below would "match" the
+    // null-key left row, where SQL ASOF (l.key = r.key) never matches NULL
+    val left = Seq(
+      (1L, Option.empty[Long], ts(10)), // null key: must emit null asof_*
+      (2L, Some(1L), ts(10))            // real key: matches normally
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Option.empty[Long], ts(5), 9.0), // null key: never a match
+      (11L, Some(1L), ts(5), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(11L)))
+  }
+
   test("AsOfJoin.asOf: partition-count invariance") {
     val r = new scala.util.Random(7)
     val left = (0 until 300).map(i =>
