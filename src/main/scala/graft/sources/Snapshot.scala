@@ -72,6 +72,20 @@ object Snapshot {
     require(tag.matches("[A-Za-z0-9._-]*"),
       s"snapshot tag must match [A-Za-z0-9._-]*: '$tag'")
 
+  /** Observed metrics ride INSIDE the `_STAGED` marker ("k=v" lines): a
+    * commit retried after a kill past the staging step would otherwise
+    * re-commit with silently EMPTY metrics (the Observation only fires on
+    * the run that executed the write job). Old "ok" markers parse to an
+    * empty map, preserving resume compatibility. */
+  private def metricsMarker(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+
+  private def markerMetrics(p: Path): Map[String, Long] =
+    Files.readString(p).linesIterator
+      .filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -147,7 +161,6 @@ object Snapshot {
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
-    var observed = Map.empty[String, Long]
 
     // 1. stage (restart from scratch if the marker never landed)
     if (!Files.exists(stagedMarker)) {
@@ -155,12 +168,15 @@ object Snapshot {
       df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks)))
         .write.partitionBy("_chunk").mode("overwrite")
         .parquet(staging.resolve("data").toString)
-      observed = observation.map(_.get.collect {
+      val m = observation.map(_.get.collect {
         case (key, v: Long) => key -> v
         case (key, v: Int) => key -> v.toLong
-      }).getOrElse(Map.empty)
-      Files.writeString(stagedMarker, "ok")
+      }).getOrElse(Map.empty[String, Long])
+      atomicWrite(stagedMarker, metricsMarker(m))
     }
+    // metrics from the marker, not the Observation: on a resumed commit the
+    // write job never re-runs, so only the marker still knows them
+    val observed = markerMetrics(stagedMarker)
 
     // 2. promote chunk dirs (idempotent)
     val dataDir = table.resolve(s"v$k")
@@ -299,18 +315,19 @@ object Snapshot {
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
-    var observed = Map.empty[String, Long]
     if (!Files.exists(stagedMarker)) {
       if (Files.exists(staging)) deleteRecursively(staging)
       df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks)))
         .write.partitionBy("_chunk").mode("overwrite")
         .parquet(staging.resolve("data").toString)
-      observed = observation.map(_.get.collect {
+      val m = observation.map(_.get.collect {
         case (key, v: Long) => key -> v
         case (key, v: Int) => key -> v.toLong
-      }).getOrElse(Map.empty)
-      Files.writeString(stagedMarker, "ok")
+      }).getOrElse(Map.empty[String, Long])
+      atomicWrite(stagedMarker, metricsMarker(m))
     }
+    // see write(): resumed commits recover metrics from the marker
+    val observed = markerMetrics(stagedMarker)
 
     // link every parent data file into v<k> (idempotent)
     val parentDir = table.resolve(s"v$parentVersion")

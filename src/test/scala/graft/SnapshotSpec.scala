@@ -78,14 +78,20 @@ class SnapshotSpec extends AnyFunSuite {
       .findFirst().get()
     Files.move(chunk, staging.resolve("data").resolve(chunk.getFileName),
       StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(staging.resolve("_STAGED"), "ok")
+    // marker carries the first run's observed metrics (k=v lines): the
+    // resumed commit must recover them even though its write job never runs
+    Files.writeString(staging.resolve("_STAGED"), "turns_in=500\nrecords_out=123")
 
     // rerun completes the snapshot: identical table, no dup/missing rows
-    Snapshot.write(df, table, "conv_id", 4, snapshotId = 0)
+    val resumed = Snapshot.write(df, table, "conv_id", 4, snapshotId = 0)
+    assert(resumed == Map("turns_in" -> 500L, "records_out" -> 123L),
+      s"resumed commit must recover metrics from the _STAGED marker, got $resumed")
     val back = Snapshot.read(spark, table)
     assert(back.count() == 500)
     assert(back.select("n").distinct().count() == 500)
-    assert(Files.exists(t.resolve("manifest-v0.json")))
+    val manifest = Snapshot.manifestJson(table).replace(" ", "")
+    assert(manifest.contains("\"records_out\":123"),
+      "recovered metrics must land in the committed manifest")
   }
 
   test("upsert: keyed merge, untouched chunks hard-linked, kill-resume, replay no-op") {
