@@ -203,14 +203,24 @@ object Extraction {
     * the unit of increment: the FSM's state never crosses a conv_id, so an
     * append-only transcript corpus (the realistic case — finished
     * conversations don't mutate) makes incremental == full recompute, which
-    * ExtractionSpec asserts. Returns the committed snapshot's metrics. */
+    * ExtractionSpec asserts. Returns the committed snapshot's metrics.
+    *
+    * `batchTag` (a stable id of the increment, e.g. the ingest day) makes
+    * retries exactly-once: a replay whose tag already committed skips both
+    * the extraction job and the append — without it, a retry issued after
+    * the commit landed would re-extract and append the batch twice (see
+    * `Snapshot.append`'s retry contract). */
   def incrementalCommit(newTurns: Dataset[Turn], tablePath: String,
                         cfg: Config = Config(),
-                        numChunks: Int = 32): Map[String, Long] = {
+                        numChunks: Int = 32,
+                        batchTag: String = ""): Map[String, Long] = {
+    if (batchTag.nonEmpty &&
+        graft.sources.Snapshot.committedTags(tablePath).contains(batchTag))
+      return Map.empty
     val results = extractSkewAware(newTurns, cfg)
     val (observedDf, obs) = observed(results)
     graft.sources.Snapshot.append(observedDf, tablePath, "conv_id", numChunks,
-      observation = Some(obs))
+      observation = Some(obs), tag = batchTag)
   }
 
   def records(results: Dataset[TurnResult]): Dataset[RecordRow] = {

@@ -75,16 +75,47 @@ object Snapshot {
   /** Observed metrics ride INSIDE the `_STAGED` marker ("k=v" lines): a
     * commit retried after a kill past the staging step would otherwise
     * re-commit with silently EMPTY metrics (the Observation only fires on
-    * the run that executed the write job). Old "ok" markers parse to an
-    * empty map, preserving resume compatibility. */
+    * the run that executed the write job). Keys are sanitized of the
+    * framing characters (`=`, newlines) so no metric name can corrupt the
+    * marker, and the reader skips any unparseable line (old "ok" markers
+    * parse to an empty map) — a marker that already landed can never
+    * wedge the resume. */
   private def metricsMarker(m: Map[String, Long]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${k.replaceAll("[=\\r\\n]", "_")}=$v" }.mkString("\n")
 
   private def markerMetrics(p: Path): Map[String, Long] =
     Files.readString(p).linesIterator
-      .filter(_.contains('=')).map { l =>
-        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1).toLong
+      .filter(_.contains('=')).flatMap { l =>
+        val i = l.indexOf('=')
+        l.substring(i + 1).toLongOption.map(l.substring(0, i) -> _)
       }.toMap
+
+  /** Metrics of an already-committed snapshot, recovered from its manifest:
+    * the return value of a commit retried in the post-manifest window
+    * (manifest landed, staging — and its marker — already cleaned) must
+    * still honor the "returns observed metrics" contract. */
+  private def manifestMetrics(table: Path, k: Int): Map[String, Long] = {
+    val metRe = "\"metrics\"\\s*:\\s*\\{([^}]*)\\}".r
+    val kvRe = "\"([^\"]+)\"\\s*:\\s*\"?(-?\\d+)\"?".r
+    metRe.findFirstMatchIn(Files.readString(table.resolve(s"manifest-v$k.json")))
+      .map(m => kvRe.findAllMatchIn(m.group(1))
+        .map(kv => kv.group(1) -> kv.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Lineage parent of a new snapshot `k`: the highest committed version
+    * BELOW it, from the manifests — never the raw CURRENT pointer, which
+    * under-reports on a wedged table (kill between manifest and pointer
+    * swap) and would record a lineage chain that skips the wedged
+    * version. */
+  private def parentOf(table: Path, k: Int): Int = {
+    val verRe = "manifest-v(\\d+)\\.json".r
+    listDir(table)
+      .flatMap(p => verRe.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt))
+      .filter(_ < k).sorted.lastOption.getOrElse(-1)
+  }
 
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -157,7 +188,9 @@ object Snapshot {
     // with the wedged version's manifest, silently dropping this df
     val k = if (snapshotId >= 0) snapshotId
             else recoverCommitted(table).getOrElse(-1) + 1
-    if (finishCommitted(table, k)) return Map.empty // already committed
+    // already committed: the staging marker is gone, but the manifest still
+    // knows the metrics — honor the return contract on replays too
+    if (finishCommitted(table, k)) return manifestMetrics(table, k)
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
@@ -192,7 +225,7 @@ object Snapshot {
 
     // 3+4. manifest (= the commit, per-chunk lineage from parquet footers
     // only), pointer swap, staging cleanup
-    commitManifest(spark, table, k, currentVersion(table).getOrElse(-1),
+    commitManifest(spark, table, k, parentOf(table, k),
       chunkKey, numChunks, observed, tag, Nil)
     observed
   }
@@ -297,7 +330,16 @@ object Snapshot {
     * self-contained, so time travel, compaction, and expiry are unchanged
     * (expiring an old snapshot unlinks its directory; shared file inodes
     * survive in newer versions). Same staged protocol: kill-safe at every
-    * step, manifest commits last. */
+    * step, manifest commits last.
+    *
+    * Retry contract: a rerun resumes the SAME in-flight version, but once
+    * the manifest has landed the append is committed — a blind re-invoke
+    * then starts a NEW version and duplicates the batch (unlike `write`,
+    * append has no fixed snapshot id to collide on). Exactly-once retries
+    * therefore need the `tag` handshake: pass a stable batch tag and gate
+    * the retry on [[committedTags]], as every shipped caller does
+    * (`StreamingSnapshot.append`, `Dedup.incremental*`,
+    * `Extraction.incrementalCommit`). */
   def append(df: DataFrame, tablePath: String, chunkKey: String,
              numChunks: Int,
              observation: Option[org.apache.spark.sql.Observation] = None,
@@ -311,7 +353,7 @@ object Snapshot {
       return write(df, tablePath, chunkKey, numChunks,
         observation = observation, tag = tag))
     val k = parentVersion + 1
-    if (finishCommitted(table, k)) return Map.empty
+    if (finishCommitted(table, k)) return manifestMetrics(table, k)
 
     val staging = table.resolve(s"_staging-v$k")
     val stagedMarker = staging.resolve("_STAGED")
@@ -403,7 +445,17 @@ object Snapshot {
     val parentVersion = recoverCommitted(table).getOrElse(
       throw new IllegalStateException(s"$opName needs a committed snapshot at $tablePath"))
     val k = parentVersion + 1
-    if (finishCommitted(table, k)) return Map.empty
+    if (finishCommitted(table, k)) {
+      // replay of a completed commit: recover the return contract's chunk
+      // counts from the manifest it committed
+      val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+      val rewritten = "\"rewritten_chunks\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(m).map(_.group(1).split(",").count(_.trim.nonEmpty))
+        .getOrElse(0)
+      val total = listDir(table.resolve(s"v$k"))
+        .count(_.getFileName.toString.startsWith("_chunk=")).toLong
+      return Map("rewritten_chunks" -> rewritten.toLong, "total_chunks" -> total)
+    }
 
     val m = manifestJson(tablePath, parentVersion)
     val chunkKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(m)
@@ -450,7 +502,10 @@ object Snapshot {
         .write.partitionBy("_chunk").mode("overwrite")
         .parquet(staging.resolve("data").toString)
       Files.writeString(touchedFile, touched.mkString(","))
-      Files.writeString(stagedMarker, "ok")
+      // marker lands atomically and strictly after _TOUCHED: a kill at any
+      // point either leaves no marker (rerun restages from scratch) or a
+      // complete marker + touched list (rerun promotes)
+      atomicWrite(stagedMarker, "ok")
     }
     val touched = Files.readString(touchedFile).split(",")
       .filter(_.nonEmpty).map(_.toLong).toSet

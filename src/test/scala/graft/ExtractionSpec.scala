@@ -132,6 +132,19 @@ class ExtractionSpec extends AnyFunSuite {
     val day1 = graft.sources.Snapshot.read(spark, table, version = 0)
       .select("conv_id").distinct().collect().map(_.getString(0)).toSet
     assert(day1.forall(_ < "conv00000020") && day1.nonEmpty)
+
+    // tagged retry is exactly-once: a replayed batch tag skips extraction
+    // and append entirely — no third version, table unchanged
+    Extraction.incrementalCommit(
+      all.filter(col("conv_id") >= "conv00000020"), table, cfg,
+      numChunks = 4, batchTag = "day2")
+    assert(graft.sources.Snapshot.committedTags(table).contains("day2"))
+    val v2rows = graft.sources.Snapshot.read(spark, table).count()
+    val replay = Extraction.incrementalCommit(
+      all.filter(col("conv_id") >= "conv00000020"), table, cfg,
+      numChunks = 4, batchTag = "day2")
+    assert(replay.isEmpty, "replayed tag must be a no-op")
+    assert(graft.sources.Snapshot.read(spark, table).count() == v2rows)
   }
 
   test("stripHtml stage: pipeline on raw == oracle on stripped turns") {

@@ -27,9 +27,18 @@ class SnapshotSpec extends AnyFunSuite {
     val manifest = Snapshot.manifestJson(table)
     assert(manifest.contains("\"rows_in\":1000"))
     assert(manifest.contains("\"chunks\""))
-    // re-invoking the same snapshot id is a committed no-op
-    assert(Snapshot.write(df0, table, "conv_id", 5, snapshotId = 0).isEmpty)
+    // re-invoking the same snapshot id is a committed no-op that still
+    // honors the metrics return contract (recovered from the manifest)
+    assert(Snapshot.write(df0, table, "conv_id", 5, snapshotId = 0) ==
+      Map("rows_in" -> 1000L))
     assert(Snapshot.read(spark, table).count() == 1000)
+
+    // a metric key carrying the marker framing chars must neither corrupt
+    // the marker nor wedge a resumed commit (keys are sanitized)
+    val obs2 = org.apache.spark.sql.Observation("m2")
+    val df2 = df0.observe(obs2, count(lit(1)).as("rows=all"))
+    val m2 = Snapshot.write(df2, table, "conv_id", 5, observation = Some(obs2))
+    assert(m2 == Map("rows_all" -> 1000L), s"sanitized key expected, got $m2")
   }
 
   test("compact: one file per chunk, identical content, expiry keeps CURRENT readable") {
@@ -202,6 +211,17 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, table).count() == 20)
     assert(Snapshot.read(spark, table, version = 0).count() == 10)
     assert(Snapshot.manifestJson(table).contains("\"parent\":0"))
+
+    // lineage parent comes from the committed manifests, not CURRENT: an
+    // explicit-snapshot-id write onto a wedged table (CURRENT left behind
+    // by a kill before the pointer swap) must not skip the wedged version
+    val t = Paths.get(table)
+    Files.writeString(t.resolve("CURRENT"), "0") // wedge: manifest-v1 committed, pointer stale
+    Snapshot.write((1 to 5).map(i => (s"c$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2, snapshotId = 2)
+    assert(Snapshot.manifestJson(table, 2).contains("\"parent\":1"),
+      "parent must be the committed tip below k, not the stale CURRENT")
+    assert(Snapshot.read(spark, table).count() == 5)
   }
 
   test("Dedup.incrementalExact: daily batches dedup against history; replay is a no-op") {
