@@ -117,6 +117,159 @@ object Snapshot {
       .filter(_ < k).sorted.lastOption.getOrElse(-1)
   }
 
+  // ---------------------------------------------------------------- stats
+  // Per-FILE column statistics, Iceberg-style: rows + min/max/null-count per
+  // column, read from the parquet FOOTERS at commit time (metadata-only — no
+  // data page is ever decoded) and recorded in the manifest as an array of
+  // flat JSON objects. Hard-linked files (delta appends, untouched
+  // copy-on-write chunks) reuse their parent manifest's entries verbatim, so
+  // an append to a 10^12-row table reads only the NEW files' footers.
+  // [[readWhere]] prunes files against these stats before the scan ever
+  // lists them — the manifest-level data skipping that makes "last 3 days"
+  // queries on an append-only corpus read 3 days, not the whole table.
+
+  /** min/max encoding: "long"/"double" = decimal; "string" = lowercase hex
+    * of the UTF-8 bytes, truncated to [[StatsMaxBytes]] with the parquet
+    * bound-preserving adjustment (prefix for min; prefix with the last
+    * non-0xFF byte incremented for max). `hasNonNull = false` means the
+    * file is all-null for the column (min/max empty, every range predicate
+    * prunes it). */
+  private case class ColStat(t: String, min: String, max: String,
+                             nulls: Long, hasNonNull: Boolean)
+
+  private val StatsMaxBytes = 48
+
+  private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Truncated UPPER bound for a byte-ordered max: prefix with its last
+    * non-0xFF byte incremented (the suffix after it drops). None when every
+    * byte is 0xFF — the caller drops the stat rather than record an
+    * incorrect bound. */
+  private def truncateUpper(bs: Array[Byte]): Option[Array[Byte]] = {
+    if (bs.length <= StatsMaxBytes) return Some(bs)
+    val p = bs.take(StatsMaxBytes)
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else Some(java.util.Arrays.copyOf(p, i + 1).updated(i, (p(i) + 1).toByte))
+  }
+
+  /** Footer scan of one parquet file: (row count, per-column stats).
+    * Columns whose physical type has no byte-comparable stat mapping —
+    * or whose footer carries no usable statistics — are simply absent
+    * (absent = unpruneable, never unsafe). */
+  private def footerFileStats(file: Path): (Long, Seq[(String, ColStat)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+      (rows, byCol.toSeq.sortBy(_._1).flatMap { case (name, chunks) =>
+        colStatOf(chunks).map(name -> _)
+      })
+    } finally rd.close()
+  }
+
+  private def colStatOf(
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+      : Option[ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val prim = chunks.head.getPrimitiveType
+    val tag = prim.getPrimitiveTypeName match {
+      case INT64 | INT32 => "long" // incl. timestamp micros / date days
+      case DOUBLE | FLOAT => "double"
+      case BINARY if prim.getLogicalTypeAnnotation
+        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
+      case _ => return None
+    }
+    val sts = chunks.map(_.getStatistics)
+    // any row group with neither value bounds nor a null count ⇒ unknown
+    if (sts.exists(s => s == null || (!s.hasNonNullValue && s.getNumNulls < 0)))
+      return None
+    val nulls = sts.map(s => math.max(0L, s.getNumNulls)).sum
+    val valued = sts.filter(_.hasNonNullValue)
+    if (valued.isEmpty) return Some(ColStat(tag, "", "", nulls, hasNonNull = false))
+    tag match {
+      case "long" =>
+        val mins = valued.map(_.genericGetMin.asInstanceOf[Number].longValue)
+        val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].longValue)
+        Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true))
+      case "double" =>
+        val mins = valued.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
+        val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
+        if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
+        else Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true))
+      case "string" =>
+        val ord = (a: Array[Byte], b: Array[Byte]) =>
+          java.util.Arrays.compareUnsigned(a, b)
+        val mins = valued.map(_.genericGetMin
+          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        val maxs = valued.map(_.genericGetMax
+          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        val mn = mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
+        val mx = maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
+        truncateUpper(mx).map(up =>
+          ColStat(tag, hex(mn.take(StatsMaxBytes)), hex(up), nulls, true))
+    }
+  }
+
+  /** Flat JSON entries for one file: a rows record plus one record per
+    * column stat. Field order is pinned so parent-manifest reuse re-renders
+    * byte-identically. */
+  private def statsEntries(fileKey: String, rows: Long,
+                           cols: Seq[(String, ColStat)]): Seq[String] =
+    Json.obj("file" -> Json.str(fileKey), "rows" -> Json.str(rows.toString)) +:
+    cols.map { case (c, s) =>
+      Json.obj("file" -> Json.str(fileKey), "col" -> Json.str(c),
+        "t" -> Json.str(s.t), "min" -> Json.str(s.min), "max" -> Json.str(s.max),
+        "nulls" -> Json.str(s.nulls.toString),
+        "nn" -> Json.str(if (s.hasNonNull) "1" else "0"))
+    }
+
+  /** Balanced `"filestats":[...]` slice of a manifest (escape-aware; the
+    * stat values of string columns may contain any character). Empty array
+    * for pre-stats manifests. */
+  private def fileStatsArrayText(manifestText: String): String = {
+    val idx = manifestText.indexOf("\"filestats\":")
+    if (idx < 0) return "[]"
+    var i = idx + "\"filestats\":".length
+    val start = i
+    var depth = 0; var inStr = false; var esc = false
+    while (i < manifestText.length) {
+      val c = manifestText(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) return manifestText.substring(start, i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    "[]"
+  }
+
+  /** Parsed filestats of a committed manifest, grouped per file key
+    * (`<chunk>/<filename>`), entry order preserved. */
+  private def parsedFileStats(table: Path, k: Int): Map[String, Seq[Map[String, String]]] = {
+    val mf = table.resolve(s"manifest-v$k.json")
+    if (!Files.exists(mf)) return Map.empty
+    Json.parseFlatObjects(fileStatsArrayText(Files.readString(mf)))
+      .groupBy(_("file"))
+  }
+
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -138,21 +291,48 @@ object Snapshot {
     true
   }
 
-  /** Shared commit tail of write/append/cowRewrite: per-chunk lineage from
-    * the promoted data dir, manifest (the commit point), CURRENT swap,
-    * staging cleanup. `extraFields` go into the manifest verbatim. */
-  private def commitManifest(spark: SparkSession, table: Path, k: Int,
+  /** Shared commit tail of write/append/cowRewrite: per-chunk lineage +
+    * per-file column stats from the promoted data dir, manifest (the commit
+    * point), CURRENT swap, staging cleanup. `extraFields` go into the
+    * manifest verbatim.
+    *
+    * Rows and stats come from parquet FOOTERS, never a data scan — and a
+    * file already present in the parent manifest (hard-linked by append /
+    * copy-on-write, same `<chunk>/<name>` key: names are version-prefixed
+    * so a reused name is the same inode) re-renders its parent entries
+    * without touching the file at all. A delta append to an arbitrarily
+    * large table therefore costs footer reads for its NEW files only. */
+  private def commitManifest(table: Path, k: Int,
                              parent: Int, chunkKey: String, numChunks: Int,
                              observed: Map[String, Long],
                              tag: String,
                              extraFields: Seq[(String, String)]): Unit = {
     val dataDir = table.resolve(s"v$k")
-    val perChunk = spark.read.parquet(dataDir.toString)
-      .groupBy(col("_chunk")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chunkJson = perChunk.toSeq.sortBy(_._1).map { case (c, rows) =>
-      val files = listDir(dataDir.resolve(s"_chunk=$c"))
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+    val parentStats =
+      if (parent >= 0) parsedFileStats(table, parent) else Map.empty[String, Seq[Map[String, String]]]
+    val chunkIds = listDir(dataDir).map(_.getFileName.toString)
+      .filter(_.startsWith("_chunk=")).map(_.stripPrefix("_chunk=").toLong).sorted
+    val statEntryOrder = Seq("file", "rows", "col", "t", "min", "max", "nulls", "nn")
+    val allEntries = scala.collection.mutable.ArrayBuffer[String]()
+    val chunkJson = chunkIds.map { c =>
+      val dir = dataDir.resolve(s"_chunk=$c")
+      val files = listDir(dir).map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      var rows = 0L
+      files.foreach { f =>
+        val key = s"$c/$f"
+        parentStats.get(key) match {
+          case Some(entries) if entries.exists(_.contains("rows")) =>
+            rows += entries.iterator.flatMap(_.get("rows")).next().toLong
+            allEntries ++= entries.map(e => Json.obj(
+              statEntryOrder.collect { case fld if e.contains(fld) =>
+                fld -> Json.str(e(fld)) }: _*))
+          case _ =>
+            val (r, cols) = footerFileStats(dir.resolve(f))
+            rows += r
+            allEntries ++= statsEntries(key, r, cols)
+        }
+      }
       c.toString -> Json.obj(
         "rows" -> rows.toString,
         "files" -> Json.arr(files.map(Json.str)))
@@ -165,6 +345,7 @@ object Snapshot {
         "num_chunks" -> numChunks.toString,
         "metrics" -> Json.obj(observed.toSeq.sortBy(_._1)
           .map { case (key, v) => key -> v.toString }: _*),
+        "filestats" -> Json.arr(allEntries),
         "chunks" -> Json.obj(chunkJson: _*))
     atomicWrite(table.resolve(s"manifest-v$k.json"), Json.obj(fields: _*))
     if (currentVersion(table).getOrElse(-1) < k)
@@ -225,7 +406,7 @@ object Snapshot {
 
     // 3+4. manifest (= the commit, per-chunk lineage from parquet footers
     // only), pointer swap, staging cleanup
-    commitManifest(spark, table, k, parentOf(table, k),
+    commitManifest(table, k, parentOf(table, k),
       chunkKey, numChunks, observed, tag, Nil)
     observed
   }
@@ -246,6 +427,168 @@ object Snapshot {
         throw new IllegalStateException(s"no committed snapshot at $tablePath"))
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(table.resolve(s"v$k").toString).drop("_chunk")
+  }
+
+  /** Read with manifest-level data skipping: whole FILES are pruned against
+    * the per-file column stats recorded at commit time, before the scan ever
+    * lists them, then `predicate` applies as a normal residual filter (so
+    * the result is always exactly `read(...).filter(predicate)`). Pruning
+    * handles `And`/`Or` of `=`, `<`, `<=`, `>`, `>=`, `IN`, `IS [NOT] NULL`
+    * over stat-typed columns (integral/date/timestamp, floating, string);
+    * any other sub-predicate simply keeps the file (absent stat = never
+    * unsafe). This is what makes "last 3 days" on an append-only 10^12-row
+    * corpus read 3 days of files, not the whole table: appended files carry
+    * tight min/max on their ingest keys, and the prune is a pure manifest
+    * read — no footer, no task, no listing of pruned chunks. */
+  def readWhere(spark: SparkSession, tablePath: String,
+                predicate: org.apache.spark.sql.Column, version: Int = -1,
+                mergeSchema: Boolean = false): DataFrame = {
+    val table = Paths.get(tablePath)
+    val k = if (version >= 0) version
+      else recoverCommitted(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    val dataDir = table.resolve(s"v$k")
+    val (kept, total) = pruneFiles(table, k, predicate)
+    val rd = spark.read.option("mergeSchema", mergeSchema.toString)
+    val base =
+      if (kept.size == total) rd.parquet(dataDir.toString)
+      else if (kept.isEmpty) rd.parquet(dataDir.toString).where(lit(false))
+      else rd.option("basePath", dataDir.toString)
+        .parquet(kept.map(_.toString): _*)
+    base.drop("_chunk").filter(predicate)
+  }
+
+  /** The prune decision behind [[readWhere]], exposed for tests and
+    * observability: (surviving parquet files, total file count) of version
+    * `k` under `predicate`. Files without recorded stats always survive. */
+  private[graft] def pruneFiles(table: Path, k: Int,
+                                predicate: org.apache.spark.sql.Column): (Seq[Path], Int) = {
+    val stats = parsedFileStats(table, k)
+    val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
+    val dataDir = table.resolve(s"v$k")
+    val all = listDir(dataDir)
+      .filter(_.getFileName.toString.startsWith("_chunk=")).sortBy(_.toString)
+      .flatMap { cd =>
+        val c = cd.getFileName.toString.stripPrefix("_chunk=")
+        listDir(cd).filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.toString).map(f => (s"$c/${f.getFileName}", f))
+      }
+    val kept = all.collect {
+      case (key, f) if stats.get(key).forall(es => fileSurvives(expr, colStatsFor(es))) => f
+    }
+    (kept, all.size)
+  }
+
+  private def colStatsFor(entries: Seq[Map[String, String]]): Map[String, ColStat] =
+    entries.filter(_.contains("col")).map { e =>
+      e("col") -> ColStat(e("t"), e("min"), e("max"), e("nulls").toLong, e("nn") == "1")
+    }.toMap
+
+  /** Conservative stats evaluation: true = the file MAY contain a matching
+    * row (keep), false = provably cannot (prune). Unknown shapes keep. */
+  private def fileSurvives(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                           colStats: Map[String, ColStat]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(a: Expression): Option[String] = a match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case r: AttributeReference => Some(r.name)
+      case _ => None
+    }
+    def stat(a: Expression): Option[ColStat] = name(a).flatMap(colStats.get)
+    // survive test for `col <op> literal`: keepIf(cmpMin, cmpMax) over the
+    // literal-vs-bound comparisons; absent stat or uncomparable literal keeps
+    def range(a: Expression, l: Literal)(keepIf: (Int, Int) => Boolean): Boolean =
+      stat(a).forall { s =>
+        if (l.value == null) true // null-literal comparisons: let Spark filter
+        else if (!s.hasNonNull) false // all-null file: no comparison matches
+        else cmpBounds(s, l.value).forall { case (cmpMin, cmpMax) =>
+          keepIf(cmpMin, cmpMax) }
+      }
+    e match {
+      // Column-DSL predicates arrive as unresolved function applications
+      // (the ColumnNode converter does not resolve operators); SQL-parsed
+      // predicates (`expr("ts >= 5")`) arrive as the catalyst nodes below.
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.sizeIs == 1 =>
+        def fs(x: Expression) = fileSurvives(x, colStats)
+        (f.nameParts.head, f.arguments) match {
+          case ("and", Seq(l, r)) => fs(l) && fs(r)
+          case ("or", Seq(l, r)) => fs(l) || fs(r)
+          case ("=" | "==", Seq(a, l: Literal)) =>
+            range(a, l)((mn, mx) => mn >= 0 && mx <= 0)
+          case ("=" | "==", Seq(l: Literal, a)) =>
+            range(a, l)((mn, mx) => mn >= 0 && mx <= 0)
+          case (">", Seq(a, l: Literal)) => range(a, l)((_, mx) => mx < 0)
+          case (">", Seq(l: Literal, a)) => range(a, l)((mn, _) => mn > 0)
+          case (">=", Seq(a, l: Literal)) => range(a, l)((_, mx) => mx <= 0)
+          case (">=", Seq(l: Literal, a)) => range(a, l)((mn, _) => mn >= 0)
+          case ("<", Seq(a, l: Literal)) => range(a, l)((mn, _) => mn > 0)
+          case ("<", Seq(l: Literal, a)) => range(a, l)((_, mx) => mx < 0)
+          case ("<=", Seq(a, l: Literal)) => range(a, l)((mn, _) => mn >= 0)
+          case ("<=", Seq(l: Literal, a)) => range(a, l)((_, mx) => mx <= 0)
+          case ("in", a +: vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            vs.exists(v => range(a, v.asInstanceOf[Literal])(
+              (mn, mx) => mn >= 0 && mx <= 0))
+          case ("isNull", Seq(a)) => stat(a).forall(_.nulls > 0)
+          case ("isNotNull", Seq(a)) => stat(a).forall(_.hasNonNull)
+          case _ => true
+        }
+      case And(l, r) => fileSurvives(l, colStats) && fileSurvives(r, colStats)
+      case Or(l, r) => fileSurvives(l, colStats) || fileSurvives(r, colStats)
+      case EqualTo(a, l: Literal) => range(a, l)((mn, mx) => mn >= 0 && mx <= 0)
+      case EqualTo(l: Literal, a) => range(a, l)((mn, mx) => mn >= 0 && mx <= 0)
+      case GreaterThan(a, l: Literal) => range(a, l)((_, mx) => mx < 0)
+      case GreaterThan(l: Literal, a) => range(a, l)((mn, _) => mn > 0) // a < l
+      case GreaterThanOrEqual(a, l: Literal) => range(a, l)((_, mx) => mx <= 0)
+      case GreaterThanOrEqual(l: Literal, a) => range(a, l)((mn, _) => mn >= 0)
+      case LessThan(a, l: Literal) => range(a, l)((mn, _) => mn > 0)
+      case LessThan(l: Literal, a) => range(a, l)((_, mx) => mx < 0) // a > l
+      case LessThanOrEqual(a, l: Literal) => range(a, l)((mn, _) => mn >= 0)
+      case LessThanOrEqual(l: Literal, a) => range(a, l)((_, mx) => mx <= 0)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => range(a, v.asInstanceOf[Literal])((mn, mx) => mn >= 0 && mx <= 0))
+      case IsNull(a) => stat(a).forall(_.nulls > 0)
+      case IsNotNull(a) => stat(a).forall(_.hasNonNull)
+      case _ => true
+    }
+  }
+
+  /** (compare(lit, min), compare(lit, max)) in the stat's value order, or
+    * None when the literal's runtime type doesn't map onto the stat type
+    * (then nothing prunes). String bounds are the stored conservative
+    * prefixes, so the comparisons stay sound under truncation. */
+  private def cmpBounds(s: ColStat, v: Any): Option[(Int, Int)] = s.t match {
+    case "long" =>
+      val lv = v match {
+        case n: Long => Some(n)
+        case n: Int => Some(n.toLong)
+        case n: Short => Some(n.toLong)
+        case n: Byte => Some(n.toLong)
+        case _ => None
+      }
+      lv.map(n => (java.lang.Long.compare(n, s.min.toLong),
+                   java.lang.Long.compare(n, s.max.toLong)))
+    case "double" =>
+      val dv = v match {
+        case n: Double => Some(n)
+        case n: Float => Some(n.toDouble)
+        case n: Long => Some(n.toDouble)
+        case n: Int => Some(n.toDouble)
+        case _ => None
+      }
+      dv.filterNot(_.isNaN).map(n =>
+        (java.lang.Double.compare(n, s.min.toDouble),
+         java.lang.Double.compare(n, s.max.toDouble)))
+    case "string" =>
+      val bv = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+        case str: String => Some(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }
+      bv.map(b => (java.util.Arrays.compareUnsigned(b, unhex(s.min)),
+                   java.util.Arrays.compareUnsigned(b, unhex(s.max))))
+    case _ => None
   }
 
   /** Time travel by TAG: read the snapshot whose manifest carries `tag`
@@ -399,7 +742,7 @@ object Snapshot {
             }
         }
 
-    commitManifest(spark, table, k, parentVersion, chunkKey, numChunks,
+    commitManifest(table, k, parentVersion, chunkKey, numChunks,
       observed, tag, Seq("append" -> "true"))
     observed
   }
@@ -542,7 +885,7 @@ object Snapshot {
             }
         }
 
-    commitManifest(spark, table, k, parentVersion, chunkKey, numChunks,
+    commitManifest(table, k, parentVersion, chunkKey, numChunks,
       Map.empty, tag, Seq(opName -> "true",
         "rewritten_chunks" -> Json.arr(touched.toSeq.sorted.map(_.toString))))
     val totalChunks = listDir(dataDir)

@@ -10,6 +10,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode→catalyst conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper whose tree is the sql-api ColumnNode
+    * graph, useless for structural inspection; this converter produces the
+    * real catalyst nodes (`GreaterThanOrEqual`, `In`, …) that metadata-level
+    * predicate evaluation (snapshot file pruning) pattern-matches on. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `AbstractDataType` is private[sql] in Spark 4, but `ExpectsInputTypes.
     * inputTypes` (the analysis-time input contract custom aggregates must
     * override to get implicit casts instead of executor-side

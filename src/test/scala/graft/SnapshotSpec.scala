@@ -414,4 +414,86 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(hist == Seq((0, "b10", "rows_in", 10L), (1, "b7", "rows_in", 7L)))
   }
+
+  test("readWhere: manifest stats prune appended files; result equals full filter") {
+    import spark.implicits._
+    val table = freshDir("statsprune") + "/t"
+    // three "daily" append batches with disjoint ts ranges — appended files
+    // carry tight per-file min/max on ts, so a recency predicate must prune
+    // earlier days' files without listing or opening them
+    def day(d: Int) = (0 until 200).map { i =>
+      (s"c${i % 7}", d * 1000L + i, s"day$d-t$i", if (i % 5 == 0) null else s"u${i % 13}")
+    }.toDF("conv_id", "ts", "text", "user")
+    (0 to 2).foreach(d => Snapshot.append(day(d), table, "conv_id", 4, tag = s"d$d"))
+
+    val tablePath = Paths.get(table)
+    def prunedCount(pred: org.apache.spark.sql.Column): (Int, Int) = {
+      val (kept, total) = Snapshot.pruneFiles(tablePath, 2, pred)
+      (kept.size, total)
+    }
+    // recency filter: only day-2 files survive the manifest prune
+    val (k1, total) = prunedCount(col("ts") >= 2000L)
+    assert(total > k1 && k1 > 0, s"expected a strict prune, got $k1/$total")
+    val got = Snapshot.readWhere(spark, table, col("ts") >= 2000L)
+      .as[(String, Long, String, String)].collect().sorted.toSeq
+    val want = Snapshot.read(spark, table).filter(col("ts") >= 2000L)
+      .as[(String, Long, String, String)].collect().sorted.toSeq
+    assert(got == want && got.size == 200)
+
+    // equality + IN on the string column; conjunction tightens the prune
+    val (k2, _) = prunedCount(col("text") === "day1-t5")
+    assert(k2 < total)
+    assert(Snapshot.readWhere(spark, table, col("text") === "day1-t5").count() == 1)
+    assert(Snapshot.readWhere(spark, table,
+      col("text").isin("day0-t3", "day2-t4") && col("ts") < 900L).count() == 1)
+
+    // impossible range: zero files survive, result is empty but well-typed
+    val (k3, _) = prunedCount(col("ts") > 99999L)
+    assert(k3 == 0)
+    val empty = Snapshot.readWhere(spark, table, col("ts") > 99999L)
+    assert(empty.count() == 0 &&
+      empty.columns.toSet == Set("conv_id", "ts", "text", "user"))
+
+    // null-count stats: ts has no nulls → IS NULL prunes everything;
+    // user has nulls → nothing prunes, result matches the residual filter
+    assert(prunedCount(col("ts").isNull)._1 == 0)
+    assert(Snapshot.readWhere(spark, table, col("user").isNull).count() ==
+      Snapshot.read(spark, table).filter(col("user").isNull).count())
+
+    // OR keeps the union of both sides' files; unknown predicate shapes
+    // (contains) keep everything — conservative, never unsafe
+    val (kOr, _) = prunedCount(col("ts") < 100L || col("ts") >= 2100L)
+    assert(kOr >= k1 && kOr < total)
+    assert(prunedCount(col("text").contains("day"))._1 == total)
+    val orGot = Snapshot.readWhere(spark, table,
+      col("ts") < 100L || col("ts") >= 2100L).count()
+    assert(orGot == Snapshot.read(spark, table)
+      .filter(col("ts") < 100L || col("ts") >= 2100L).count())
+  }
+
+  test("readWhere stats survive compaction and upsert rewrites") {
+    import spark.implicits._
+    val table = freshDir("statscow") + "/t"
+    def batch(d: Int) = (0 until 100).map(i => (s"c${i % 5}", d * 1000L + i))
+      .toDF("conv_id", "ts")
+    (0 to 1).foreach(d => Snapshot.append(batch(d), table, "conv_id", 4, tag = s"d$d"))
+    // upsert rewrites only the touched chunks; untouched chunks hard-link and
+    // must REUSE their parent stats (same file key) — prune still works
+    Snapshot.upsert(Seq(("c0", 50L)).toDF("conv_id", "ts"), table)
+    val v = Snapshot.committedVersion(table).get
+    val (kept, total) = Snapshot.pruneFiles(Paths.get(table), v, col("ts") >= 1000L)
+    assert(kept.size < total, s"prune lost after upsert: $kept/$total")
+    val got = Snapshot.readWhere(spark, table, col("ts") >= 1000L).count()
+    assert(got == Snapshot.read(spark, table).filter(col("ts") >= 1000L).count())
+    // compaction rewrites every file (one per hash chunk, so each spans all
+    // days — range prunes keep them all); fresh footers must still re-derive
+    // stats: an out-of-range predicate prunes every rewritten file
+    Snapshot.compact(spark, table)
+    val v2 = Snapshot.committedVersion(table).get
+    val (kept2, total2) = Snapshot.pruneFiles(Paths.get(table), v2, col("ts") > 99999L)
+    assert(total2 > 0 && kept2.isEmpty,
+      s"compacted files missing stats: ${kept2.size}/$total2 kept")
+    assert(Snapshot.readWhere(spark, table, col("ts") < 1000L).count() ==
+      Snapshot.read(spark, table).filter(col("ts") < 1000L).count())
+  }
 }
