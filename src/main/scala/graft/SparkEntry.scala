@@ -663,6 +663,29 @@ object SparkEntry {
           graft.expressions.TextHashExpressions.fingerprint64(col("text")).as("fp"))
     }),
 
+    // manifest-level data skipping: one snapshot write + four delta appends,
+    // one per event_type, so every data file carries a SINGLE event_type in
+    // its manifest stats; readWhere prunes non-matching files from the
+    // manifest alone (no footer, no listing) and re-applies the predicate
+    // as the residual filter — pruning must be output-invisible, so the
+    // oracle is the plain WHERE over the source table
+    "q_snapshot_prune" -> ((s, d) => {
+      val dir = s"$FixtureDir/prune_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      graft.sources.Snapshot.write(
+        ev.filter(col("event_type") === types.head), s"$dir/events", "user_id", 4)
+      types.tail.foreach(ty => graft.sources.Snapshot.append(
+        ev.filter(col("event_type") === ty), s"$dir/events", "user_id", 4,
+        tag = s"t-$ty"))
+      graft.sources.Snapshot.readWhere(s, s"$dir/events",
+        col("event_type").isin("purchase", "signup") && col("value") >= 10.0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          ppm(col("value")).as("value_ppm"))
+    }),
+
     // incremental NEAR-dup: even-id docs seed the signature table, odd-id
     // docs arrive as the next batch; emits that batch's (new, dup_of,
     // jaccard) pairs. The table is rebuilt from scratch each run (tag
@@ -2928,6 +2951,14 @@ FROM e$BpeMerges""",
           FROM documents WHERE doc_id % 9 <> 0),
           ${Osql.mixCtes("dl", "x")}
           SELECT doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM dld""",
+
+    // data-skipping oracle: the plain WHERE over the source table — file
+    // pruning must be invisible in the output
+    "q_snapshot_prune" ->
+      """SELECT event_id, user_id, event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_ppm
+         FROM events
+         WHERE event_type IN ('purchase', 'signup') AND value >= 10.0""",
 
     // salted-join oracle: the PLAIN inner join — salting must be invisible
     // in the output
