@@ -353,13 +353,34 @@ object Snapshot {
     deleteRecursively(table.resolve(s"_staging-v$k"))
   }
 
+  /** Clustered staging plan (Iceberg write-ordered-by): one exchange ON the
+    * chunk id (each chunk lands in exactly one task), rows sorted by
+    * (chunk, clusterBy…) within it, and `maxRecordsPerFile` splitting the
+    * sorted run into sequential files — so every file covers a DISJOINT
+    * clusterBy range and the manifest stats make [[readWhere]] range
+    * predicates prune inside every chunk, at no file-count explosion (file
+    * count still tracks rows/rowsPerFile, not buckets × chunks). */
+  private def stageClustered(chunked: DataFrame, numChunks: Int,
+                             clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.isEmpty) chunked
+    else chunked.repartition(numChunks, col("_chunk"))
+      .sortWithinPartitions(col("_chunk") +: clusterBy.map(col): _*)
+
   /** Write `df` as snapshot `snapshotId` of `tablePath`, chunked by
     * `pmod(xxhash64(chunkKey), numChunks)`. Safe to re-invoke after a kill at
-    * any point; a completed snapshot is a no-op. Returns observed metrics. */
+    * any point; a completed snapshot is a no-op. Returns observed metrics.
+    *
+    * `clusterBy` sorts rows by the given columns within each chunk and
+    * `rowsPerFile > 0` splits the sorted run into that many rows per file —
+    * together they give each data file a tight, disjoint min/max range on
+    * the cluster columns, which is what makes [[readWhere]] prune range
+    * predicates on NON-chunk columns (recency scans on a key-chunked
+    * table). */
   def write(df: DataFrame, tablePath: String, chunkKey: String,
             numChunks: Int, snapshotId: Int = -1,
             observation: Option[org.apache.spark.sql.Observation] = None,
-            tag: String = ""): Map[String, Long] = {
+            tag: String = "", clusterBy: Seq[String] = Nil,
+            rowsPerFile: Long = 0): Map[String, Long] = {
     requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
@@ -379,8 +400,11 @@ object Snapshot {
     // 1. stage (restart from scratch if the marker never landed)
     if (!Files.exists(stagedMarker)) {
       if (Files.exists(staging)) deleteRecursively(staging)
-      df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks)))
-        .write.partitionBy("_chunk").mode("overwrite")
+      val staged = stageClustered(
+        df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks))),
+        numChunks, clusterBy)
+      val w = staged.write.partitionBy("_chunk").mode("overwrite")
+      (if (rowsPerFile > 0) w.option("maxRecordsPerFile", rowsPerFile) else w)
         .parquet(staging.resolve("data").toString)
       val m = observation.map(_.get.collect {
         case (key, v: Long) => key -> v
@@ -686,7 +710,8 @@ object Snapshot {
   def append(df: DataFrame, tablePath: String, chunkKey: String,
              numChunks: Int,
              observation: Option[org.apache.spark.sql.Observation] = None,
-             tag: String = ""): Map[String, Long] = {
+             tag: String = "", clusterBy: Seq[String] = Nil,
+             rowsPerFile: Long = 0): Map[String, Long] = {
     requireSafeTag(tag)
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
@@ -694,7 +719,8 @@ object Snapshot {
     // through to write() is only correct when NOTHING has ever committed
     val parentVersion = recoverCommitted(table).getOrElse(
       return write(df, tablePath, chunkKey, numChunks,
-        observation = observation, tag = tag))
+        observation = observation, tag = tag,
+        clusterBy = clusterBy, rowsPerFile = rowsPerFile))
     val k = parentVersion + 1
     if (finishCommitted(table, k)) return manifestMetrics(table, k)
 
@@ -702,8 +728,11 @@ object Snapshot {
     val stagedMarker = staging.resolve("_STAGED")
     if (!Files.exists(stagedMarker)) {
       if (Files.exists(staging)) deleteRecursively(staging)
-      df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks)))
-        .write.partitionBy("_chunk").mode("overwrite")
+      val staged = stageClustered(
+        df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks))),
+        numChunks, clusterBy)
+      val w = staged.write.partitionBy("_chunk").mode("overwrite")
+      (if (rowsPerFile > 0) w.option("maxRecordsPerFile", rowsPerFile) else w)
         .parquet(staging.resolve("data").toString)
       val m = observation.map(_.get.collect {
         case (key, v: Long) => key -> v

@@ -496,4 +496,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readWhere(spark, table, col("ts") < 1000L).count() ==
       Snapshot.read(spark, table).filter(col("ts") < 1000L).count())
   }
+
+  test("clustered write: range predicates prune files INSIDE hash chunks") {
+    import spark.implicits._
+    val table = freshDir("statsclu") + "/t"
+    // 4 hash chunks — unclustered, each file spans the whole ts range and a
+    // narrow ts predicate prunes nothing; clustered by ts with small files,
+    // each chunk splits into sorted disjoint-range files and the same
+    // predicate must keep only a fraction of them
+    val df = (0 until 4000).map(i => (s"c${i % 23}", i.toLong, s"t$i"))
+      .toDF("conv_id", "ts", "text").repartition(8)
+    Snapshot.write(df, table, "conv_id", 4,
+      clusterBy = Seq("ts"), rowsPerFile = 250)
+    val pred = col("ts") >= 3000L && col("ts") < 3250L
+    val (kept, total) = Snapshot.pruneFiles(Paths.get(table), 0, pred)
+    assert(total >= 16, s"rowsPerFile split expected ≥16 files, got $total")
+    assert(kept.size * 2 <= total,
+      s"clustered prune should drop most files: kept ${kept.size}/$total")
+    val got = Snapshot.readWhere(spark, table, pred)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val want = Snapshot.read(spark, table).filter(pred)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(got == want && got.size == 250)
+
+    // clustered delta append: day-2 batch keeps per-file tightness too
+    val df2 = (4000 until 8000).map(i => (s"c${i % 23}", i.toLong, s"t$i"))
+      .toDF("conv_id", "ts", "text").repartition(8)
+    Snapshot.append(df2, table, "conv_id", 4,
+      tag = "day2", clusterBy = Seq("ts"), rowsPerFile = 250)
+    val pred2 = col("ts") >= 7000L && col("ts") < 7250L
+    val (kept2, total2) = Snapshot.pruneFiles(Paths.get(table), 1, pred2)
+    assert(kept2.size * 4 <= total2,
+      s"appended clustered prune: kept ${kept2.size}/$total2")
+    assert(Snapshot.readWhere(spark, table, pred2).count() == 250)
+    // full-content sanity after both commits
+    assert(Snapshot.read(spark, table).count() == 8000)
+  }
 }
