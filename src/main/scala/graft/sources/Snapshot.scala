@@ -133,9 +133,12 @@ object Snapshot {
     * bound-preserving adjustment (prefix for min; prefix with the last
     * non-0xFF byte incremented for max). `hasNonNull = false` means the
     * file is all-null for the column (min/max empty, every range predicate
-    * prunes it). */
+    * prunes it). `pt` is the parquet PHYSICAL type ("i32"/"i64"/"f32"/
+    * "f64"/"bin") — needed by chunk-hash pruning, because `xxhash64`
+    * hashes Int and Long differently and the chunk a key lives in was
+    * decided by the column's type at write time. */
   private case class ColStat(t: String, min: String, max: String,
-                             nulls: Long, hasNonNull: Boolean)
+                             nulls: Long, hasNonNull: Boolean, pt: String = "")
 
   private val StatsMaxBytes = 48
 
@@ -182,11 +185,14 @@ object Snapshot {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val prim = chunks.head.getPrimitiveType
-    val tag = prim.getPrimitiveTypeName match {
-      case INT64 | INT32 => "long" // incl. timestamp micros / date days
-      case DOUBLE | FLOAT => "double"
+    val (tag, pt) = prim.getPrimitiveTypeName match {
+      case INT64 => ("long", "i64") // incl. timestamp micros
+      case INT32 => ("long", "i32") // incl. date days
+      case DOUBLE => ("double", "f64")
+      case FLOAT => ("double", "f32")
       case BINARY if prim.getLogicalTypeAnnotation
-        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
+        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        ("string", "bin")
       case _ => return None
     }
     val sts = chunks.map(_.getStatistics)
@@ -195,17 +201,18 @@ object Snapshot {
       return None
     val nulls = sts.map(s => math.max(0L, s.getNumNulls)).sum
     val valued = sts.filter(_.hasNonNullValue)
-    if (valued.isEmpty) return Some(ColStat(tag, "", "", nulls, hasNonNull = false))
+    if (valued.isEmpty)
+      return Some(ColStat(tag, "", "", nulls, hasNonNull = false, pt))
     tag match {
       case "long" =>
         val mins = valued.map(_.genericGetMin.asInstanceOf[Number].longValue)
         val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].longValue)
-        Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true))
+        Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt))
       case "double" =>
         val mins = valued.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
         val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
         if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
-        else Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true))
+        else Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt))
       case "string" =>
         val ord = (a: Array[Byte], b: Array[Byte]) =>
           java.util.Arrays.compareUnsigned(a, b)
@@ -216,7 +223,7 @@ object Snapshot {
         val mn = mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
         val mx = maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
         truncateUpper(mx).map(up =>
-          ColStat(tag, hex(mn.take(StatsMaxBytes)), hex(up), nulls, true))
+          ColStat(tag, hex(mn.take(StatsMaxBytes)), hex(up), nulls, true, pt))
     }
   }
 
@@ -228,7 +235,8 @@ object Snapshot {
     Json.obj("file" -> Json.str(fileKey), "rows" -> Json.str(rows.toString)) +:
     cols.map { case (c, s) =>
       Json.obj("file" -> Json.str(fileKey), "col" -> Json.str(c),
-        "t" -> Json.str(s.t), "min" -> Json.str(s.min), "max" -> Json.str(s.max),
+        "t" -> Json.str(s.t), "pt" -> Json.str(s.pt),
+        "min" -> Json.str(s.min), "max" -> Json.str(s.max),
         "nulls" -> Json.str(s.nulls.toString),
         "nn" -> Json.str(if (s.hasNonNull) "1" else "0"))
     }
@@ -312,7 +320,7 @@ object Snapshot {
       if (parent >= 0) parsedFileStats(table, parent) else Map.empty[String, Seq[Map[String, String]]]
     val chunkIds = listDir(dataDir).map(_.getFileName.toString)
       .filter(_.startsWith("_chunk=")).map(_.stripPrefix("_chunk=").toLong).sorted
-    val statEntryOrder = Seq("file", "rows", "col", "t", "min", "max", "nulls", "nn")
+    val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "min", "max", "nulls", "nn")
     val allEntries = scala.collection.mutable.ArrayBuffer[String]()
     val chunkJson = chunkIds.map { c =>
       val dir = dataDir.resolve(s"_chunk=$c")
@@ -497,15 +505,122 @@ object Snapshot {
         listDir(cd).filter(_.getFileName.toString.endsWith(".parquet"))
           .sortBy(_.toString).map(f => (s"$c/${f.getFileName}", f))
       }
+    // chunk-hash pruning: an equality/IN predicate on the table's chunk key
+    // pins the chunks those values hash to — every other chunk's files drop
+    // without a stat comparison. Hashed per physical type, memoized.
+    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+    val chunkKeyCol = "\"chunk_key\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(m).map(_.group(1))
+    val numChunks = "\"num_chunks\"\\s*:\\s*\"?(\\d+)\"?".r
+      .findFirstMatchIn(m).map(_.group(1).toInt)
+    val chunkSetCache = scala.collection.mutable.Map[String, Option[Set[Long]]]()
+    def allowedFor(pt: String): Option[Set[Long]] =
+      chunkSetCache.getOrElseUpdate(pt, (chunkKeyCol, numChunks) match {
+        case (Some(ck), Some(n)) if pt.nonEmpty => allowedChunks(expr, ck, pt, n)
+        case _ => None
+      })
     val kept = all.collect {
-      case (key, f) if stats.get(key).forall(es => fileSurvives(expr, colStatsFor(es))) => f
+      case (key, f) if {
+        val cs = stats.get(key).map(colStatsFor)
+        val chunkOk = cs.flatMap(c => chunkKeyCol.flatMap(c.get)).map(_.pt) match {
+          case Some(pt) =>
+            allowedFor(pt).forall(_.contains(key.takeWhile(_ != '/').toLong))
+          case None => true
+        }
+        chunkOk && cs.forall(fileSurvives(expr, _))
+      } => f
     }
     (kept, all.size)
   }
 
+  private def attrNameOf(
+      a: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = a match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+    case r: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(r.name)
+    case _ => None
+  }
+
+  /** Driver-side replica of the write path's chunk assignment
+    * `pmod(xxhash64(col(chunkKey)), numChunks)` for ONE literal key value,
+    * hashed at the file's recorded PHYSICAL type (`xxhash64` of Int and
+    * Long differ, and the chunk a key landed in was decided by the
+    * column's type at that file's write time). None = not computable at
+    * this type — no chunk pruning. */
+  private def chunkOf(value: Any, pt: String, numChunks: Int): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val typed: Option[CLit] = (pt, value) match {
+      // hash expressions leave the seed untouched on null — type-free
+      case (_, null) => Some(CLit(null, StringType))
+      case ("i64", v: Long) => Some(CLit(v, LongType))
+      case ("i64", v: Int) => Some(CLit(v.toLong, LongType))
+      case ("i64", v: Short) => Some(CLit(v.toLong, LongType))
+      case ("i64", v: Byte) => Some(CLit(v.toLong, LongType))
+      case ("i32", v: Int) => Some(CLit(v, IntegerType))
+      case ("i32", v: Long) if v.isValidInt => Some(CLit(v.toInt, IntegerType))
+      case ("i32", v: Short) => Some(CLit(v.toInt, IntegerType))
+      case ("i32", v: Byte) => Some(CLit(v.toInt, IntegerType))
+      case ("bin", u: UTF8String) => Some(CLit(u, StringType))
+      case ("bin", s: String) => Some(CLit(UTF8String.fromString(s), StringType))
+      case _ => None
+    }
+    typed.map { l =>
+      val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+      ((h % numChunks) + numChunks) % numChunks
+    }
+  }
+
+  /** Chunk ids the predicate permits for the chunk key (hashed at physical
+    * type `pt`) — None = unconstrained (every chunk may match). And =
+    * intersection (an unconstrained side is the universe), Or = union
+    * (BOTH sides must constrain), Eq/In = the hashed value set, IsNull =
+    * the null chunk. Everything else keeps all chunks. */
+  private def allowedChunks(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            key: String, pt: String, n: Int): Option[Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def isKey(a: Expression) = attrNameOf(a).contains(key)
+    def eqSet(a: Expression, v: Literal): Option[Set[Long]] =
+      if (isKey(a)) chunkOf(v.value, pt, n).map(Set(_)) else None
+    def inSet(a: Expression, vs: Seq[Expression]): Option[Set[Long]] =
+      if (!isKey(a) || vs.isEmpty) None
+      else {
+        val cs = vs.map(v => chunkOf(v.asInstanceOf[Literal].value, pt, n))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.toSet)
+      }
+    def conj(l: Option[Set[Long]], r: Option[Set[Long]]) = (l, r) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+    def disj(l: Option[Set[Long]], r: Option[Set[Long]]) =
+      for { a <- l; b <- r } yield a union b
+    def rec(x: Expression): Option[Set[Long]] = x match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.sizeIs == 1 =>
+        (f.nameParts.head, f.arguments) match {
+          case ("and", Seq(l, r)) => conj(rec(l), rec(r))
+          case ("or", Seq(l, r)) => disj(rec(l), rec(r))
+          case ("=" | "==", Seq(a, v: Literal)) => eqSet(a, v)
+          case ("=" | "==", Seq(v: Literal, a)) => eqSet(a, v)
+          case ("in", a +: vs) if vs.forall(_.isInstanceOf[Literal]) => inSet(a, vs)
+          case ("isNull", Seq(a)) if isKey(a) => chunkOf(null, pt, n).map(Set(_))
+          case _ => None
+        }
+      case And(l, r) => conj(rec(l), rec(r))
+      case Or(l, r) => disj(rec(l), rec(r))
+      case EqualTo(a, v: Literal) => eqSet(a, v)
+      case EqualTo(v: Literal, a) => eqSet(a, v)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => inSet(a, vs)
+      case IsNull(a) if isKey(a) => chunkOf(null, pt, n).map(Set(_))
+      case _ => None
+    }
+    rec(e)
+  }
+
   private def colStatsFor(entries: Seq[Map[String, String]]): Map[String, ColStat] =
     entries.filter(_.contains("col")).map { e =>
-      e("col") -> ColStat(e("t"), e("min"), e("max"), e("nulls").toLong, e("nn") == "1")
+      e("col") -> ColStat(e("t"), e("min"), e("max"), e("nulls").toLong,
+        e("nn") == "1", e.getOrElse("pt", ""))
     }.toMap
 
   /** Conservative stats evaluation: true = the file MAY contain a matching
@@ -513,13 +628,7 @@ object Snapshot {
   private def fileSurvives(e: org.apache.spark.sql.catalyst.expressions.Expression,
                            colStats: Map[String, ColStat]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def name(a: Expression): Option[String] = a match {
-      case u: UnresolvedAttribute => Some(u.name)
-      case r: AttributeReference => Some(r.name)
-      case _ => None
-    }
-    def stat(a: Expression): Option[ColStat] = name(a).flatMap(colStats.get)
+    def stat(a: Expression): Option[ColStat] = attrNameOf(a).flatMap(colStats.get)
     // survive test for `col <op> literal`: keepIf(cmpMin, cmpMax) over the
     // literal-vs-bound comparisons; absent stat or uncomparable literal keeps
     def range(a: Expression, l: Literal)(keepIf: (Int, Int) => Boolean): Boolean =

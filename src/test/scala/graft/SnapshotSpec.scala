@@ -471,6 +471,27 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(col("ts") < 100L || col("ts") >= 2100L).count())
   }
 
+  test("chunk-hash pruning on a LONG key hashes at the file's physical type") {
+    import spark.implicits._
+    val table = freshDir("statslk") + "/t"
+    val df = (0 until 1000).map(i => (i.toLong % 50, i)).toDF("uid", "v")
+      .repartition(4)
+    Snapshot.write(df, table, "uid", 8)
+    val (kept, total) = Snapshot.pruneFiles(Paths.get(table), 0, col("uid") === 13L)
+    assert(kept.nonEmpty && kept.size * 2 <= total,
+      s"long-key chunk prune: ${kept.size}/$total")
+    val got = Snapshot.readWhere(spark, table, col("uid") === 13L)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got == Snapshot.read(spark, table).filter(col("uid") === 13L)
+      .as[(Long, Int)].collect().sorted.toSeq)
+    assert(got.size == 20)
+    // an Int literal against the i64 column must hash as LONG — the file's
+    // physical type, not the literal's — or the lookup would miss its chunk
+    val (keptInt, _) = Snapshot.pruneFiles(Paths.get(table), 0, col("uid") === 13)
+    assert(keptInt.map(_.toString) == kept.map(_.toString))
+    assert(Snapshot.readWhere(spark, table, col("uid") === 13).count() == 20)
+  }
+
   test("readWhere stats survive compaction and upsert rewrites") {
     import spark.implicits._
     val table = freshDir("statscow") + "/t"
@@ -518,6 +539,26 @@ class SnapshotSpec extends AnyFunSuite {
     val want = Snapshot.read(spark, table).filter(pred)
       .as[(String, Long, String)].collect().sorted.toSeq
     assert(got == want && got.size == 250)
+
+    // point lookup on the CHUNK KEY: the value hashes to exactly one chunk,
+    // so only that chunk's files survive — no stat comparison needed
+    val (kc, totC) = Snapshot.pruneFiles(Paths.get(table), 0, col("conv_id") === "c7")
+    assert(kc.nonEmpty && kc.size * 2 <= totC,
+      s"chunk-hash prune should keep one chunk's files: ${kc.size}/$totC")
+    assert(kc.map(_.getParent.getFileName.toString).toSet.size == 1,
+      "all surviving files must come from a single chunk dir")
+    val gotKey = Snapshot.readWhere(spark, table, col("conv_id") === "c7")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val wantKey = Snapshot.read(spark, table).filter(col("conv_id") === "c7")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(gotKey == wantKey && gotKey.nonEmpty)
+    // IN over two key values: union of their chunks; combined with a ts
+    // range, both prunes compose
+    val predIn = col("conv_id").isin("c7", "c11") && col("ts") < 500L
+    val (kIn, _) = Snapshot.pruneFiles(Paths.get(table), 0, predIn)
+    assert(kIn.size <= kc.size * 2)
+    assert(Snapshot.readWhere(spark, table, predIn).count() ==
+      Snapshot.read(spark, table).filter(predIn).count())
 
     // clustered delta append: day-2 batch keeps per-file tightness too
     val df2 = (4000 until 8000).map(i => (s"c${i % 23}", i.toLong, s"t$i"))
