@@ -136,9 +136,12 @@ object Snapshot {
     * prunes it). `pt` is the parquet PHYSICAL type ("i32"/"i64"/"f32"/
     * "f64"/"bin") — needed by chunk-hash pruning, because `xxhash64`
     * hashes Int and Long differently and the chunk a key lives in was
-    * decided by the column's type at write time. */
+    * decided by the column's type at write time. `approx = true` marks
+    * truncation-adjusted string bounds: still sound for pruning, but never
+    * reported as exact by [[tableStats]]. */
   private case class ColStat(t: String, min: String, max: String,
-                             nulls: Long, hasNonNull: Boolean, pt: String = "")
+                             nulls: Long, hasNonNull: Boolean, pt: String = "",
+                             approx: Boolean = false)
 
   private val StatsMaxBytes = 48
 
@@ -223,7 +226,8 @@ object Snapshot {
         val mn = mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
         val mx = maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
         truncateUpper(mx).map(up =>
-          ColStat(tag, hex(mn.take(StatsMaxBytes)), hex(up), nulls, true, pt))
+          ColStat(tag, hex(mn.take(StatsMaxBytes)), hex(up), nulls, true, pt,
+            approx = mn.length > StatsMaxBytes || mx.length > StatsMaxBytes))
     }
   }
 
@@ -234,11 +238,12 @@ object Snapshot {
                            cols: Seq[(String, ColStat)]): Seq[String] =
     Json.obj("file" -> Json.str(fileKey), "rows" -> Json.str(rows.toString)) +:
     cols.map { case (c, s) =>
-      Json.obj("file" -> Json.str(fileKey), "col" -> Json.str(c),
+      Json.obj((Seq("file" -> Json.str(fileKey), "col" -> Json.str(c),
         "t" -> Json.str(s.t), "pt" -> Json.str(s.pt),
         "min" -> Json.str(s.min), "max" -> Json.str(s.max),
         "nulls" -> Json.str(s.nulls.toString),
-        "nn" -> Json.str(if (s.hasNonNull) "1" else "0"))
+        "nn" -> Json.str(if (s.hasNonNull) "1" else "0")) ++
+        (if (s.approx) Seq("ap" -> Json.str("1")) else Nil)): _*)
     }
 
   /** Balanced `"filestats":[...]` slice of a manifest (escape-aware; the
@@ -320,7 +325,7 @@ object Snapshot {
       if (parent >= 0) parsedFileStats(table, parent) else Map.empty[String, Seq[Map[String, String]]]
     val chunkIds = listDir(dataDir).map(_.getFileName.toString)
       .filter(_.startsWith("_chunk=")).map(_.stripPrefix("_chunk=").toLong).sorted
-    val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "min", "max", "nulls", "nn")
+    val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "min", "max", "nulls", "nn", "ap")
     val allEntries = scala.collection.mutable.ArrayBuffer[String]()
     val chunkJson = chunkIds.map { c =>
       val dir = dataDir.resolve(s"_chunk=$c")
@@ -620,7 +625,7 @@ object Snapshot {
   private def colStatsFor(entries: Seq[Map[String, String]]): Map[String, ColStat] =
     entries.filter(_.contains("col")).map { e =>
       e("col") -> ColStat(e("t"), e("min"), e("max"), e("nulls").toLong,
-        e("nn") == "1", e.getOrElse("pt", ""))
+        e("nn") == "1", e.getOrElse("pt", ""), e.get("ap").contains("1"))
     }.toMap
 
   /** Conservative stats evaluation: true = the file MAY contain a matching
@@ -1044,6 +1049,64 @@ object Snapshot {
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .flatMap(p => re.findFirstMatchIn(Files.readString(p)).map(_.group(1)))
       .toSet
+  }
+
+  /** Exact table-level column statistic from [[tableStats]]: min/max are
+    * None for an all-null column, typed Long/Double/String otherwise. */
+  case class ColumnStats(min: Option[Any], max: Option[Any], nulls: Long)
+
+  /** EXACT, metadata-only table statistics of a snapshot: total row count
+    * plus per-column [[ColumnStats]] folded over every file's manifest
+    * stats — the read behind unfiltered `count(*) / min(c) / max(c) /
+    * count(c)`: no data file is opened, no job runs, whatever the table
+    * size. A column is reported only when EVERY data file carries a stat
+    * for it (schema-evolved columns missing from old files are omitted)
+    * and no string bound was truncation-adjusted — reported values are
+    * exact, never estimates. Row count comes from the per-chunk lineage,
+    * so it is exact on any manifest version, including pre-stats ones. */
+  def tableStats(tablePath: String, version: Int = -1)
+      : (Long, Map[String, ColumnStats]) = {
+    val table = Paths.get(tablePath)
+    val k = if (version >= 0) version
+      else recoverCommitted(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+    val rows = "\"rows\":(\\d+),\"files\":\\[".r
+      .findAllMatchIn(m).map(_.group(1).toLong).sum
+    val fileCount = "\"files\":\\[([^\\]]*)\\]".r.findAllMatchIn(m)
+      .map(g => if (g.group(1).trim.isEmpty) 0 else g.group(1).count(_ == ',') + 1)
+      .sum
+    val colMaps = parsedFileStats(table, k).values.map(colStatsFor).toSeq
+    // every file must contribute: a file without stats (pre-stats commit)
+    // disqualifies column reporting, never mis-reports it
+    if (colMaps.size != fileCount || colMaps.isEmpty) return (rows, Map.empty)
+    val shared = colMaps.map(_.keySet).reduce(_ intersect _)
+    val byteOrd = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
+    val cols = shared.iterator.flatMap { c =>
+      val ss = colMaps.map(_(c))
+      if (ss.exists(_.approx)) None
+      else {
+        val nulls = ss.map(_.nulls).sum
+        val valued = ss.filter(_.hasNonNull)
+        val (mn, mx): (Option[Any], Option[Any]) =
+          if (valued.isEmpty) (None, None)
+          else ss.head.t match {
+            case "long" => (Some(valued.map(_.min.toLong).min),
+                            Some(valued.map(_.max.toLong).max))
+            case "double" => (Some(valued.map(_.min.toDouble).min),
+                              Some(valued.map(_.max.toDouble).max))
+            case _ =>
+              val mnB = valued.map(s => unhex(s.min))
+                .reduce((a, b) => if (byteOrd(a, b) <= 0) a else b)
+              val mxB = valued.map(s => unhex(s.max))
+                .reduce((a, b) => if (byteOrd(a, b) >= 0) a else b)
+              (Some(new String(mnB, java.nio.charset.StandardCharsets.UTF_8)),
+               Some(new String(mxB, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        Some(c -> ColumnStats(mn, mx, nulls))
+      }
+    }.toMap
+    (rows, cols)
   }
 
   /** Metrics history across every committed version: (version, tag, metric,

@@ -471,6 +471,38 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(col("ts") < 100L || col("ts") >= 2100L).count())
   }
 
+  test("tableStats: exact count/min/max/nulls from the manifest alone") {
+    import spark.implicits._
+    val table = freshDir("statssum") + "/t"
+    def batch(off: Int) = (0 until 500).map { i =>
+      val j = off + i
+      (s"c${j % 13}", j.toLong, if (j % 7 == 0) null else s"u${j % 31}",
+       j * 0.5 - 100.0)
+    }.toDF("conv_id", "ts", "user", "score")
+    Snapshot.write(batch(0), table, "conv_id", 4)
+    Snapshot.append(batch(500), table, "conv_id", 4, tag = "d1")
+    val (rows, cols) = Snapshot.tableStats(table)
+    assert(rows == 1000L)
+    // every reported value must equal the scanned truth
+    val truth = Snapshot.read(spark, table).agg(
+      min("ts"), max("ts"), min("user"), max("user"),
+      sum(when(col("user").isNull, 1L).otherwise(0L)),
+      min("score"), max("score"), min("conv_id"), max("conv_id"))
+      .collect()(0)
+    assert(cols("ts") == Snapshot.ColumnStats(Some(truth.getLong(0)), Some(truth.getLong(1)), 0L))
+    assert(cols("user") == Snapshot.ColumnStats(Some(truth.getString(2)), Some(truth.getString(3)), truth.getLong(4)))
+    assert(cols("score") == Snapshot.ColumnStats(Some(truth.getDouble(5)), Some(truth.getDouble(6)), 0L))
+    assert(cols("conv_id") == Snapshot.ColumnStats(Some(truth.getString(7)), Some(truth.getString(8)), 0L))
+
+    // a string column with >48-byte values is truncation-approximated and
+    // must be OMITTED (exact-only contract), never mis-reported
+    val tl = freshDir("statssum2") + "/t"
+    val wide = (0 until 50).map(i => (s"c$i", "x" * 80 + i)).toDF("conv_id", "blob")
+    Snapshot.write(wide, tl, "conv_id", 2)
+    val (r2, c2) = Snapshot.tableStats(tl)
+    assert(r2 == 50L && c2.contains("conv_id") && !c2.contains("blob"))
+  }
+
   test("chunk-hash pruning on a LONG key hashes at the file's physical type") {
     import spark.implicits._
     val table = freshDir("statslk") + "/t"
