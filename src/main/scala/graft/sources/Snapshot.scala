@@ -643,6 +643,29 @@ object Snapshot {
         else cmpBounds(s, l.value).forall { case (cmpMin, cmpMax) =>
           keepIf(cmpMin, cmpMax) }
       }
+    // prefix match: strings starting with p live in [p, bump(p)) — keep the
+    // file iff that interval intersects [min, max] (bounds conservative)
+    def prefixKeep(a: Expression, l: Literal): Boolean = stat(a).forall { s =>
+      val pOpt = l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+        case str: String =>
+          Some(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }
+      if (l.value == null) true
+      else if (!s.hasNonNull) false
+      else (s.t, pOpt) match {
+        case ("string", Some(p)) =>
+          val belowMax = java.util.Arrays.compareUnsigned(p, unhex(s.max)) <= 0
+          var i = p.length - 1
+          while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+          val bumped = if (i < 0) None
+            else Some(java.util.Arrays.copyOf(p, i + 1).updated(i, (p(i) + 1).toByte))
+          belowMax && bumped.forall(u =>
+            java.util.Arrays.compareUnsigned(unhex(s.min), u) < 0)
+        case _ => true
+      }
+    }
     e match {
       // Column-DSL predicates arrive as unresolved function applications
       // (the ColumnNode converter does not resolve operators); SQL-parsed
@@ -670,6 +693,7 @@ object Snapshot {
               (mn, mx) => mn >= 0 && mx <= 0))
           case ("isNull", Seq(a)) => stat(a).forall(_.nulls > 0)
           case ("isNotNull", Seq(a)) => stat(a).forall(_.hasNonNull)
+          case ("startswith", Seq(a, l: Literal)) => prefixKeep(a, l)
           case _ => true
         }
       case And(l, r) => fileSurvives(l, colStats) && fileSurvives(r, colStats)
@@ -688,6 +712,7 @@ object Snapshot {
         vs.exists(v => range(a, v.asInstanceOf[Literal])((mn, mx) => mn >= 0 && mx <= 0))
       case IsNull(a) => stat(a).forall(_.nulls > 0)
       case IsNotNull(a) => stat(a).forall(_.hasNonNull)
+      case StartsWith(a, l: Literal) => prefixKeep(a, l)
       case _ => true
     }
   }

@@ -460,6 +460,13 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readWhere(spark, table, col("user").isNull).count() ==
       Snapshot.read(spark, table).filter(col("user").isNull).count())
 
+    // prefix prune: strings starting with "day1-" live in [day1-, day1.)
+    // so only day-1 files intersect; result equals the residual filter
+    val (kSw, _) = prunedCount(col("text").startsWith("day1-"))
+    assert(kSw > 0 && kSw < total, s"prefix prune expected, kept $kSw/$total")
+    assert(Snapshot.readWhere(spark, table, col("text").startsWith("day1-"))
+      .count() == 200)
+
     // OR keeps the union of both sides' files; unknown predicate shapes
     // (contains) keep everything — conservative, never unsafe
     val (kOr, _) = prunedCount(col("ts") < 100L || col("ts") >= 2100L)
