@@ -74,6 +74,10 @@ object GraftExtensions {
         "conditional-bigram LM keys u*V+v, one per adjacent token pair"),
       (args: Seq[Expression]) => BigramPairKeys(args(0),
         intArg(args(1), "numBuckets"))),
+    (FunctionIdentifier("zorder2"),
+      info("zorder2", "_FUNC_(a, b) - 16-byte Morton (z-order) cluster key " +
+        "of two bigints; binary sort order interleaves both dimensions"),
+      (args: Seq[Expression]) => graft.expressions.ZOrder.ZOrder2(args(0), args(1))),
     (FunctionIdentifier("kmv_agg"),
       info("kmv_agg", "_FUNC_(fp, k) - per-group KMV bottom-k distinct sketch " +
         "of a long fingerprint column (aggregate; exactly mergeable)"),

@@ -42,6 +42,8 @@ object Kernels {
   def byteCosine(a: ArrayData, b: ArrayData): Double =
     VectorExpressions.ByteCosine.compute(a, b)
 
+  def zorder2(a: Long, b: Long): Array[Byte] = ZOrder.ZOrder2.compute(a, b)
+
   def prefixChain(hs: ArrayData): Array[Long] =
     TextHashExpressions.PrefixChain.compute(hs)
 }

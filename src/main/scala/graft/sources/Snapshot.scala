@@ -377,7 +377,9 @@ object Snapshot {
                              clusterBy: Seq[String]): DataFrame =
     if (clusterBy.isEmpty) chunked
     else chunked.repartition(numChunks, col("_chunk"))
-      .sortWithinPartitions(col("_chunk") +: clusterBy.map(col): _*)
+      // expr, not col: cluster keys may be computed (`zorder2(user_id, ts)`
+      // sorts by the Morton key without storing it) or plain column names
+      .sortWithinPartitions(col("_chunk") +: clusterBy.map(expr): _*)
 
   /** Write `df` as snapshot `snapshotId` of `tablePath`, chunked by
     * `pmod(xxhash64(chunkKey), numChunks)`. Safe to re-invoke after a kill at

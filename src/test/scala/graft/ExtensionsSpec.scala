@@ -83,6 +83,33 @@ class ExtensionsSpec extends AnyFunSuite {
       val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
       val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
       assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))
+
+      // zorder2: kernel equals a naive bit-by-bit interleave; binary sort
+      // order is monotone per dimension and signed-correct
+      def naiveZ(a: Long, b: Long): Array[Byte] = {
+        val ua = a ^ Long.MinValue; val ub = b ^ Long.MinValue
+        val out = new Array[Byte](16)
+        for (i <- 0 until 64; (v, pos) <- Seq((ua, 2 * i), (ub, 2 * i + 1))) {
+          val bit = ((v >>> (63 - i)) & 1L).toInt
+          out(pos / 8) = (out(pos / 8) | (bit << (7 - pos % 8))).toByte
+        }
+        out
+      }
+      val zCases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (-1L, 1L),
+        (Long.MaxValue, Long.MinValue), (123456789L, -987654321L))
+      zCases.foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(
+          graft.expressions.ZOrder.ZOrder2.compute(a, b), naiveZ(a, b)),
+          s"zorder2($a, $b) != naive")
+      }
+      def cmpZ(x: Array[Byte], y: Array[Byte]) =
+        java.util.Arrays.compareUnsigned(x, y)
+      val z = graft.expressions.ZOrder.ZOrder2.compute _
+      assert(cmpZ(z(1L, 5L), z(2L, 5L)) < 0)   // monotone in a, b fixed
+      assert(cmpZ(z(5L, -3L), z(5L, -2L)) < 0) // monotone in b incl. sign
+      assert(cmpZ(z(-1L, 0L), z(0L, 0L)) < 0)  // signed order preserved
+      val zr = spark.sql("SELECT zorder2(3L, 9L)").collect().head
+      assert(java.util.Arrays.equals(zr.getAs[Array[Byte]](0), z(3L, 9L)))
     } finally {
       // do not stop: the underlying SparkContext is shared with TestSpark's
       // session in this JVM; stopping would kill other suites' session.

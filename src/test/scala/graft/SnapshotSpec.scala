@@ -478,6 +478,35 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(col("ts") < 100L || col("ts") >= 2100L).count())
   }
 
+  test("z-order clustered write: predicates on EITHER dimension prune files") {
+    import spark.implicits._
+    GraftExtensions.registerOn(spark)
+    val table = freshDir("statszo") + "/t"
+    // two equal-width dimensions, independent of each other: uid is a
+    // multiplicative-hash permutation of the row index, ts the index itself
+    val df = (0 until 4096).map { i =>
+      (s"c${i % 5}", (i * 2654435761L) % 4096, i.toLong)
+    }.toDF("conv_id", "uid", "ts").repartition(8)
+    Snapshot.write(df, table, "conv_id", 2,
+      clusterBy = Seq("zorder2(uid, ts)"), rowsPerFile = 128)
+    val tp = Paths.get(table)
+    val (kU, total) = Snapshot.pruneFiles(tp, 0, col("uid") < 1024L)
+    val (kT, _) = Snapshot.pruneFiles(tp, 0, col("ts") < 1024L)
+    // a single-column sort prunes only its own column; the Morton key must
+    // prune BOTH: each file covers roughly a quarter × quarter rectangle
+    assert(total >= 16, s"expected ≥16 files, got $total")
+    assert(kU.size * 2 <= total, s"uid prune: kept ${kU.size}/$total")
+    assert(kT.size * 2 <= total, s"ts prune: kept ${kT.size}/$total")
+    Seq(col("uid") < 1024L, col("ts") < 1024L,
+        col("uid") >= 3072L && col("ts") >= 3072L).foreach { p =>
+      val got = Snapshot.readWhere(spark, table, p)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val want = Snapshot.read(spark, table).filter(p)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty, s"mismatch under $p")
+    }
+  }
+
   test("tableStats: exact count/min/max/nulls from the manifest alone") {
     import spark.implicits._
     val table = freshDir("statssum") + "/t"
