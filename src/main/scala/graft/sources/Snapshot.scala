@@ -814,7 +814,9 @@ object Snapshot {
     * commit protocol (kill-safe, idempotent); readers see either the old or
     * the new snapshot, never a mix. Chunking key/count are taken from the
     * current manifest, so co-location invariants survive compaction. */
-  def compact(spark: SparkSession, tablePath: String): Map[String, Long] = {
+  def compact(spark: SparkSession, tablePath: String,
+              clusterBy: Seq[String] = Nil,
+              rowsPerFile: Long = 0): Map[String, Long] = {
     val table = Paths.get(tablePath)
     val k = recoverCommitted(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tablePath"))
@@ -824,10 +826,14 @@ object Snapshot {
     val numChunks = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(m)
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException("manifest missing num_chunks"))
     // repartition by the CHUNK expression (not the raw key): every chunk
-    // then lives in exactly one task, so each chunk dir lands as one file
+    // then lives in exactly one task, so each chunk dir lands as one file —
+    // unless clusterBy re-sorts it (incremental commits scatter cluster
+    // ranges across delta files; compaction is where clustering is
+    // re-established, same as Iceberg's sort-order rewrite)
     val data = read(spark, tablePath, k).repartition(numChunks,
       pmod(xxhash64(col(chunkKey)), lit(numChunks)))
-    write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1)
+    write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1,
+      clusterBy = clusterBy, rowsPerFile = rowsPerFile)
   }
 
   /** Delta-append commit (Iceberg append semantics): a new snapshot that

@@ -505,6 +505,15 @@ class SnapshotSpec extends AnyFunSuite {
         .as[(String, Long, Long)].collect().sorted.toSeq
       assert(got == want && got.nonEmpty, s"mismatch under $p")
     }
+    // compaction with the cluster key re-establishes two-dimensional
+    // pruning on the rewritten files (Iceberg's sort-order rewrite)
+    Snapshot.compact(spark, table,
+      clusterBy = Seq("zorder2(uid, ts)"), rowsPerFile = 128)
+    val (kC, totC) = Snapshot.pruneFiles(tp, 1, col("uid") < 1024L)
+    assert(totC >= 16 && kC.size * 2 <= totC,
+      s"post-compact prune: kept ${kC.size}/$totC")
+    assert(Snapshot.readWhere(spark, table, col("uid") < 1024L).count() ==
+      Snapshot.read(spark, table).filter(col("uid") < 1024L).count())
   }
 
   test("tableStats: exact count/min/max/nulls from the manifest alone") {
