@@ -138,10 +138,16 @@ object Snapshot {
     * hashes Int and Long differently and the chunk a key lives in was
     * decided by the column's type at write time. `approx = true` marks
     * truncation-adjusted string bounds: still sound for pruning, but never
-    * reported as exact by [[tableStats]]. */
+    * reported as exact by [[tableStats]]. `lk` is the LOGICAL kind the
+    * stored numbers are in — "int" (plain integral), "date" (days),
+    * "tsu" (timestamp micros), "" (double/string) — and comparisons only
+    * happen between a literal and a bound of the SAME kind: a decimal
+    * column (unscaled storage) gets no stat at all, and a date literal
+    * never compares against timestamp-micros bounds. `nulls = -1` means
+    * the footer did not carry a null count (IS NULL can never prune). */
   private case class ColStat(t: String, min: String, max: String,
                              nulls: Long, hasNonNull: Boolean, pt: String = "",
-                             approx: Boolean = false)
+                             approx: Boolean = false, lk: String = "")
 
   private val StatsMaxBytes = 48
 
@@ -166,12 +172,13 @@ object Snapshot {
     * Columns whose physical type has no byte-comparable stat mapping —
     * or whose footer carries no usable statistics — are simply absent
     * (absent = unpruneable, never unsafe). */
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   private def footerFileStats(file: Path): (Long, Seq[(String, ColStat)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri),
-      new org.apache.hadoop.conf.Configuration()))
+      new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
     try {
       val blocks = rd.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -188,34 +195,57 @@ object Snapshot {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val prim = chunks.head.getPrimitiveType
-    val (tag, pt) = prim.getPrimitiveTypeName match {
-      case INT64 => ("long", "i64") // incl. timestamp micros
-      case INT32 => ("long", "i32") // incl. date days
-      case DOUBLE => ("double", "f64")
-      case FLOAT => ("double", "f32")
-      case BINARY if prim.getLogicalTypeAnnotation
+    val ann = prim.getLogicalTypeAnnotation
+    // logical kind gates comparability: stored numbers only ever compare
+    // against literals of the SAME unit. Decimal (unscaled storage),
+    // unsigned ints, and non-micro timestamps get NO stat — absent is
+    // conservative; a wrong-unit comparison would prune matching rows.
+    val intKind: Option[String] = ann match {
+      case null => Some("int")
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some("int")
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some("tsu")
+      case _ => None
+    }
+    val (tag, pt, lk) = prim.getPrimitiveTypeName match {
+      case INT64 => ("long", "i64", intKind.getOrElse(return None))
+      case INT32 => ("long", "i32", intKind.getOrElse(return None))
+      case DOUBLE => ("double", "f64", "")
+      case FLOAT => ("double", "f32", "")
+      case BINARY if ann
         .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        ("string", "bin")
+        ("string", "bin", "")
       case _ => return None
     }
     val sts = chunks.map(_.getStatistics)
     // any row group with neither value bounds nor a null count ⇒ unknown
     if (sts.exists(s => s == null || (!s.hasNonNullValue && s.getNumNulls < 0)))
       return None
-    val nulls = sts.map(s => math.max(0L, s.getNumNulls)).sum
+    // -1 = some footer omitted its null count: bounds still prune, IS NULL
+    // never does (nulls=0 would wrongly prune a null-bearing file)
+    val nulls = if (sts.exists(_.getNumNulls < 0)) -1L
+                else sts.map(_.getNumNulls).sum
     val valued = sts.filter(_.hasNonNullValue)
     if (valued.isEmpty)
-      return Some(ColStat(tag, "", "", nulls, hasNonNull = false, pt))
+      return Some(ColStat(tag, "", "", nulls, hasNonNull = false, pt, lk = lk))
     tag match {
       case "long" =>
         val mins = valued.map(_.genericGetMin.asInstanceOf[Number].longValue)
         val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].longValue)
-        Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt))
+        Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt, lk = lk))
       case "double" =>
         val mins = valued.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
         val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
         if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
-        else Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt))
+        else {
+          // SQL treats -0.0 == 0.0; footer bounds use total order — widen a
+          // zero bound to cover both signs so neither sign wrongly prunes
+          val mn0 = mins.min; val mx0 = maxs.max
+          val mn = if (mn0 == 0.0d) -0.0d else mn0
+          val mx = if (mx0 == 0.0d) 0.0d else mx0
+          Some(ColStat(tag, mn.toString, mx.toString, nulls, true, pt))
+        }
       case "string" =>
         val ord = (a: Array[Byte], b: Array[Byte]) =>
           java.util.Arrays.compareUnsigned(a, b)
@@ -239,8 +269,9 @@ object Snapshot {
     Json.obj("file" -> Json.str(fileKey), "rows" -> Json.str(rows.toString)) +:
     cols.map { case (c, s) =>
       Json.obj((Seq("file" -> Json.str(fileKey), "col" -> Json.str(c),
-        "t" -> Json.str(s.t), "pt" -> Json.str(s.pt),
-        "min" -> Json.str(s.min), "max" -> Json.str(s.max),
+        "t" -> Json.str(s.t), "pt" -> Json.str(s.pt)) ++
+        (if (s.lk.nonEmpty) Seq("lk" -> Json.str(s.lk)) else Nil) ++
+        Seq("min" -> Json.str(s.min), "max" -> Json.str(s.max),
         "nulls" -> Json.str(s.nulls.toString),
         "nn" -> Json.str(if (s.hasNonNull) "1" else "0")) ++
         (if (s.approx) Seq("ap" -> Json.str("1")) else Nil)): _*)
@@ -250,7 +281,9 @@ object Snapshot {
     * stat values of string columns may contain any character). Empty array
     * for pre-stats manifests. */
   private def fileStatsArrayText(manifestText: String): String = {
-    val idx = manifestText.indexOf("\"filestats\":")
+    // anchor on the ARRAY form: an Observation metric named "filestats"
+    // renders earlier as "filestats":<number> and must not hijack the scan
+    val idx = manifestText.indexOf("\"filestats\":[")
     if (idx < 0) return "[]"
     var i = idx + "\"filestats\":".length
     val start = i
@@ -279,9 +312,11 @@ object Snapshot {
   private def parsedFileStats(table: Path, k: Int): Map[String, Seq[Map[String, String]]] = {
     val mf = table.resolve(s"manifest-v$k.json")
     if (!Files.exists(mf)) return Map.empty
-    Json.parseFlatObjects(fileStatsArrayText(Files.readString(mf)))
-      .groupBy(_("file"))
+    parsedFileStatsOf(Files.readString(mf))
   }
+
+  private def parsedFileStatsOf(manifestText: String): Map[String, Seq[Map[String, String]]] =
+    Json.parseFlatObjects(fileStatsArrayText(manifestText)).groupBy(_("file"))
 
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -325,7 +360,7 @@ object Snapshot {
       if (parent >= 0) parsedFileStats(table, parent) else Map.empty[String, Seq[Map[String, String]]]
     val chunkIds = listDir(dataDir).map(_.getFileName.toString)
       .filter(_.startsWith("_chunk=")).map(_.stripPrefix("_chunk=").toLong).sorted
-    val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "min", "max", "nulls", "nn", "ap")
+    val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "lk", "min", "max", "nulls", "nn", "ap")
     val allEntries = scala.collection.mutable.ArrayBuffer[String]()
     val chunkJson = chunkIds.map { c =>
       val dir = dataDir.resolve(s"_chunk=$c")
@@ -492,8 +527,20 @@ object Snapshot {
     val base =
       if (kept.size == total) rd.parquet(dataDir.toString)
       else if (kept.isEmpty) rd.parquet(dataDir.toString).where(lit(false))
-      else rd.option("basePath", dataDir.toString)
-        .parquet(kept.map(_.toString): _*)
+      else {
+        val pruned = rd.option("basePath", dataDir.toString)
+          .parquet(kept.map(_.toString): _*)
+        // schema evolution: if pruning dropped every file CARRYING a
+        // predicate column, the residual filter could not resolve over the
+        // survivors — fall back to the full read (correct, merely unpruned)
+        val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
+        val refs = expr.collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+          case r: org.apache.spark.sql.catalyst.expressions.AttributeReference => r.name
+        }.toSet
+        if (refs.subsetOf(pruned.columns.toSet)) pruned
+        else rd.parquet(dataDir.toString)
+      }
     base.drop("_chunk").filter(predicate)
   }
 
@@ -502,7 +549,9 @@ object Snapshot {
     * `k` under `predicate`. Files without recorded stats always survive. */
   private[graft] def pruneFiles(table: Path, k: Int,
                                 predicate: org.apache.spark.sql.Column): (Seq[Path], Int) = {
-    val stats = parsedFileStats(table, k)
+    // ONE manifest read feeds both the stats parse and the chunk metadata
+    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+    val stats = parsedFileStatsOf(m)
     val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
     val dataDir = table.resolve(s"v$k")
     val all = listDir(dataDir)
@@ -514,24 +563,24 @@ object Snapshot {
       }
     // chunk-hash pruning: an equality/IN predicate on the table's chunk key
     // pins the chunks those values hash to — every other chunk's files drop
-    // without a stat comparison. Hashed per physical type, memoized.
-    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+    // without a stat comparison. Hashed per (physical, logical) type pair,
+    // memoized.
     val chunkKeyCol = "\"chunk_key\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(m).map(_.group(1))
     val numChunks = "\"num_chunks\"\\s*:\\s*\"?(\\d+)\"?".r
       .findFirstMatchIn(m).map(_.group(1).toInt)
-    val chunkSetCache = scala.collection.mutable.Map[String, Option[Set[Long]]]()
-    def allowedFor(pt: String): Option[Set[Long]] =
-      chunkSetCache.getOrElseUpdate(pt, (chunkKeyCol, numChunks) match {
-        case (Some(ck), Some(n)) if pt.nonEmpty => allowedChunks(expr, ck, pt, n)
+    val chunkSetCache = scala.collection.mutable.Map[(String, String), Option[Set[Long]]]()
+    def allowedFor(pt: String, lk: String): Option[Set[Long]] =
+      chunkSetCache.getOrElseUpdate((pt, lk), (chunkKeyCol, numChunks) match {
+        case (Some(ck), Some(n)) if pt.nonEmpty => allowedChunks(expr, ck, pt, lk, n)
         case _ => None
       })
     val kept = all.collect {
       case (key, f) if {
         val cs = stats.get(key).map(colStatsFor)
-        val chunkOk = cs.flatMap(c => chunkKeyCol.flatMap(c.get)).map(_.pt) match {
-          case Some(pt) =>
-            allowedFor(pt).forall(_.contains(key.takeWhile(_ != '/').toLong))
+        val chunkOk = cs.flatMap(c => chunkKeyCol.flatMap(c.get)) match {
+          case Some(st) =>
+            allowedFor(st.pt, st.lk).forall(_.contains(key.takeWhile(_ != '/').toLong))
           case None => true
         }
         chunkOk && cs.forall(fileSurvives(expr, _))
@@ -551,25 +600,28 @@ object Snapshot {
     * `pmod(xxhash64(col(chunkKey)), numChunks)` for ONE literal key value,
     * hashed at the file's recorded PHYSICAL type (`xxhash64` of Int and
     * Long differ, and the chunk a key landed in was decided by the
-    * column's type at that file's write time). None = not computable at
-    * this type — no chunk pruning. */
-  private def chunkOf(value: Any, pt: String, numChunks: Int): Option[Long] = {
+    * column's type at that file's write time) and gated on the LOGICAL
+    * kind (a date literal must not hash against a timestamp column's
+    * micros). None = not computable — no chunk pruning. */
+  private def chunkOf(lit: org.apache.spark.sql.catalyst.expressions.Literal,
+                      pt: String, lk: String, numChunks: Int): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
-    val typed: Option[CLit] = (pt, value) match {
+    val typed: Option[CLit] = (pt, lk, lit.dataType, lit.value) match {
       // hash expressions leave the seed untouched on null — type-free
-      case (_, null) => Some(CLit(null, StringType))
-      case ("i64", v: Long) => Some(CLit(v, LongType))
-      case ("i64", v: Int) => Some(CLit(v.toLong, LongType))
-      case ("i64", v: Short) => Some(CLit(v.toLong, LongType))
-      case ("i64", v: Byte) => Some(CLit(v.toLong, LongType))
-      case ("i32", v: Int) => Some(CLit(v, IntegerType))
-      case ("i32", v: Long) if v.isValidInt => Some(CLit(v.toInt, IntegerType))
-      case ("i32", v: Short) => Some(CLit(v.toInt, IntegerType))
-      case ("i32", v: Byte) => Some(CLit(v.toInt, IntegerType))
-      case ("bin", u: UTF8String) => Some(CLit(u, StringType))
-      case ("bin", s: String) => Some(CLit(UTF8String.fromString(s), StringType))
+      case (_, _, _, null) => Some(CLit(null, StringType))
+      case ("i64", "int", ByteType | ShortType | IntegerType | LongType, v: Number) =>
+        Some(CLit(v.longValue, LongType))
+      case ("i64", "tsu", TimestampType | TimestampNTZType, v: java.lang.Long) =>
+        Some(CLit(v.longValue, LongType))
+      case ("i32", "int", ByteType | ShortType | IntegerType | LongType, v: Number)
+          if v.longValue.isValidInt =>
+        Some(CLit(v.intValue, IntegerType))
+      case ("i32", "date", DateType, v: Integer) =>
+        Some(CLit(v.intValue, IntegerType))
+      case ("bin", _, _, u: UTF8String) => Some(CLit(u, StringType))
+      case ("bin", _, _, s: String) => Some(CLit(UTF8String.fromString(s), StringType))
       case _ => None
     }
     typed.map { l =>
@@ -584,15 +636,17 @@ object Snapshot {
     * (BOTH sides must constrain), Eq/In = the hashed value set, IsNull =
     * the null chunk. Everything else keeps all chunks. */
   private def allowedChunks(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                            key: String, pt: String, n: Int): Option[Set[Long]] = {
+                            key: String, pt: String, lk: String,
+                            n: Int): Option[Set[Long]] = {
     import org.apache.spark.sql.catalyst.expressions._
+    val nullLit = Literal(null, org.apache.spark.sql.types.StringType)
     def isKey(a: Expression) = attrNameOf(a).contains(key)
     def eqSet(a: Expression, v: Literal): Option[Set[Long]] =
-      if (isKey(a)) chunkOf(v.value, pt, n).map(Set(_)) else None
+      if (isKey(a)) chunkOf(v, pt, lk, n).map(Set(_)) else None
     def inSet(a: Expression, vs: Seq[Expression]): Option[Set[Long]] =
       if (!isKey(a) || vs.isEmpty) None
       else {
-        val cs = vs.map(v => chunkOf(v.asInstanceOf[Literal].value, pt, n))
+        val cs = vs.map(v => chunkOf(v.asInstanceOf[Literal], pt, lk, n))
         if (cs.exists(_.isEmpty)) None else Some(cs.flatten.toSet)
       }
     def conj(l: Option[Set[Long]], r: Option[Set[Long]]) = (l, r) match {
@@ -610,7 +664,7 @@ object Snapshot {
           case ("=" | "==", Seq(a, v: Literal)) => eqSet(a, v)
           case ("=" | "==", Seq(v: Literal, a)) => eqSet(a, v)
           case ("in", a +: vs) if vs.forall(_.isInstanceOf[Literal]) => inSet(a, vs)
-          case ("isNull", Seq(a)) if isKey(a) => chunkOf(null, pt, n).map(Set(_))
+          case ("isNull", Seq(a)) if isKey(a) => chunkOf(nullLit, pt, lk, n).map(Set(_))
           case _ => None
         }
       case And(l, r) => conj(rec(l), rec(r))
@@ -618,7 +672,7 @@ object Snapshot {
       case EqualTo(a, v: Literal) => eqSet(a, v)
       case EqualTo(v: Literal, a) => eqSet(a, v)
       case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => inSet(a, vs)
-      case IsNull(a) if isKey(a) => chunkOf(null, pt, n).map(Set(_))
+      case IsNull(a) if isKey(a) => chunkOf(nullLit, pt, lk, n).map(Set(_))
       case _ => None
     }
     rec(e)
@@ -627,7 +681,8 @@ object Snapshot {
   private def colStatsFor(entries: Seq[Map[String, String]]): Map[String, ColStat] =
     entries.filter(_.contains("col")).map { e =>
       e("col") -> ColStat(e("t"), e("min"), e("max"), e("nulls").toLong,
-        e("nn") == "1", e.getOrElse("pt", ""), e.get("ap").contains("1"))
+        e("nn") == "1", e.getOrElse("pt", ""), e.get("ap").contains("1"),
+        e.getOrElse("lk", ""))
     }.toMap
 
   /** Conservative stats evaluation: true = the file MAY contain a matching
@@ -642,7 +697,7 @@ object Snapshot {
       stat(a).forall { s =>
         if (l.value == null) true // null-literal comparisons: let Spark filter
         else if (!s.hasNonNull) false // all-null file: no comparison matches
-        else cmpBounds(s, l.value).forall { case (cmpMin, cmpMax) =>
+        else cmpBounds(s, l).forall { case (cmpMin, cmpMax) =>
           keepIf(cmpMin, cmpMax) }
       }
     // prefix match: strings starting with p live in [p, bump(p)) — keep the
@@ -693,7 +748,7 @@ object Snapshot {
           case ("in", a +: vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
             vs.exists(v => range(a, v.asInstanceOf[Literal])(
               (mn, mx) => mn >= 0 && mx <= 0))
-          case ("isNull", Seq(a)) => stat(a).forall(_.nulls > 0)
+          case ("isNull", Seq(a)) => stat(a).forall(_.nulls != 0)
           case ("isNotNull", Seq(a)) => stat(a).forall(_.hasNonNull)
           case ("startswith", Seq(a, l: Literal)) => prefixKeep(a, l)
           case _ => true
@@ -712,7 +767,7 @@ object Snapshot {
       case LessThanOrEqual(l: Literal, a) => range(a, l)((_, mx) => mx <= 0)
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => range(a, v.asInstanceOf[Literal])((mn, mx) => mn >= 0 && mx <= 0))
-      case IsNull(a) => stat(a).forall(_.nulls > 0)
+      case IsNull(a) => stat(a).forall(_.nulls != 0)
       case IsNotNull(a) => stat(a).forall(_.hasNonNull)
       case StartsWith(a, l: Literal) => prefixKeep(a, l)
       case _ => true
@@ -720,40 +775,48 @@ object Snapshot {
   }
 
   /** (compare(lit, min), compare(lit, max)) in the stat's value order, or
-    * None when the literal's runtime type doesn't map onto the stat type
-    * (then nothing prunes). String bounds are the stored conservative
-    * prefixes, so the comparisons stay sound under truncation. */
-  private def cmpBounds(s: ColStat, v: Any): Option[(Int, Int)] = s.t match {
-    case "long" =>
-      val lv = v match {
-        case n: Long => Some(n)
-        case n: Int => Some(n.toLong)
-        case n: Short => Some(n.toLong)
-        case n: Byte => Some(n.toLong)
-        case _ => None
-      }
-      lv.map(n => (java.lang.Long.compare(n, s.min.toLong),
-                   java.lang.Long.compare(n, s.max.toLong)))
-    case "double" =>
-      val dv = v match {
-        case n: Double => Some(n)
-        case n: Float => Some(n.toDouble)
-        case n: Long => Some(n.toDouble)
-        case n: Int => Some(n.toDouble)
-        case _ => None
-      }
-      dv.filterNot(_.isNaN).map(n =>
-        (java.lang.Double.compare(n, s.min.toDouble),
-         java.lang.Double.compare(n, s.max.toDouble)))
-    case "string" =>
-      val bv = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
-        case str: String => Some(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        case _ => None
-      }
-      bv.map(b => (java.util.Arrays.compareUnsigned(b, unhex(s.min)),
-                   java.util.Arrays.compareUnsigned(b, unhex(s.max))))
-    case _ => None
+    * None when the literal's TYPE doesn't carry the stat's logical kind
+    * (then nothing prunes): plain integral bounds compare only against
+    * integral literals, date-days only against DateType, timestamp-micros
+    * only against Timestamp(NTZ)Type — the stored numbers and the literal
+    * must share a unit, or a sound-looking comparison silently prunes
+    * matching rows. String bounds are the stored conservative prefixes, so
+    * those comparisons stay sound under truncation. */
+  private def cmpBounds(s: ColStat,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[(Int, Int)] = {
+    import org.apache.spark.sql.types._
+    s.t match {
+      case "long" =>
+        val lv: Option[Long] = (s.lk, l.dataType, l.value) match {
+          case ("int", ByteType | ShortType | IntegerType | LongType, n: Number) =>
+            Some(n.longValue)
+          case ("date", DateType, n: Integer) => Some(n.longValue)
+          case ("tsu", TimestampType | TimestampNTZType, n: java.lang.Long) => Some(n)
+          case _ => None
+        }
+        lv.map(n => (java.lang.Long.compare(n, s.min.toLong),
+                     java.lang.Long.compare(n, s.max.toLong)))
+      case "double" =>
+        val dv = l.value match {
+          case n: Double => Some(n)
+          case n: Float => Some(n.toDouble)
+          case n: Long => Some(n.toDouble)
+          case n: Int => Some(n.toDouble)
+          case _ => None
+        }
+        dv.filterNot(_.isNaN).map(n =>
+          (java.lang.Double.compare(n, s.min.toDouble),
+           java.lang.Double.compare(n, s.max.toDouble)))
+      case "string" =>
+        val bv = l.value match {
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+          case str: String => Some(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case _ => None
+        }
+        bv.map(b => (java.util.Arrays.compareUnsigned(b, unhex(s.min)),
+                     java.util.Arrays.compareUnsigned(b, unhex(s.max))))
+      case _ => None
+    }
   }
 
   /** Time travel by TAG: read the snapshot whose manifest carries `tag`
@@ -868,6 +931,15 @@ object Snapshot {
       return write(df, tablePath, chunkKey, numChunks,
         observation = observation, tag = tag,
         clusterBy = clusterBy, rowsPerFile = rowsPerFile))
+    // chunking is a TABLE property: an append under a different key/modulus
+    // would hard-link parent files into dirs the new scheme disagrees with,
+    // and chunk-hash pruning would then silently drop their rows
+    val pm = Files.readString(table.resolve(s"manifest-v$parentVersion.json"))
+    val pKey = "\"chunk_key\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(pm).map(_.group(1))
+    val pN = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(pm).map(_.group(1).toInt)
+    require(pKey.forall(_ == chunkKey) && pN.forall(_ == numChunks),
+      s"append chunking ($chunkKey, $numChunks) contradicts the parent manifest " +
+      s"(${pKey.getOrElse("?")}, ${pN.getOrElse("?")}); re-chunk via write/compact")
     val k = parentVersion + 1
     if (finishCommitted(table, k)) return manifestMetrics(table, k)
 
@@ -1117,7 +1189,8 @@ object Snapshot {
     val byteOrd = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
     val cols = shared.iterator.flatMap { c =>
       val ss = colMaps.map(_(c))
-      if (ss.exists(_.approx)) None
+      // approx string bounds and unknown null counts both break exactness
+      if (ss.exists(s => s.approx || s.nulls < 0)) None
       else {
         val nulls = ss.map(_.nulls).sum
         val valued = ss.filter(_.hasNonNull)

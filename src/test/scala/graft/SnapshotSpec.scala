@@ -478,6 +478,92 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(col("ts") < 100L || col("ts") >= 2100L).count())
   }
 
+  test("stat-prune soundness: typed units, signed zero, metric shadowing, evolution") {
+    import spark.implicits._
+    // decimal columns store UNSCALED numbers — they must get NO stat, so a
+    // cast comparison can never prune a file that holds matching rows
+    val t1 = freshDir("statsdec") + "/t"
+    val dec = (1 to 100).map(i => (s"c${i % 7}", BigDecimal(i)))
+      .toDF("conv_id", "price")
+      .select(col("conv_id"), (col("price") / 100).cast("decimal(10,2)").as("price"))
+    Snapshot.write(dec, t1, "conv_id", 2)
+    val pDec = col("price") <= lit(0.50)
+    val (kDec, totDec) = Snapshot.pruneFiles(Paths.get(t1), 0, pDec)
+    assert(kDec.size == totDec, "decimal bounds must never prune")
+    assert(Snapshot.readWhere(spark, t1, pDec).count() ==
+      Snapshot.read(spark, t1).filter(pDec).count())
+    // chunking contradiction: an append under a different modulus must be
+    // rejected, not committed (hard-linked files would prune wrongly)
+    intercept[IllegalArgumentException] {
+      Snapshot.append(dec, t1, "conv_id", 8)
+    }
+
+    // date (days) and timestamp (micros) literals prune in their OWN units;
+    // a cross-unit comparison keeps everything and stays correct
+    val t2 = freshDir("statsdt") + "/t"
+    def dtBatch(off: Int) = (0 until 100).map { i =>
+      val d = off + i % 30
+      (s"c${i % 5}",
+       java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(d)),
+       java.sql.Timestamp.from(
+         java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(d * 86400L)))
+    }.toDF("conv_id", "d", "ts")
+    // Spark's default INT96 timestamps carry no usable footer stats (and
+    // get none recorded — conservative); micros output is the stats path
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      Snapshot.append(dtBatch(0), t2, "conv_id", 2, tag = "m1")
+      Snapshot.append(dtBatch(30), t2, "conv_id", 2, tag = "m2")
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val febD = lit(java.sql.Date.valueOf("2026-01-31"))
+    val febTs = lit(java.sql.Timestamp.valueOf("2026-01-31 00:00:00"))
+    val (kD, totD) = Snapshot.pruneFiles(Paths.get(t2), 1, col("d") >= febD)
+    assert(kD.size * 2 <= totD, s"date prune: ${kD.size}/$totD")
+    assert(Snapshot.readWhere(spark, t2, col("d") >= febD).count() ==
+      Snapshot.read(spark, t2).filter(col("d") >= febD).count())
+    val (kTs, _) = Snapshot.pruneFiles(Paths.get(t2), 1, col("ts") >= febTs)
+    assert(kTs.size * 2 <= totD, s"ts prune: ${kTs.size}/$totD")
+    assert(Snapshot.readWhere(spark, t2, col("ts") >= febTs).count() ==
+      Snapshot.read(spark, t2).filter(col("ts") >= febTs).count())
+    // cross-unit: timestamp literal against the DATE column — no prune, same result
+    val cross = col("d") >= febTs.cast("timestamp")
+    assert(Snapshot.pruneFiles(Paths.get(t2), 1, cross)._1.size == totD)
+    assert(Snapshot.readWhere(spark, t2, cross).count() ==
+      Snapshot.read(spark, t2).filter(cross).count())
+
+    // SQL treats -0.0 == 0.0: a file whose bounds are [-0.0, -0.0] must
+    // still match an === 0.0 lookup (zero bounds are widened at commit)
+    val t3 = freshDir("statszero") + "/t"
+    Snapshot.append(Seq(("a", -0.0), ("b", -0.0)).toDF("conv_id", "v"),
+      t3, "conv_id", 2, tag = "z1")
+    Snapshot.append(Seq(("c", 1.5)).toDF("conv_id", "v"),
+      t3, "conv_id", 2, tag = "z2")
+    assert(Snapshot.readWhere(spark, t3, col("v") === 0.0).count() == 2)
+    assert(Snapshot.readWhere(spark, t3, col("v") === -0.0).count() == 2)
+
+    // an Observation metric literally named "filestats" must not hijack the
+    // manifest's stats array (the parser anchors on the array form)
+    val t4 = freshDir("statsmet") + "/t"
+    val obs = org.apache.spark.sql.Observation("shadow")
+    Snapshot.write(Seq(("a", 1L), ("b", 2L)).toDF("conv_id", "n")
+      .observe(obs, count(lit(1)).as("filestats")), t4, "conv_id", 2,
+      observation = Some(obs))
+    val (r4, c4) = Snapshot.tableStats(t4)
+    assert(r4 == 2L && c4("n") == Snapshot.ColumnStats(Some(1L), Some(2L), 0L))
+    assert(Snapshot.readWhere(spark, t4, col("n") === 2L).count() == 1)
+
+    // schema evolution: predicate on a column only NEW files carry, with all
+    // of them pruned — must fall back to the full read, not throw
+    val t5 = freshDir("statsevo") + "/t"
+    Snapshot.write(Seq(("a", 1L)).toDF("conv_id", "n"), t5, "conv_id", 2)
+    Snapshot.append(Seq(("b", 2L, 50L)).toDF("conv_id", "n", "score"),
+      t5, "conv_id", 2, tag = "evo")
+    val evo = Snapshot.readWhere(spark, t5, col("score") > 100L, mergeSchema = true)
+    assert(evo.count() == 0)
+    assert(Snapshot.readWhere(spark, t5, col("score") === 50L,
+      mergeSchema = true).count() == 1)
+  }
+
   test("z-order clustered write: predicates on EITHER dimension prune files") {
     import spark.implicits._
     GraftExtensions.registerOn(spark)
