@@ -140,7 +140,8 @@ object Snapshot {
     * truncation-adjusted string bounds: still sound for pruning, but never
     * reported as exact by [[tableStats]]. `lk` is the LOGICAL kind the
     * stored numbers are in — "int" (plain integral), "date" (days),
-    * "tsu" (timestamp micros), "" (double/string) — and comparisons only
+    * "tsu"/"tsn" (timestamp micros, UTC-adjusted vs wall-clock), ""
+    * (double/string) — and comparisons only
     * happen between a literal and a bound of the SAME kind: a decimal
     * column (unscaled storage) gets no stat at all, and a date literal
     * never compares against timestamp-micros bounds. `nulls = -1` means
@@ -205,7 +206,10 @@ object Snapshot {
       case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some("int")
       case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
       case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some("tsu")
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+        // UTC-adjusted (TimestampType) vs wall-clock (NTZ) micros differ by
+        // the session-zone offset under a cast — never comparable cross-kind
+        Some(if (t.isAdjustedToUTC) "tsu" else "tsn")
       case _ => None
     }
     val (tag, pt, lk) = prim.getPrimitiveTypeName match {
@@ -238,14 +242,11 @@ object Snapshot {
         val mins = valued.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
         val maxs = valued.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
         if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
-        else {
-          // SQL treats -0.0 == 0.0; footer bounds use total order — widen a
-          // zero bound to cover both signs so neither sign wrongly prunes
-          val mn0 = mins.min; val mx0 = maxs.max
-          val mn = if (mn0 == 0.0d) -0.0d else mn0
-          val mx = if (mx0 == 0.0d) 0.0d else mx0
-          Some(ColStat(tag, mn.toString, mx.toString, nulls, true, pt))
-        }
+        else
+          // raw footer bounds: tableStats stays exact; the -0.0/0.0
+          // widening SQL equality needs happens at COMPARE time
+          // (cmpBounds), which also covers older manifests
+          Some(ColStat(tag, mins.min.toString, maxs.max.toString, nulls, true, pt))
       case "string" =>
         val ord = (a: Array[Byte], b: Array[Byte]) =>
           java.util.Arrays.compareUnsigned(a, b)
@@ -369,8 +370,14 @@ object Snapshot {
       var rows = 0L
       files.foreach { f =>
         val key = s"$c/$f"
+        // reuse only current-format entries (pt present; long stats carry
+        // their logical kind): pre-upgrade entries re-derive from the
+        // footer ONCE here, so old tables self-heal instead of carrying
+        // unprunable stats forward forever
         parentStats.get(key) match {
-          case Some(entries) if entries.exists(_.contains("rows")) =>
+          case Some(entries) if entries.exists(_.contains("rows")) &&
+              entries.filter(_.contains("col")).forall(e =>
+                e.contains("pt") && (e("t") != "long" || e.contains("lk"))) =>
             rows += entries.iterator.flatMap(_.get("rows")).next().toLong
             allEntries ++= entries.map(e => Json.obj(
               statEntryOrder.collect { case fld if e.contains(fld) =>
@@ -522,7 +529,8 @@ object Snapshot {
       else recoverCommitted(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $tablePath"))
     val dataDir = table.resolve(s"v$k")
-    val (kept, total) = pruneFiles(table, k, predicate)
+    val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
+    val (kept, total) = pruneFilesExpr(table, k, expr)
     val rd = spark.read.option("mergeSchema", mergeSchema.toString)
     val base =
       if (kept.size == total) rd.parquet(dataDir.toString)
@@ -533,7 +541,6 @@ object Snapshot {
         // schema evolution: if pruning dropped every file CARRYING a
         // predicate column, the residual filter could not resolve over the
         // survivors — fall back to the full read (correct, merely unpruned)
-        val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
         val refs = expr.collect {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
           case r: org.apache.spark.sql.catalyst.expressions.AttributeReference => r.name
@@ -548,11 +555,15 @@ object Snapshot {
     * observability: (surviving parquet files, total file count) of version
     * `k` under `predicate`. Files without recorded stats always survive. */
   private[graft] def pruneFiles(table: Path, k: Int,
-                                predicate: org.apache.spark.sql.Column): (Seq[Path], Int) = {
+                                predicate: org.apache.spark.sql.Column): (Seq[Path], Int) =
+    pruneFilesExpr(table, k,
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate))
+
+  private def pruneFilesExpr(table: Path, k: Int,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[Path], Int) = {
     // ONE manifest read feeds both the stats parse and the chunk metadata
     val m = Files.readString(table.resolve(s"manifest-v$k.json"))
     val stats = parsedFileStatsOf(m)
-    val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(predicate)
     val dataDir = table.resolve(s"v$k")
     val all = listDir(dataDir)
       .filter(_.getFileName.toString.startsWith("_chunk=")).sortBy(_.toString)
@@ -613,7 +624,9 @@ object Snapshot {
       case (_, _, _, null) => Some(CLit(null, StringType))
       case ("i64", "int", ByteType | ShortType | IntegerType | LongType, v: Number) =>
         Some(CLit(v.longValue, LongType))
-      case ("i64", "tsu", TimestampType | TimestampNTZType, v: java.lang.Long) =>
+      case ("i64", "tsu", TimestampType, v: java.lang.Long) =>
+        Some(CLit(v.longValue, LongType))
+      case ("i64", "tsn", TimestampNTZType, v: java.lang.Long) =>
         Some(CLit(v.longValue, LongType))
       case ("i32", "int", ByteType | ShortType | IntegerType | LongType, v: Number)
           if v.longValue.isValidInt =>
@@ -791,7 +804,8 @@ object Snapshot {
           case ("int", ByteType | ShortType | IntegerType | LongType, n: Number) =>
             Some(n.longValue)
           case ("date", DateType, n: Integer) => Some(n.longValue)
-          case ("tsu", TimestampType | TimestampNTZType, n: java.lang.Long) => Some(n)
+          case ("tsu", TimestampType, n: java.lang.Long) => Some(n)
+          case ("tsn", TimestampNTZType, n: java.lang.Long) => Some(n)
           case _ => None
         }
         lv.map(n => (java.lang.Long.compare(n, s.min.toLong),
@@ -804,9 +818,13 @@ object Snapshot {
           case n: Int => Some(n.toDouble)
           case _ => None
         }
+        // SQL treats -0.0 == 0.0; stored bounds use total order — widen a
+        // zero bound at COMPARE time so neither sign wrongly prunes
+        val mn0 = s.min.toDouble; val mx0 = s.max.toDouble
+        val mn = if (mn0 == 0.0d) -0.0d else mn0
+        val mx = if (mx0 == 0.0d) 0.0d else mx0
         dv.filterNot(_.isNaN).map(n =>
-          (java.lang.Double.compare(n, s.min.toDouble),
-           java.lang.Double.compare(n, s.max.toDouble)))
+          (java.lang.Double.compare(n, mn), java.lang.Double.compare(n, mx)))
       case "string" =>
         val bv = l.value match {
           case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
@@ -888,13 +906,19 @@ object Snapshot {
       .map(_.group(1)).getOrElse(throw new IllegalStateException("manifest missing chunk_key"))
     val numChunks = "\"num_chunks\":\\s*(\\d+)".r.findFirstMatchIn(m)
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException("manifest missing num_chunks"))
+    // mergeSchema: a delta append may have evolved the schema — a plain
+    // read would pick one footer's columns and the rewrite would silently
+    // DROP the evolved ones from the table forever
+    val full = read(spark, tablePath, k, mergeSchema = true)
     // repartition by the CHUNK expression (not the raw key): every chunk
-    // then lives in exactly one task, so each chunk dir lands as one file —
-    // unless clusterBy re-sorts it (incremental commits scatter cluster
-    // ranges across delta files; compaction is where clustering is
-    // re-established, same as Iceberg's sort-order rewrite)
-    val data = read(spark, tablePath, k).repartition(numChunks,
-      pmod(xxhash64(col(chunkKey)), lit(numChunks)))
+    // then lives in exactly one task, so each chunk dir lands as one file.
+    // Under clusterBy the staging plan repartitions on the chunk id itself
+    // (and re-sorts — incremental commits scatter cluster ranges across
+    // delta files; compaction is where clustering is re-established, same
+    // as Iceberg's sort-order rewrite), so adding one here would just
+    // shuffle the whole table twice
+    val data = if (clusterBy.nonEmpty) full
+      else full.repartition(numChunks, pmod(xxhash64(col(chunkKey)), lit(numChunks)))
     write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1,
       clusterBy = clusterBy, rowsPerFile = rowsPerFile)
   }
@@ -1199,8 +1223,14 @@ object Snapshot {
           else ss.head.t match {
             case "long" => (Some(valued.map(_.min.toLong).min),
                             Some(valued.map(_.max.toLong).max))
-            case "double" => (Some(valued.map(_.min.toDouble).min),
-                              Some(valued.map(_.max.toDouble).max))
+            case "double" =>
+              // parquet writers sign-adjust zero bounds (min 0.0 → -0.0,
+              // PARQUET-1222), so a zero's sign is unknowable from the
+              // footer; normalize to +0.0 — exact under SQL equality,
+              // which treats the two zeros as the same value
+              def norm(d: Double) = if (d == 0.0d) 0.0d else d
+              (Some(norm(valued.map(_.min.toDouble).min)),
+               Some(norm(valued.map(_.max.toDouble).max)))
             case _ =>
               val mnB = valued.map(s => unhex(s.min))
                 .reduce((a, b) => if (byteOrd(a, b) <= 0) a else b)

@@ -562,6 +562,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(evo.count() == 0)
     assert(Snapshot.readWhere(spark, t5, col("score") === 50L,
       mergeSchema = true).count() == 1)
+    // ... and compaction of that evolved table must MATERIALIZE the evolved
+    // column, not silently drop it with a single-footer schema
+    Snapshot.compact(spark, t5)
+    val compacted = Snapshot.read(spark, t5)
+    assert(compacted.columns.contains("score"))
+    assert(compacted.filter(col("score") === 50L).count() == 1)
+
+    // wall-clock (NTZ) and UTC-adjusted timestamps are DISTINCT kinds: the
+    // NTZ literal prunes its own column; a TimestampType literal against an
+    // NTZ column must not prune anything (session-zone cast shifts values)
+    val t6 = freshDir("statsntz") + "/t"
+    def ntzBatch(off: Int) = (0 until 60).map { i =>
+      (s"c${i % 5}",
+       java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusDays(off + i % 30))
+    }.toDF("conv_id", "ts")
+    Snapshot.append(ntzBatch(0), t6, "conv_id", 2, tag = "n1")
+    Snapshot.append(ntzBatch(30), t6, "conv_id", 2, tag = "n2")
+    val ntzCut = lit(java.time.LocalDateTime.of(2026, 1, 31, 0, 0))
+    val (kN, totN) = Snapshot.pruneFiles(Paths.get(t6), 1, col("ts") >= ntzCut)
+    assert(kN.size * 2 <= totN, s"ntz prune: ${kN.size}/$totN")
+    assert(Snapshot.readWhere(spark, t6, col("ts") >= ntzCut).count() ==
+      Snapshot.read(spark, t6).filter(col("ts") >= ntzCut).count())
+    val tzLit = lit(java.sql.Timestamp.valueOf("2026-01-31 00:00:00"))
+    assert(Snapshot.pruneFiles(Paths.get(t6), 1, col("ts") >= tzLit)._1.size == totN,
+      "TZ literal must not prune an NTZ column")
+
+    // tableStats stays bit-exact: a file holding only +0.0 must report
+    // min = +0.0, not a fabricated widened -0.0
+    val t7 = freshDir("statspz") + "/t"
+    Snapshot.write(Seq(("a", 0.0), ("b", 5.0)).toDF("conv_id", "v"),
+      t7, "conv_id", 1)
+    val (_, c7) = Snapshot.tableStats(t7)
+    assert(java.lang.Double.doubleToRawLongBits(
+      c7("v").min.get.asInstanceOf[Double]) == 0L, s"fabricated -0.0: $c7")
   }
 
   test("z-order clustered write: predicates on EITHER dimension prune files") {
