@@ -686,6 +686,22 @@ object SparkEntry {
           ppm(col("value")).as("value_ppm"))
     }),
 
+    // metadata-only incremental consumption: three "daily" commits split by
+    // event_id residue; readAppended(0) must return exactly the rows days 1
+    // and 2 added — a pure manifest file-set diff, no scan of day 0 —
+    // matching the residue predicate over the source table
+    "q_snapshot_incr" -> ((s, d) => {
+      val dir = s"$FixtureDir/incr_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"))
+      graft.sources.Snapshot.write(
+        ev.filter(pmod(col("event_id"), lit(3)) === 0), s"$dir/ev", "user_id", 4)
+      (1 to 2).foreach(day => graft.sources.Snapshot.append(
+        ev.filter(pmod(col("event_id"), lit(3)) === day), s"$dir/ev", "user_id", 4,
+        tag = s"day-$day"))
+      graft.sources.Snapshot.readAppended(s, s"$dir/ev", 0)
+    }),
+
     // incremental NEAR-dup: even-id docs seed the signature table, odd-id
     // docs arrive as the next batch; emits that batch's (new, dup_of,
     // jaccard) pairs. The table is rebuilt from scratch each run (tag
@@ -2951,6 +2967,12 @@ FROM e$BpeMerges""",
           FROM documents WHERE doc_id % 9 <> 0),
           ${Osql.mixCtes("dl", "x")}
           SELECT doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM dld""",
+
+    // incremental-consumption oracle: the day-1/day-2 residue rows straight
+    // from the source — the file-set diff must return exactly these
+    "q_snapshot_incr" ->
+      """SELECT event_id, user_id FROM events
+         WHERE event_id % 3 IN (1, 2)""",
 
     // data-skipping oracle: the plain WHERE over the source table — file
     // pruning must be invisible in the output

@@ -885,6 +885,56 @@ object Snapshot {
     Files.readString(table.resolve(s"manifest-v$k.json"))
   }
 
+  /** `<chunk>/<file>` keys of every data file version `k` references. */
+  private def manifestFileKeys(table: Path, k: Int): Set[String] = {
+    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
+    "\"(\\d+)\":\\{\"rows\":\\d+,\"files\":\\[([^\\]]*)\\]".r
+      .findAllMatchIn(m).flatMap { g =>
+        g.group(2).split(",").iterator
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).map(f => s"${g.group(1)}/$f")
+      }.toSet
+  }
+
+  /** Incremental consumption of an APPEND-ONLY table: the rows versions
+    * `(fromVersion, toVersion]` added, read from exactly the files those
+    * commits wrote — a pure manifest file-set diff, no anti-join, no scan
+    * of pre-existing data (hard links preserve file identity across
+    * versions, so "new file" = "new rows"). The daily-consumer primitive:
+    * "what landed since yesterday's version" costs yesterday's delta, not
+    * the table. `fromVersion = -1` consumes from the beginning.
+    *
+    * Safety: every commit in the range must BE an append (or the initial
+    * write). upsert/delete/compact REWRITE files, which would surface old
+    * rows as newly-added — those ranges need the keyed [[diff]], and this
+    * method throws rather than silently over-report. */
+  def readAppended(spark: SparkSession, tablePath: String, fromVersion: Int,
+                   toVersion: Int = -1, mergeSchema: Boolean = false): DataFrame = {
+    val table = Paths.get(tablePath)
+    val to = if (toVersion >= 0) toVersion
+      else recoverCommitted(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
+    (math.max(fromVersion + 1, 1) to to).foreach { v =>
+      val m = Files.readString(table.resolve(s"manifest-v$v.json"))
+      require(m.contains("\"append\":true"),
+        s"version $v of $tablePath is not an append commit: rewritten files " +
+        "would surface old rows as new — use diff() for this range")
+    }
+    val prev = if (fromVersion < 0) Set.empty[String]
+               else manifestFileKeys(table, fromVersion)
+    val added = (manifestFileKeys(table, to) -- prev).toSeq.sorted
+    val dataDir = table.resolve(s"v$to")
+    val rd = spark.read.option("mergeSchema", mergeSchema.toString)
+    val base =
+      if (added.isEmpty) rd.parquet(dataDir.toString).where(lit(false))
+      else rd.option("basePath", dataDir.toString).parquet(added.map { key =>
+        val Array(c, f) = key.split("/", 2)
+        dataDir.resolve(s"_chunk=$c").resolve(f).toString
+      }: _*)
+    base.drop("_chunk")
+  }
+
   /** Compaction: rewrite the CURRENT snapshot as a new snapshot whose chunks
     * hold one file each (`filesPerChunk` tasks per chunk) — the Iceberg
     * `rewrite_data_files` maintenance action. Long-running ingestion leaves

@@ -636,6 +636,33 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshot.read(spark, table).filter(col("uid") < 1024L).count())
   }
 
+  test("readAppended: metadata-only incremental consumption of appends") {
+    import spark.implicits._
+    val table = freshDir("statsinc") + "/t"
+    def day(d: Int) = (0 until 100).map(i => (s"c${i % 7}", d * 1000L + i))
+      .toDF("conv_id", "ts")
+    Snapshot.write(day(0), table, "conv_id", 4)          // v0
+    Snapshot.append(day(1), table, "conv_id", 4, tag = "d1") // v1
+    Snapshot.append(day(2), table, "conv_id", 4, tag = "d2") // v2
+    def tsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ts").as[Long].collect().toSet
+    // (0, tip]: days 1+2; (1, 2]: day 2; from -1: everything; (tip, tip]: empty
+    assert(tsSet(Snapshot.readAppended(spark, table, 0)) ==
+      (0 until 100).flatMap(i => Seq(1000L + i, 2000L + i)).toSet)
+    assert(tsSet(Snapshot.readAppended(spark, table, 1, 2)) ==
+      (0 until 100).map(i => 2000L + i).toSet)
+    assert(Snapshot.readAppended(spark, table, -1).count() == 300)
+    val empty = Snapshot.readAppended(spark, table, 2)
+    assert(empty.count() == 0 && empty.columns.toSet == Set("conv_id", "ts"))
+    // a rewrite commit inside the range must be refused, not over-reported
+    Snapshot.upsert(Seq(("c0", 0L)).toDF("conv_id", "ts"), table) // v3 rewrite
+    intercept[IllegalArgumentException] {
+      Snapshot.readAppended(spark, table, 0)
+    }
+    // ranges that stop BEFORE the rewrite still work
+    assert(Snapshot.readAppended(spark, table, 1, 2).count() == 100)
+  }
+
   test("property: readWhere == read().filter over random predicate trees") {
     import spark.implicits._
     val table = freshDir("statsprop") + "/t"
