@@ -636,6 +636,23 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshot.read(spark, table).filter(col("uid") < 1024L).count())
   }
 
+  test("null chunk keys hash to the seed chunk; IS NULL prunes to it") {
+    import spark.implicits._
+    val table = freshDir("statsnull") + "/t"
+    val df = Seq((null: String, 1L), (null, 2L), ("a", 3L), ("b", 4L),
+      ("cc", 5L), ("d", 6L), ("e", 7L), ("f", 8L)).toDF("conv_id", "ts")
+      .repartition(4)
+    Snapshot.write(df, table, "conv_id", 4)
+    val (kept, total) = Snapshot.pruneFiles(Paths.get(table), 0, col("conv_id").isNull)
+    // xxhash64(null) leaves the seed (42) ⇒ null keys live in chunk 42 % 4
+    assert(kept.nonEmpty && kept.size < total)
+    assert(kept.forall(_.getParent.getFileName.toString == "_chunk=2"),
+      s"null keys must pin chunk 2, kept: $kept")
+    assert(Snapshot.readWhere(spark, table, col("conv_id").isNull).count() == 2)
+    assert(Snapshot.readWhere(spark, table, col("conv_id").isNull ||
+      col("conv_id") === "a").count() == 3)
+  }
+
   test("readAppended: metadata-only incremental consumption of appends") {
     import spark.implicits._
     val table = freshDir("statsinc") + "/t"
