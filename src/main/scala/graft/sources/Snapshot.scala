@@ -885,15 +885,26 @@ object Snapshot {
     Files.readString(table.resolve(s"manifest-v$k.json"))
   }
 
-  /** `<chunk>/<file>` keys of every data file version `k` references. */
-  private def manifestFileKeys(table: Path, k: Int): Set[String] = {
-    val m = Files.readString(table.resolve(s"manifest-v$k.json"))
-    "\"(\\d+)\":\\{\"rows\":\\d+,\"files\":\\[([^\\]]*)\\]".r
-      .findAllMatchIn(m).flatMap { g =>
-        g.group(2).split(",").iterator
-          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).map(f => s"${g.group(1)}/$f")
-      }.toSet
+  /** `<chunk>/<file>` keys of every data file a manifest references —
+    * straight from the escape-aware filestats parse (every file carries a
+    * rows entry), with the chunks-object scan as the pre-stats fallback.
+    * Fails loudly if a manifest that plainly lists files parses to zero
+    * keys: a silent empty set would make [[readAppended]] report the WHOLE
+    * table as newly added. */
+  private def manifestFileKeysOf(m: String): Set[String] = {
+    val viaStats = parsedFileStatsOf(m).keySet
+    val keys =
+      if (viaStats.nonEmpty) viaStats
+      else "\"(\\d+)\"\\s*:\\s*\\{\\s*\"rows\"\\s*:\\s*\\d+\\s*,\\s*\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(m).flatMap { g =>
+          g.group(2).split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).map(f => s"${g.group(1)}/$f")
+        }.toSet
+    require(keys.nonEmpty || !m.contains("\"files\":[\""),
+      "manifest lists data files but none parsed — format drift, refusing " +
+      "to mis-report an incremental read")
+    keys
   }
 
   /** Incremental consumption of an APPEND-ONLY table: the rows versions
@@ -902,12 +913,15 @@ object Snapshot {
     * of pre-existing data (hard links preserve file identity across
     * versions, so "new file" = "new rows"). The daily-consumer primitive:
     * "what landed since yesterday's version" costs yesterday's delta, not
-    * the table. `fromVersion = -1` consumes from the beginning.
+    * the table. `fromVersion = -1` consumes from the beginning — served
+    * from the tip alone (every live row is in v<to>'s files), so it works
+    * even after older snapshots expired.
     *
-    * Safety: every commit in the range must BE an append (or the initial
-    * write). upsert/delete/compact REWRITE files, which would surface old
-    * rows as newly-added — those ranges need the keyed [[diff]], and this
-    * method throws rather than silently over-report. */
+    * Safety: every commit in the range must BE an append. upsert/delete/
+    * compact REWRITE files, which would surface old rows as newly-added —
+    * those ranges need the keyed [[diff]], and this method throws rather
+    * than silently over-report; an expired range manifest throws a
+    * curated error instead of a raw missing-file exception. */
   def readAppended(spark: SparkSession, tablePath: String, fromVersion: Int,
                    toVersion: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val table = Paths.get(tablePath)
@@ -915,23 +929,40 @@ object Snapshot {
       else recoverCommitted(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $tablePath"))
     require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
-    (math.max(fromVersion + 1, 1) to to).foreach { v =>
-      val m = Files.readString(table.resolve(s"manifest-v$v.json"))
+    if (fromVersion < 0)
+      return read(spark, tablePath, to, mergeSchema)
+    def manifestTextOf(v: Int): String = {
+      val mf = table.resolve(s"manifest-v$v.json")
+      if (!Files.exists(mf)) throw new IllegalStateException(
+        s"version $v of $tablePath has been expired: cannot prove the range " +
+        "is append-only — re-bootstrap from a full read or use diff()")
+      Files.readString(mf)
+    }
+    val toText = manifestTextOf(to)
+    ((fromVersion + 1) to to).foreach { v =>
+      val m = if (v == to) toText else manifestTextOf(v)
       require(m.contains("\"append\":true"),
         s"version $v of $tablePath is not an append commit: rewritten files " +
         "would surface old rows as new — use diff() for this range")
     }
-    val prev = if (fromVersion < 0) Set.empty[String]
-               else manifestFileKeys(table, fromVersion)
-    val added = (manifestFileKeys(table, to) -- prev).toSeq.sorted
+    val toKeys = manifestFileKeysOf(toText)
+    val added = (toKeys -- manifestFileKeysOf(manifestTextOf(fromVersion))).toSeq.sorted
     val dataDir = table.resolve(s"v$to")
+    def filePath(key: String): String = {
+      val Array(c, f) = key.split("/", 2)
+      dataDir.resolve(s"_chunk=$c").resolve(f).toString
+    }
     val rd = spark.read.option("mergeSchema", mergeSchema.toString)
     val base =
-      if (added.isEmpty) rd.parquet(dataDir.toString).where(lit(false))
-      else rd.option("basePath", dataDir.toString).parquet(added.map { key =>
-        val Array(c, f) = key.split("/", 2)
-        dataDir.resolve(s"_chunk=$c").resolve(f).toString
-      }: _*)
+      if (added.nonEmpty)
+        rd.option("basePath", dataDir.toString).parquet(added.map(filePath): _*)
+      else toKeys.toSeq.sorted.headOption match {
+        // nothing landed (the common poll): schema off ONE known file, not
+        // a full-table listing — the call stays metadata-cheap
+        case Some(key) => rd.option("basePath", dataDir.toString)
+          .parquet(filePath(key)).where(lit(false))
+        case None => rd.parquet(dataDir.toString).where(lit(false))
+      }
     base.drop("_chunk")
   }
 

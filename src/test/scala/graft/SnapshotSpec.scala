@@ -678,6 +678,14 @@ class SnapshotSpec extends AnyFunSuite {
     }
     // ranges that stop BEFORE the rewrite still work
     assert(Snapshot.readAppended(spark, table, 1, 2).count() == 100)
+    // expired range manifests throw a curated error, not a raw missing-file
+    // one; from -1 is served from the tip alone and survives expiry
+    Snapshot.expireSnapshots(table, keep = 1)
+    intercept[IllegalStateException] {
+      Snapshot.readAppended(spark, table, 1, 2)
+    }
+    assert(Snapshot.readAppended(spark, table, -1).count() ==
+      Snapshot.read(spark, table).count())
   }
 
   test("property: readWhere == read().filter over random predicate trees") {
