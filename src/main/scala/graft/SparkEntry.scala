@@ -702,6 +702,48 @@ object SparkEntry {
       graft.sources.Snapshot.readAppended(s, s"$dir/ev", 0)
     }),
 
+    // z-order clustered snapshot: files cut from the Morton-sorted run
+    // carry tight min/max on BOTH user_id and event_id, so the readWhere
+    // rectangle prunes on both dimensions — output must still equal the
+    // plain WHERE over the source
+    "q_snapshot_zorder" -> ((s, d) => {
+      val dir = s"$FixtureDir/zord_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      graft.GraftExtensions.registerOn(s)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"))
+      graft.sources.Snapshot.write(ev, s"$dir/ev", "event_type", 2,
+        clusterBy = Seq("zorder2(user_id, event_id)"), rowsPerFile = 500)
+      graft.sources.Snapshot.readWhere(s, s"$dir/ev",
+        col("user_id") < 100L && col("event_id") >= 2000L)
+    }),
+
+    // metadata-only table stats surfaced as a one-row result: count/min/
+    // max/null-count come from the manifest ALONE (no scan) and must match
+    // the oracle's full aggregation over the source
+    "q_snapshot_stats" -> ((s, d) => {
+      val dir = s"$FixtureDir/tstat_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"))
+      graft.sources.Snapshot.write(
+        ev.filter(col("event_id") % 2 === 0), s"$dir/ev", "user_id", 4)
+      graft.sources.Snapshot.append(
+        ev.filter(col("event_id") % 2 === 1), s"$dir/ev", "user_id", 4, tag = "odd")
+      val (rows, cols) = graft.sources.Snapshot.tableStats(s"$dir/ev")
+      def l(c: String, f: graft.sources.Snapshot.ColumnStats => Any): Long =
+        f(cols(c)).asInstanceOf[Long]
+      def str(c: String, f: graft.sources.Snapshot.ColumnStats => Any): String =
+        f(cols(c)).asInstanceOf[String]
+      import s.implicits._
+      Seq((rows, l("event_id", _.min.get), l("event_id", _.max.get),
+        l("user_id", _.min.get), l("user_id", _.max.get),
+        str("event_type", _.min.get), str("event_type", _.max.get),
+        cols("event_type").nulls))
+        .toDF("n_rows", "min_eid", "max_eid", "min_uid", "max_uid",
+          "min_type", "max_type", "null_types")
+    }),
+
     // incremental NEAR-dup: even-id docs seed the signature table, odd-id
     // docs arrive as the next batch; emits that batch's (new, dup_of,
     // jaccard) pairs. The table is rebuilt from scratch each run (tag
@@ -2967,6 +3009,22 @@ FROM e$BpeMerges""",
           FROM documents WHERE doc_id % 9 <> 0),
           ${Osql.mixCtes("dl", "x")}
           SELECT doc_id, CAST(${Osql.signed("x")} AS BIGINT) AS fp FROM dld""",
+
+    // z-order oracle: two-dimensional pruning must be output-invisible
+    "q_snapshot_zorder" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id < 100 AND event_id >= 2000""",
+
+    // metadata-only stats oracle: the full aggregation the manifest fold
+    // must reproduce without opening a data file
+    "q_snapshot_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(event_id) AS min_eid, max(event_id) AS max_eid,
+                min(user_id) AS min_uid, max(user_id) AS max_uid,
+                min(event_type) AS min_type, max(event_type) AS max_type,
+                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_types
+         FROM events""",
 
     // incremental-consumption oracle: the day-1/day-2 residue rows straight
     // from the source — the file-set diff must return exactly these
