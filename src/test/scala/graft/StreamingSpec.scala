@@ -257,6 +257,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingSnapshot.appendBatch(next, table, 2L, "doc_id", 2))
     assert(Snapshot.read(spark, table).count() == 4)
     assert(Snapshot.committedTags(table).contains("batch-2"))
+
+    // downstream incremental consumer closes the ETL loop: each poll reads
+    // ONLY the files the new micro-batches committed (manifest file-set
+    // diff over the stream's append-only versions), never the history
+    assert(Snapshot.readAppended(spark, table, 0)
+      .select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(Snapshot.readAppended(spark, table, 1, 2)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    assert(Snapshot.readAppended(spark, table,
+      Snapshot.committedVersion(table).get).count() == 0)
   }
 
   test("stream-stream interval join == batch join; out-of-interval events dropped") {
