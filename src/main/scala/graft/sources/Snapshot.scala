@@ -392,6 +392,9 @@ object Snapshot {
         "rows" -> rows.toString,
         "files" -> Json.arr(files.map(Json.str)))
     }
+    // extraFields stay at the HEAD of the manifest: readAppended's
+    // append-only probe reads a bounded prefix per range version, not the
+    // (table-sized) filestats body
     val fields =
       Seq("snapshot" -> k.toString, "parent" -> parent.toString) ++
       extraFields ++
@@ -925,27 +928,36 @@ object Snapshot {
   def readAppended(spark: SparkSession, tablePath: String, fromVersion: Int,
                    toVersion: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val table = Paths.get(tablePath)
-    val to = if (toVersion >= 0) toVersion
-      else recoverCommitted(table).getOrElse(
-        throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    val tip = recoverCommitted(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tablePath"))
+    val to = if (toVersion >= 0) toVersion else tip
+    require(to <= tip,
+      s"toVersion $to does not exist at $tablePath: committed tip is $tip")
     require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
     if (fromVersion < 0)
       return read(spark, tablePath, to, mergeSchema)
+    def expired(v: Int) = new IllegalStateException(
+      s"version $v of $tablePath has been expired: cannot prove the range " +
+      "is append-only — re-bootstrap from a full read or use diff()")
     def manifestTextOf(v: Int): String = {
       val mf = table.resolve(s"manifest-v$v.json")
-      if (!Files.exists(mf)) throw new IllegalStateException(
-        s"version $v of $tablePath has been expired: cannot prove the range " +
-        "is append-only — re-bootstrap from a full read or use diff()")
+      if (!Files.exists(mf)) throw expired(v)
       Files.readString(mf)
     }
-    val toText = manifestTextOf(to)
+    // append-only probe: the marker renders at the manifest HEAD (see
+    // commitManifest), so each range version costs a bounded prefix read,
+    // never its table-sized filestats body
     ((fromVersion + 1) to to).foreach { v =>
-      val m = if (v == to) toText else manifestTextOf(v)
-      require(m.contains("\"append\":true"),
+      val mf = table.resolve(s"manifest-v$v.json")
+      if (!Files.exists(mf)) throw expired(v)
+      val in = Files.newInputStream(mf)
+      val head = try new String(in.readNBytes(512),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      require(head.contains("\"append\":true"),
         s"version $v of $tablePath is not an append commit: rewritten files " +
         "would surface old rows as new — use diff() for this range")
     }
-    val toKeys = manifestFileKeysOf(toText)
+    val toKeys = manifestFileKeysOf(manifestTextOf(to))
     val added = (toKeys -- manifestFileKeysOf(manifestTextOf(fromVersion))).toSeq.sorted
     val dataDir = table.resolve(s"v$to")
     def filePath(key: String): String = {
@@ -958,10 +970,13 @@ object Snapshot {
         rd.option("basePath", dataDir.toString).parquet(added.map(filePath): _*)
       else toKeys.toSeq.sorted.headOption match {
         // nothing landed (the common poll): schema off ONE known file, not
-        // a full-table listing — the call stays metadata-cheap
-        case Some(key) => rd.option("basePath", dataDir.toString)
+        // a full-table listing — the call stays metadata-cheap. Merged-
+        // schema consumers need the real union (one old file would hide
+        // delta-evolved columns from the empty frame), so they pay the
+        // directory read on quiet polls only.
+        case Some(key) if !mergeSchema => rd.option("basePath", dataDir.toString)
           .parquet(filePath(key)).where(lit(false))
-        case None => rd.parquet(dataDir.toString).where(lit(false))
+        case _ => rd.parquet(dataDir.toString).where(lit(false))
       }
     base.drop("_chunk")
   }

@@ -562,6 +562,12 @@ class SnapshotSpec extends AnyFunSuite {
     assert(evo.count() == 0)
     assert(Snapshot.readWhere(spark, t5, col("score") === 50L,
       mergeSchema = true).count() == 1)
+    // a QUIET incremental poll of a merged-schema consumer must still
+    // surface the evolved column in its empty frame (schema can't come
+    // from one arbitrary — typically pre-evolution — file)
+    val quiet = Snapshot.readAppended(spark, t5,
+      Snapshot.committedVersion(t5).get, mergeSchema = true)
+    assert(quiet.count() == 0 && quiet.columns.contains("score"))
     // ... and compaction of that evolved table must MATERIALIZE the evolved
     // column, not silently drop it with a single-footer schema
     Snapshot.compact(spark, t5)
@@ -678,6 +684,11 @@ class SnapshotSpec extends AnyFunSuite {
     }
     // ranges that stop BEFORE the rewrite still work
     assert(Snapshot.readAppended(spark, table, 1, 2).count() == 100)
+    // an explicit toVersion beyond the tip is a caller bug, reported as
+    // such — not misdiagnosed as an expired snapshot
+    intercept[IllegalArgumentException] {
+      Snapshot.readAppended(spark, table, 0, 99)
+    }
     // expired range manifests throw a curated error, not a raw missing-file
     // one; from -1 is served from the tip alone and survives expiry
     Snapshot.expireSnapshots(table, keep = 1)
