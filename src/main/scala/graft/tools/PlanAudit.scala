@@ -61,7 +61,9 @@ object PlanAudit {
     "q_group_sample",     // bottomk_agg sampler: O(k) partial state, losers never shuffled
     "q_lang_profile",     // count+sum+topk+sample fused in ONE ObjectHashAggregate pass
     "q_bm25_rerank",      // TakeOrdered top-k; candidate join-back broadcast
-    "q_snapshot_prune")   // manifest-stats file prune: scan lists only surviving files
+    "q_snapshot_prune",   // manifest-stats file prune: scan lists only surviving files
+    "q_snapshot_zorder",  // Morton-clustered: 2-dim rectangle prunes the file index
+    "q_snapshot_incr")    // incremental consumption: scan lists ONLY the appended files
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
