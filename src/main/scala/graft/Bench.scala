@@ -6,10 +6,19 @@ import graft.core.{FixtureGen, Json}
 import graft.sources.TranscriptGen
 import graft.tools.ScalingHarness
 
-/** Benchmark harness. Prints exactly ONE JSON line:
-  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
-  *  "query_errors":{...only queries that threw...},"sf":"...",
-  *  "extraction":{...scaling evidence incl. raw per-pair samples...}}
+/** Benchmark harness. Prints exactly ONE COMPACT JSON line (last stdout
+  * line, < ~1.5 KB so a driver that keeps only a 2 KB output tail always
+  * captures — and can parse — the whole record; rounds 2 and 3 both lost
+  * their per-query evidence to a final line bloated past the tail window):
+  * {"metric":"total","value":<sec>,"unit":"sec","sf":"...","n_queries":N,
+  *  "slowest_queries":{worst 10},"query_errors":{...only queries that
+  *  threw...},"extraction":{scaling evidence, no raw samples},
+  *  "full":"bench/full_bench.json"}
+  * The COMPLETE per-query map and the raw scaling-sample array go to
+  * `bench/full_bench.json` (same schema, superset) and to a per-query table
+  * in BENCH.md — both written during the run, so the driver's end-of-round
+  * commit preserves them; the samples additionally live in
+  * `bench/scaling_samples.jsonl` as always.
   *
   * Scaling evidence for the north rule (N vs 4N executors → two parallelism
   * levels in this single-node sandbox): the identical extraction job runs at
@@ -173,6 +182,9 @@ object Bench {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v, _) => Json.str(k) + f":$v%.3f" }
       .mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => Json.str(k) + f":$v%.3f" }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => Json.str(k) + ":" + Json.str(e) }
       .mkString("{", ",", "}")
     val sampleArr = Json.arr(sum.samples.map(_.toJson))
@@ -191,8 +203,16 @@ object Bench {
       f""""scaling_efficiency":${sum.headline}%.3f,""" +
       s""""scaling_dim_2_8":${dimJson(d28)},""" +
       s""""scaling_dim_${lowCores}_$highCores":${dimJson(d832)},""" +
-      f""""quiet_probe_wall_sec":${ScalingHarness.QuietCpuProbeWall},""" +
-      f""""samples":$sampleArr}"""
+      f""""quiet_probe_wall_sec":${ScalingHarness.QuietCpuProbeWall}}"""
+    // raw samples: their own stderr line + the full-record file — NEVER the
+    // final stdout line (they consumed round 3's whole 2 KB artifact tail)
+    System.err.println(s"[bench] raw scaling samples: $sampleArr")
+    val fullRecord =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries":$qs,"query_errors":$errs,""" +
+      s""""extraction":${extraction.dropRight(1)},"samples":$sampleArr}}"""
+    Files.createDirectories(Paths.get("bench"))
+    Files.writeString(Paths.get("bench/full_bench.json"), fullRecord + "\n")
 
     def v(x: Double, fmt: String = "%.3f"): String = if (x < 0) "—" else fmt.format(x)
     def fmtDim(d: Option[ScalingHarness.DimStats], label: String): String = d.map { x =>
@@ -257,9 +277,17 @@ object Bench {
          |degrading with the measured DRAM ceiling — not with any property of
          |the plan — beyond it.
          |
-         |Headline query timings (local[$highCores], $sfDir): see the bench
-         |JSON (`queries` map, noop-sink materialization per query; failures,
-         |if any, listed under `query_errors`).
+         |## Per-query timings (local[$highCores], $sfDir)
+         |
+         |Noop-sink materialization per query; full map also in
+         |`bench/full_bench.json` (`queries`); failures under `query_errors`.
+         |${results.size} queries, ${results.count(_._3.nonEmpty)} errors,
+         |total ${f"$total%.1f"} s.
+         |
+         || query | sec |
+         || --- | --- |
+         |${results.sortBy(-_._2).map { case (k, v, e) =>
+             f"| $k | $v%.2f${e.map(_ => " ERR").getOrElse("")} |" }.mkString("\n")}
          |
          |## Run-budget notes (why round 2's artifacts were empty)
          |
@@ -275,6 +303,8 @@ object Bench {
          |bench: ~2.5 min end-to-end; verify: ~4 min.
          |""".stripMargin)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","extraction":$extraction}""")
+    // the one stdout line: compact on purpose (see scaladoc) — complete
+    // per-query map lives in bench/full_bench.json and the BENCH.md table
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest_queries":$slowest,"query_errors":$errs,"extraction":$extraction,"full":"bench/full_bench.json"}""")
   }
 }

@@ -88,6 +88,16 @@ object GraftExtensions {
         "id asc) as array<struct<rank,id>> with O(k) partial-agg state"),
       (args: Seq[Expression]) => graft.expressions.RankAggregates.TopKAgg(
         args(0), args(1), intArg(args(2), "k"))),
+    (FunctionIdentifier("seq_ratio"),
+      info("seq_ratio", "_FUNC_(a, b) - difflib SequenceMatcher(None,a,b)" +
+        ".ratio(): Ratcliff-Obershelp similarity in [0,1]"),
+      (args: Seq[Expression]) => graft.expressions.StringSimilarity.SeqRatio(
+        args(0), args(1))),
+    (FunctionIdentifier("token_sort_ratio"),
+      info("token_sort_ratio", "_FUNC_(a, b) - fuzzywuzzy token_sort_ratio " +
+        "(difflib backend): integer 0..100"),
+      (args: Seq[Expression]) => graft.expressions.StringSimilarity
+        .TokenSortRatio(args(0), args(1))),
     (FunctionIdentifier("bottomk_agg"),
       info("bottomk_agg", "_FUNC_(rank, id, k) - per-group bottom-k (rank " +
         "asc, id asc) as array<struct<rank,id>> with O(k) partial-agg state"),

@@ -191,6 +191,50 @@ object SparkEntry {
         .select(col("n_name"), col("r_name"), ppm(col("score")).as("score_ppm"))
     }),
 
+    // J1 with the reference's REAL scorer (fuzzy.py:13-45): cross join two
+    // slices, TWO fuzz.token_sort_ratio score columns per pair (name vs
+    // name, type vs type), exactly the nested-iterrows result frame —
+    // broadcast-NL plus a codegen kernel instead of 820×29k Python loops.
+    // Scores are ints 0..100, directly hashable; the DuckDB oracle re-runs
+    // Ratcliff-Obershelp itself via a recursive segment CTE.
+    "q_token_sort_pairs" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val l = p.filter(col("p_partkey") < 40)
+        .select(col("p_partkey").as("cis_index"),
+          col("p_name").as("l_name"), col("p_type").as("l_type"))
+      val r = p.filter(col("p_partkey") >= 100 && col("p_partkey") < 140)
+        .select(col("p_partkey").as("master_index"),
+          col("p_name").as("r_name"), col("p_type").as("r_type"))
+      l.crossJoin(broadcast(r))
+        .select(col("cis_index"), col("master_index"),
+          graft.expressions.StringSimilarity
+            .token_sort_ratio(col("l_name"), col("r_name"))
+            .cast("long").as("name_sim"),
+          graft.expressions.StringSimilarity
+            .token_sort_ratio(col("l_type"), col("r_type"))
+            .cast("long").as("type_sim"))
+    }),
+
+    // J2 with the reference's REAL scorer (bestmatch.py:19-44): argmax of
+    // difflib SequenceMatcher.ratio per rule, first-in-file-order ties,
+    // match columns nulled at `score > 0.8` — every rule row emitted. The
+    // ' kit' suffix manufactures over-threshold matches for overlapping
+    // keys so both branches carry rows.
+    "q_seqmatch_best" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val rules = p.filter(col("p_partkey") < 30)
+        .select(col("p_partkey").as("rule_id"), col("p_name").as("rule"))
+      val controls = p.filter(col("p_partkey") >= 15 && col("p_partkey") < 45)
+        .select(col("p_partkey").as("control_id"),
+          concat(col("p_name"), lit(" kit")).as("control"))
+      val pairs = Matching.crossScore(rules, controls,
+        graft.expressions.StringSimilarity.seq_ratio(col("rule"), col("control")))
+      Matching.bestMatchNullBelow(pairs, col("rule_id"), col("control_id"),
+          0.8, Seq("control_id", "control"))
+        .select(col("rule_id"), col("rule"), col("control_id"), col("control"),
+          ppm(col("score")).as("score_ppm"))
+    }),
+
     // X1-ish: first regex extraction per row
     "q_regex_extract_first" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), regexp_extract(col("text"), "\\b(b[a-z]+)\\b", 1).as("first_b"))),
@@ -1638,6 +1682,68 @@ object SparkEntry {
     * range: x*C mod 2^64 = x*lo + ((x*hi) mod 2^32)*2^32 (mod 2^64). This
     * lets DuckDB recompute minhash/simhash signatures INDEPENDENTLY, so the
     * near-dup operators get a true cross-engine oracle instead of rows-only. */
+  /** Recursive-CTE Ratcliff-Obershelp: DuckDB re-runs difflib's
+    * get_matching_blocks from first principles — diagonal runs of matching
+    * cells via one gaps-and-islands window pass, then difflib's recursive
+    * split as a recursive CTE whose LATERAL picks each segment's longest
+    * match with the exact (size desc, earliest-in-a, earliest-in-b)
+    * tie-break; matching sizes accumulate as tag-3 marker rows. Validated
+    * cell-for-cell against CPython difflib on 1300+ pairs (0 mismatches,
+    * incl. forced half-even rounding cases) before being wired here.
+    * `pairsSql` must select (pid, a, b); the caller gets CTE
+    * `ro(pid, m, la, lb, ratio)` and must open with WITH RECURSIVE. */
+  private def roOracleCtes(pairsSql: String): String =
+    s"""pairs AS ($pairsSql),
+pos AS (SELECT pid, a, b, length(a) AS la, length(b) AS lb FROM pairs),
+ac0 AS (SELECT pid, a, unnest(generate_series(0, la-1)) AS i FROM pos),
+ac AS (SELECT pid, i, substr(a, i+1, 1) AS ch FROM ac0),
+bc0 AS (SELECT pid, b, unnest(generate_series(0, lb-1)) AS j FROM pos),
+bc AS (SELECT pid, j, substr(b, j+1, 1) AS ch FROM bc0),
+cells AS (SELECT x.pid, x.i, y.j FROM ac x JOIN bc y ON x.pid = y.pid AND x.ch = y.ch),
+isl AS (SELECT pid, i, j, i - row_number() OVER (PARTITION BY pid, (j - i) ORDER BY i) AS grp FROM cells),
+runs AS (SELECT pid, i, j, (max(i) OVER (PARTITION BY pid, (j - i), grp)) - i + 1 AS r FROM isl),
+seg AS (
+  SELECT pid, 0 AS alo, la::INT AS ahi, 0 AS blo, lb::INT AS bhi, 0::BIGINT AS msize FROM pos
+  UNION ALL
+  SELECT s.pid,
+    CASE t.tag WHEN 1 THEN s.alo WHEN 2 THEN best.bi + best.k ELSE 0 END,
+    CASE t.tag WHEN 1 THEN best.bi WHEN 2 THEN s.ahi ELSE 0 END,
+    CASE t.tag WHEN 1 THEN s.blo WHEN 2 THEN best.bj + best.k ELSE 0 END,
+    CASE t.tag WHEN 1 THEN best.bj WHEN 2 THEN s.bhi ELSE 0 END,
+    CASE t.tag WHEN 3 THEN best.k::BIGINT ELSE 0::BIGINT END
+  FROM seg s
+  JOIN LATERAL (
+    SELECT r.i AS bi, r.j AS bj, least(r.r, s.ahi - r.i, s.bhi - r.j)::INT AS k
+    FROM runs r
+    WHERE r.pid = s.pid AND r.i >= s.alo AND r.i < s.ahi AND r.j >= s.blo AND r.j < s.bhi
+    ORDER BY k DESC, r.i, r.j LIMIT 1) best ON best.k > 0
+  CROSS JOIN (VALUES (1), (2), (3)) t(tag)
+  WHERE t.tag = 3
+     OR (t.tag = 1 AND s.alo < best.bi AND s.blo < best.bj)
+     OR (t.tag = 2 AND best.bi + best.k < s.ahi AND best.bj + best.k < s.bhi)),
+msum AS (SELECT pid, SUM(msize)::BIGINT AS m FROM seg GROUP BY pid),
+ro AS (SELECT p.pid, COALESCE(m.m, 0) AS m, p.la, p.lb,
+    CASE WHEN p.la + p.lb = 0 THEN 1.0::DOUBLE
+         ELSE (2.0 * COALESCE(m.m, 0)) / (p.la + p.lb) END AS ratio
+  FROM pos p LEFT JOIN msum m ON p.pid = m.pid)"""
+
+  /** fuzzywuzzy full_process + token sort as one SQL expression — the
+    * RE2 class `[^\p{L}\p{N}_]` is Python's unicode `\W` here (verified
+    * against CPython `re` on mixed-script fixtures; Java's
+    * isLetterOrDigit-based kernel mirrors the same categories). */
+  private def tokenSortSql(x: String): String =
+    s"""array_to_string(list_sort(list_filter(string_split_regex(
+      trim(lower(regexp_replace($x, '[^\\p{L}\\p{N}_]', ' ', 'g'))), ' +'),
+      t -> t <> '')), ' ')"""
+
+  /** fuzzywuzzy utils.intr = Python3 round-half-EVEN (DuckDB round() is
+    * half-away-from-zero): floor + fraction/parity CASE over the identical
+    * IEEE double `100 * (2.0*m/(la+lb))`. */
+  private def intrScoreSql: String =
+    """CAST(CASE WHEN x - floor(x) > 0.5 THEN floor(x) + 1
+            WHEN x - floor(x) < 0.5 THEN floor(x)
+            ELSE floor(x) + (CAST(floor(x) AS BIGINT) % 2) END AS BIGINT)"""
+
   private object Osql {
     val Mod = "18446744073709551616::HUGEINT" // 2^64
 
@@ -3550,6 +3656,57 @@ FROM lstats""",
          FROM s l JOIN s r ON l.source = r.source AND l.doc_id < r.doc_id
          WHERE CAST(LEN(list_intersect(l.toks, r.toks)) AS DOUBLE) /
            (LEN(l.toks) + LEN(r.toks) - LEN(list_intersect(l.toks, r.toks))) >= 0.35""",
+    // full independent fuzz.token_sort_ratio: full_process + token sort in
+    // SQL, Ratcliff-Obershelp via the recursive segment CTE, half-even
+    // rounding replicated explicitly (kinds 1/2 = name/type score columns)
+    "q_token_sort_pairs" -> {
+      val pairsSql =
+        s"""SELECT 1000000 + l.p_partkey*1000 + r.p_partkey AS pid,
+      ${tokenSortSql("l.p_name")} AS a, ${tokenSortSql("r.p_name")} AS b
+    FROM part l, part r
+    WHERE l.p_partkey < 40 AND r.p_partkey >= 100 AND r.p_partkey < 140
+    UNION ALL
+    SELECT 2000000 + l.p_partkey*1000 + r.p_partkey,
+      ${tokenSortSql("l.p_type")}, ${tokenSortSql("r.p_type")}
+    FROM part l, part r
+    WHERE l.p_partkey < 40 AND r.p_partkey >= 100 AND r.p_partkey < 140"""
+      s"""WITH RECURSIVE
+${roOracleCtes(pairsSql)},
+scx AS (SELECT pid, 100 * ((2.0 * m) / (la + lb)) AS x FROM ro WHERE la > 0 AND lb > 0),
+sc AS (SELECT pid, $intrScoreSql AS score FROM scx),
+allsc AS (SELECT r.pid, COALESCE(sc.score, 0) AS score FROM ro r LEFT JOIN sc ON r.pid = sc.pid)
+SELECT n.cis AS cis_index, n.mas AS master_index,
+  n.score AS name_sim, ty.score AS type_sim
+FROM (SELECT (pid % 1000000) // 1000 AS cis, pid % 1000 AS mas, score
+      FROM allsc WHERE pid // 1000000 = 1) n
+JOIN (SELECT (pid % 1000000) // 1000 AS cis, pid % 1000 AS mas, score
+      FROM allsc WHERE pid // 1000000 = 2) ty
+  ON n.cis = ty.cis AND n.mas = ty.mas"""
+    },
+
+    // difflib SequenceMatcher argmax per rule + the strict >0.8 null-out
+    // (bestmatch.py replica); same R-O chain on the RAW strings
+    "q_seqmatch_best" -> {
+      val pairsSql =
+        """SELECT l.p_partkey*1000 + r.p_partkey AS pid,
+      l.p_name AS a, r.p_name || ' kit' AS b
+    FROM part l, part r
+    WHERE l.p_partkey < 30 AND r.p_partkey >= 15 AND r.p_partkey < 45"""
+      s"""WITH RECURSIVE
+${roOracleCtes(pairsSql)},
+ranked AS (SELECT pid // 1000 AS rule_id, pid % 1000 AS control_id, ratio,
+    row_number() OVER (PARTITION BY pid // 1000 ORDER BY ratio DESC, pid % 1000) AS rn
+  FROM ro),
+best AS (SELECT rule_id, control_id, ratio FROM ranked WHERE rn = 1)
+SELECT b.rule_id, lp.p_name AS rule,
+  CASE WHEN b.ratio > 0.8 THEN b.control_id END AS control_id,
+  CASE WHEN b.ratio > 0.8 THEN rp.p_name || ' kit' END AS control,
+  CASE WHEN b.ratio > 0.8 THEN CAST(FLOOR(b.ratio * 1000000) AS BIGINT) END AS score_ppm
+FROM best b
+JOIN part lp ON lp.p_partkey = b.rule_id
+JOIN part rp ON rp.p_partkey = b.control_id"""
+    },
+
     "q_embedding_top3" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id cid, embedding cv FROM embeddings),

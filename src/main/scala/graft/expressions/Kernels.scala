@@ -46,4 +46,9 @@ object Kernels {
 
   def prefixChain(hs: ArrayData): Array[Long] =
     TextHashExpressions.PrefixChain.compute(hs)
+
+  def seqRatio(a: String, b: String): Double = graft.core.SeqMatcher.ratio(a, b)
+
+  def tokenSortRatio(a: String, b: String): Int =
+    graft.core.SeqMatcher.tokenSortRatio(a, b)
 }

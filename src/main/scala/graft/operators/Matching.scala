@@ -43,6 +43,22 @@ object Matching {
         row_number().over(Window.partitionBy(key).orderBy(desc("score"), tieBreak)))
       .filter(col("rn") <= k)
 
+  /** J2 null-below-threshold flavor (bestmatch.py:19-44): EVERY left row is
+    * emitted; the argmax match columns are nulled when the best score fails
+    * the strict `score > threshold` test — the reference's
+    * `if best_match and max_similarity > 0.8 ... else (rule, None, None)`
+    * shape. Ties keep the first control in file order (`tieBreak` asc),
+    * matching the reference's strict-greater keep-first scan. The threshold
+    * compares the RAW double on both engines (a quantized compare would
+    * misclassify scores inside the quantization bucket). */
+  def bestMatchNullBelow(pairs: DataFrame, leftKey: Column, tieBreak: Column,
+                         threshold: Double, matchCols: Seq[String]): DataFrame = {
+    val best = bestMatch(pairs, leftKey, tieBreak)
+    matchCols.foldLeft(best) { (df, c) =>
+      df.withColumn(c, when(col("score") > threshold, col(c)))
+    }.withColumn("score", when(col("score") > threshold, col("score")))
+  }
+
   /** J8: scalar-query scored scan — broadcast literal vs every row. */
   def queryScan(df: DataFrame, score: Column): DataFrame =
     df.withColumn("score", score).orderBy(desc("score"))
