@@ -231,25 +231,57 @@ object Dedup {
   }
 
   /** n-gram Jaccard pair scores within explicit blocks (`blockCol`) — the
-    * exact-measure variant for modest block sizes (same source/lang/shard).
+    * EXACT set-similarity join (same output as brute-force all-pairs, pair
+    * for pair), shaped as a PPJoin-style prefix-filtered candidate join
+    * (Xiao et al., WWW'08) instead of within-block all-pairs (the round-3
+    * scale defect: blocks grow with the corpus, so block all-pairs is
+    * O(n²/k) comparisons at 100×).
     *
-    * Per-row token-hash signatures are computed ONCE on the scan side of the
-    * exchange; the per-pair work is a single merge loop over two sorted long
-    * arrays (sub-µs) — measured 40× faster than per-pair string
-    * `array_intersect`. NOTE the output itself is O(pairs-over-threshold):
-    * with a low threshold on a self-similar corpus that is inherently
-    * near-quadratic in the block size — at web scale use `minHashLsh` (banded
-    * candidates) or raise the threshold; this exact variant is the oracle
-    * others are measured against. */
+    * Prefix filter: with token-hash sets in one global canonical order
+    * (ascending 64-bit hash — `token_hashes` output is sorted distinct),
+    * J(x,y) ≥ t implies x and y share a token inside BOTH prefixes of
+    * length |s| − ⌈t·|s|⌉ + 1 (the first common token in canonical order
+    * is preceded only by non-shared tokens, of which each side has at most
+    * ⌊(1−t)·|s|⌋). Candidates are therefore generated by an equi-join on
+    * (block, prefix-token) — shuffle keys only, the full signatures rejoin
+    * by id afterwards — then length-ratio-pruned (t·|y| ≤ |x| ≤ |y|/t),
+    * deduped, and verified by the same codegen [[sorted_jaccard]] merge
+    * loop as before. The prefix length uses floor (≥ the tight bound, one
+    * longer when t·|s| is integral), so double rounding can only ADD
+    * candidates — exactness never depends on float luck.
+    *
+    * Scale shape: candidate volume tracks true near-duplicate density plus
+    * rare-prefix-token collisions, not block size²; per-row work is one
+    * scan-side signature + a bounded prefix explode. Skew ceiling: a token
+    * shared by the prefixes of m rows in one block still yields m²
+    * candidates — at web scale that token is by construction rare (it sits
+    * in the low-hash prefix only for short or genuinely similar sets);
+    * pathological corpora should raise the threshold or pre-dedup exact
+    * copies first ([[exact]]). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       token_hashes(col(textCol)).as("th"))
-    val l = s.as("l")
-    val r = s.as("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
-        sorted_jaccard(col("l.th"), col("r.th")).as("jaccard"))
+    val sized = s.withColumn("sz", size(col("th")))
+    // prefix length sz - floor(t*sz): conservative (never shorter than the
+    // tight sz - ceil(t*sz) + 1), and floor's worst-case float error only
+    // lengthens it further — recall stays exact under any rounding
+    val pref = sized.select(col("id"), col("blk"), col("sz"),
+      explode(slice(col("th"), lit(1),
+        (col("sz") - floor(lit(threshold) * col("sz"))).cast("int"))).as("tok"))
+    val cand = pref.as("l").join(pref.as("r"),
+        col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
+          col("l.id") < col("r.id") &&
+          // length-ratio prune: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|)
+          col("l.sz").cast("double") >= lit(threshold) * col("r.sz") &&
+          col("r.sz").cast("double") >= lit(threshold) * col("l.sz"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("left_id"), col("th").as("lth")), Seq("left_id"))
+      .join(s.select(col("id").as("right_id"), col("th").as("rth")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        sorted_jaccard(col("lth"), col("rth")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

