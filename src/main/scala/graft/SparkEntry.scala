@@ -1034,10 +1034,23 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), ppm(col("score")).as("score_ppm"), col("rn"))
     }),
 
-    // multimodal plumbing: synth binary payloads → features → resize plan
+    // multimodal generic plane: MIXED real payloads (PNG/WAV/Y4M blobs plus
+    // PDF/HTML/junk) routed by sniffed magic through the REAL codecs in one
+    // batched scan-side pass → typed dims (nulls where the container has
+    // none) → resize plan. The DuckDB oracle re-sniffs the same blobs and
+    // re-derives every dimension from container bytes.
     "q_multimodal_features" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(fixtureMedia(s))
-      Multimodal.resizePlan(feats, maxEdge = 256).drop("scale")
+      val media = s.read.parquet(fixtureMimeParquet(s))
+      Multimodal.resizePlan(
+          Multimodal.extractFeatures(media, "media_id", "payload"), maxEdge = 256)
+        .select(col("media_id"), col("mime"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
     }),
     // multimodal image plane: REAL PNG decode (javax.imageio) → perceptual
     // aHash → pigeonhole Hamming near-dup join (exact recall). Payloads are
@@ -1512,18 +1525,6 @@ object SparkEntry {
 
   /** Synthetic media fixture (fake-header payloads) materialized once, so
     * the stub-decode oracle can re-parse the same blobs. */
-  private def fixtureMedia(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
-    import s.implicits._
-    val path = s"$FixtureDir/media500"
-    synchronized {
-      if (!fixtureWritten.contains(path)) {
-        Multimodal.synth(s, 500).toDF.write.mode("overwrite").parquet(path)
-        fixtureWritten += path
-      }
-    }
-    s.read.parquet(path).as[graft.operators.Multimodal.MediaRow]
-  }
-
   /** Stored-deflate PNG fixture (media_id, payload) materialized once, so
     * the image oracles read the same blobs the Spark queries decode. */
   private def fixtureImages(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.ImageRow] = {
@@ -4052,27 +4053,65 @@ rates AS (SELECT lang,
 SELECT b.doc_id, b.lang, b.bucket FROM b JOIN rates r ON b.lang = r.lang
 WHERE b.bucket < r.rate_ppm""",
 
-    // stub-decode replica: fake-header parse + mod-2^64 rolling checksum +
-    // the resize-plan double math (all proven-exact ops)
+    // generic-plane replica over the MIXED real-blob fixture: magic sniff by
+    // hex prefix (exactly Multimodal.sniffMime), then per-container byte
+    // arithmetic — PNG IHDR big-endian dims, canonical WAV fmt/data little-
+    // endian fields, Y4M ASCII header + frame count from the C444 stride —
+    // plus the resize-plan double math (all proven-exact ops)
     "q_multimodal_features" ->
-      s"""WITH hb AS (SELECT media_id, modality, octet_length(payload)::INTEGER AS byte_len,
-  list_transform(regexp_extract_all(hex(payload), '..'),
-    s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS bytes
-  FROM read_parquet('$FixtureDir/media500/*.parquet')),
-f AS (SELECT media_id, modality, byte_len,
-  (bytes[1]*256 + bytes[2])::INTEGER AS width,
-  (bytes[3]*256 + bytes[4])::INTEGER AS height,
-  (CASE WHEN modality = 'video' THEN bytes[5]*256 + bytes[6] ELSE 1 END)::INTEGER AS n_frames,
-  list_reduce(list_prepend(0::HUGEINT, list_transform(bytes, b -> b::HUGEINT)),
-    (a, b) -> ((a * 131::HUGEINT + b) % 18446744073709551616::HUGEINT)) AS csu
+      s"""WITH hb AS (SELECT media_id, payload, octet_length(payload)::BIGINT AS byte_len,
+  upper(substr(hex(payload), 1, 24)) AS magic
+  FROM read_parquet('$FixtureDir/mime600/*.parquet')),
+mm AS (SELECT media_id, payload, byte_len,
+  CASE WHEN magic LIKE '89504E47%' THEN 'image/png'
+       WHEN magic LIKE '52494646%' AND substr(magic, 17, 8) = '57415645' THEN 'audio/x-wav'
+       WHEN magic LIKE '595556344D50454732%' THEN 'video/x-y4m'
+       WHEN magic LIKE '255044462D%' THEN 'application/pdf'
+       WHEN magic LIKE '3C21444F43%' OR magic LIKE '3C68746D6C%'
+         OR magic LIKE '3C48544D4C%' THEN 'text/html'
+       ELSE 'application/octet-stream' END AS mime
   FROM hb),
-g AS (SELECT *, CAST(${Osql.signed("csu")} AS BIGINT) AS checksum,
-  CASE WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
-       ELSE 256::DOUBLE / greatest(width, height)::DOUBLE END AS scale FROM f)
-SELECT media_id, modality, byte_len, width, height, n_frames, checksum,
-  CAST(FLOOR(width::DOUBLE * scale) AS INTEGER) AS out_width,
-  CAST(FLOOR(height::DOUBLE * scale) AS INTEGER) AS out_height
-FROM g""",
+png AS (SELECT media_id, mime, byte_len,
+    (b[18]*65536 + b[19]*256 + b[20])::BIGINT AS width,
+    (b[23]*256 + b[24])::BIGINT AS height,
+    1::BIGINT AS n_frames, NULL::BIGINT AS sample_rate
+  FROM (SELECT media_id, mime, byte_len,
+      list_transform(regexp_extract_all(substr(hex(payload), 1, 48), '..'),
+        s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS b
+    FROM mm WHERE mime = 'image/png')),
+wav AS (SELECT media_id, mime, byte_len,
+    NULL::BIGINT AS width, NULL::BIGINT AS height,
+    ((b[41] + b[42]*256 + b[43]*65536 + b[44]*16777216)
+      // (2 * (b[23] + b[24]*256)))::BIGINT AS n_frames,
+    (b[25] + b[26]*256 + b[27]*65536 + b[28]*16777216)::BIGINT AS sample_rate
+  FROM (SELECT media_id, mime, byte_len,
+      list_transform(regexp_extract_all(substr(hex(payload), 1, 88), '..'),
+        s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS b
+    FROM mm WHERE mime = 'audio/x-wav')),
+y4m AS (SELECT media_id, mime, byte_len,
+    w::BIGINT AS width, h::BIGINT AS height,
+    ((byte_len - nl) // (6 + 3*w*h))::BIGINT AS n_frames, NULL::BIGINT AS sample_rate
+  FROM (SELECT media_id, mime, byte_len, list_position(b, 10) AS nl,
+      CAST(regexp_extract(array_to_string(list_transform(b[1:list_position(b,10)-1],
+        x -> chr(x::INTEGER)), ''), ' W(\\d+)', 1) AS BIGINT) AS w,
+      CAST(regexp_extract(array_to_string(list_transform(b[1:list_position(b,10)-1],
+        x -> chr(x::INTEGER)), ''), ' H(\\d+)', 1) AS BIGINT) AS h
+    FROM (SELECT media_id, mime, byte_len,
+        list_transform(regexp_extract_all(substr(hex(payload), 1, 160), '..'),
+          s -> (strpos('0123456789ABCDEF', substr(s,1,1))-1)*16 + strpos('0123456789ABCDEF', substr(s,2,1))-1) AS b
+      FROM mm WHERE mime = 'video/x-y4m'))),
+oth AS (SELECT media_id, mime, byte_len, NULL::BIGINT AS width, NULL::BIGINT AS height,
+    NULL::BIGINT AS n_frames, NULL::BIGINT AS sample_rate
+  FROM mm WHERE mime NOT IN ('image/png', 'audio/x-wav', 'video/x-y4m')),
+u AS (SELECT * FROM png UNION ALL SELECT * FROM wav
+  UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM oth),
+sc AS (SELECT *, CASE WHEN width IS NULL OR height IS NULL THEN NULL
+       WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
+       ELSE 256::DOUBLE / greatest(width, height)::DOUBLE END AS scale FROM u)
+SELECT media_id, mime, byte_len, width, height, n_frames, sample_rate,
+  CAST(FLOOR(width::DOUBLE * scale) AS BIGINT) AS out_width,
+  CAST(FLOOR(height::DOUBLE * scale) AS BIGINT) AS out_height
+FROM sc""",
 
     // full PNG re-decode in SQL (stored-deflate blobs): dims + exact pixel
     // sums + perceptual aHash, then brute-force Hamming pairs

@@ -10,66 +10,78 @@ import org.apache.spark.sql.functions._
   * images via `graft.core.ImageCodec` (JDK javax.imageio PNG decode +
   * stored-deflate encoder), audio via `graft.core.AudioCodec` (WAV =
   * RIFF/PCM16, pure byte arithmetic), video via `graft.core.VideoCodec`
-  * (Y4M = YUV4MPEG2 C444, ASCII header + raw planes). `decodeStub` below
-  * is retained as the generic opaque-payload plumbing exemplar (the shape
-  * a black-box third-party codec slots into) and for the fake-header
-  * fixture query; the typed planes underneath it do true decode work. */
+  * (Y4M = YUV4MPEG2 C444, ASCII header + raw planes). The GENERIC plane
+  * below routes an untyped payload column through those codecs by sniffed
+  * magic bytes — the round-3 `decodeStub` (synthetic fake headers) is
+  * gone; every decoded number now comes from real container bytes. */
 object Multimodal {
 
-  case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
-  case class MediaFeatures(
-      media_id: Long, modality: String, byte_len: Int,
-      width: Int, height: Int, n_frames: Int, checksum: Long)
+  /** Generic features for an untyped payload column: mime from magic bytes,
+    * plus whichever typed dimensions the container carries (null elsewhere
+    * and for undecodable/unknown payloads — corrupt-input policy: keep the
+    * row, null the decode). */
+  case class GenericFeatures(media_id: Long, mime: String, byte_len: Int,
+      width: Option[Int], height: Option[Int], n_frames: Option[Int],
+      sample_rate: Option[Int])
 
-  /** Deterministic synthetic media table (payload = seeded pseudo-bytes with a
-    * parseable fake header: [w:2][h:2][frames:2]...). */
-  def synth(spark: SparkSession, n: Long, parallelism: Int = 8): Dataset[MediaRow] = {
-    import spark.implicits._
-    spark.range(0, n, 1, parallelism).map { i =>
-      val r = new java.util.Random(0xBEEF ^ i)
-      val w = 16 + r.nextInt(1024)
-      val h = 16 + r.nextInt(1024)
-      val f = 1 + r.nextInt(64)
-      val body = new Array[Byte](32 + r.nextInt(480))
-      r.nextBytes(body)
-      val header = Array[Byte](
-        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
-        (f >> 8).toByte, f.toByte)
-      MediaRow(i, Seq("image", "audio", "video")((i % 3).toInt), header ++ body)
-    }
+  /** JVM-side magic sniff — EXACTLY [[sniffMime]]'s prefix tests (the column
+    * expression and this kernel must never drift: OperatorsSpec asserts
+    * row-for-row agreement on mixed payloads). */
+  private def sniff(p: Array[Byte]): String = {
+    def at(off: Int, bs: Int*): Boolean =
+      p.length >= off + bs.length &&
+        bs.zipWithIndex.forall { case (b, k) => (p(off + k) & 0xFF) == b }
+    def ascii(off: Int, s: String): Boolean = at(off, s.map(_.toInt): _*)
+    if (at(0, 0x89, 0x50, 0x4E, 0x47)) "image/png"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/x-wav"
+    else if (ascii(0, "YUV4MPEG2")) "video/x-y4m"
+    else if (ascii(0, "%PDF-")) "application/pdf"
+    else if (ascii(0, "<!DOC") || ascii(0, "<html") || ascii(0, "<HTML")) "text/html"
+    else "application/octet-stream"
   }
 
-  /** ??? in spirit: the stubbed decode. Parses the fake header + rolls a
-    * checksum — stands in for a real image/audio decode, same signature. */
-  private def decodeStub(m: MediaRow): MediaFeatures = {
-    val p = m.payload
-    def u16(i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
-    var cs = 0L
-    var i = 0
-    while (i < p.length) { cs = cs * 131L + (p(i) & 0xFF); i += 1 }
-    MediaFeatures(m.media_id, m.modality, p.length, u16(0), u16(2),
-      if (m.modality == "video") u16(4) else 1, cs)
+  /** Generic feature extraction over an untyped (id, payload) table: sniff →
+    * REAL per-container decode, per-partition batched (batch size bounds the
+    * decoded-payload working set, the real constraint for codecs). One scan,
+    * decode rides it — the payload never shuffles. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                      batchSize: Int = 64): Dataset[GenericFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, p) =>
+        val mime = sniff(p)
+        val base = GenericFeatures(id, mime, p.length, None, None, None, None)
+        mime match {
+          case "image/png" =>
+            graft.core.ImageCodec.features(p).fold(base)(f => base.copy(
+              width = Some(f.width), height = Some(f.height), n_frames = Some(1)))
+          case "audio/x-wav" =>
+            graft.core.AudioCodec.features(p).fold(base)(f => base.copy(
+              n_frames = Some(f.nFrames), sample_rate = Some(f.sampleRate)))
+          case "video/x-y4m" =>
+            graft.core.VideoCodec.features(p).fold(base)(f => base.copy(
+              width = Some(f.width), height = Some(f.height),
+              n_frames = Some(f.nFrames)))
+          case _ => base
+        }
+      }))
   }
 
-  /** Feature extraction: per-partition batched decode (batch size bounds the
-    * decoded-payload working set, the real constraint for codecs). */
-  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeStub)))
-  }
-
-  /** "Resize" stage: recomputes metadata for a bounded-edge resize — payload
-    * untouched (stub), metadata math real. */
-  def resizePlan(features: Dataset[MediaFeatures], maxEdge: Int): DataFrame =
+  /** "Resize" stage over the generic features: bounded-edge metadata math
+    * for visual rows, null-through for rows with no dimensions. */
+  def resizePlan(features: Dataset[GenericFeatures], maxEdge: Int): DataFrame =
     features.toDF.withColumn("scale",
-        when(greatest(col("width"), col("height")) <= maxEdge, 1.0)
+        when(col("width").isNull || col("height").isNull, lit(null).cast("double"))
+          .when(greatest(col("width"), col("height")) <= maxEdge, 1.0)
           .otherwise(lit(maxEdge).cast("double") / greatest(col("width"), col("height"))))
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 
-  /** Frame sampling plan for video rows: every `stride`-th frame index. */
-  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame =
-    features.toDF.filter(col("modality") === "video")
+  /** Frame sampling plan for video rows: every `stride`-th frame index
+    * (index plan only; [[sampleVideoFrames]] touches the pixels). */
+  def frameSamplePlan(features: Dataset[GenericFeatures], stride: Int): DataFrame =
+    features.toDF.filter(col("mime") === "video/x-y4m")
       .withColumn("sampled_frames",
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
       .withColumn("n_sampled", size(col("sampled_frames")))

@@ -103,25 +103,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l(1) == "runn dog carri box") // pinned rule-based semantics
   }
 
-  test("Multimodal: deterministic features, resize plan bounds, frame sampling") {
+  test("Multimodal generic plane: sniffed real-codec routing, dims == typed planes, resize/frame plans") {
     import spark.implicits._
-    val feats = graft.operators.Multimodal.extractFeatures(
-      graft.operators.Multimodal.synth(spark, 200)).collect()
-    assert(feats.length == 200)
-    assert(feats.forall(f => f.width >= 16 && f.height >= 16))
-    val again = graft.operators.Multimodal.extractFeatures(
-      graft.operators.Multimodal.synth(spark, 200)).collect()
+    val M = graft.operators.Multimodal
+    val img = M.synthImages(spark, 30, dupEvery = 0).toDF
+      .select(col("media_id"), col("payload"))
+    val wav = M.synthAudio(spark, 20).toDF
+      .select((col("media_id") + 1000L).as("media_id"), col("payload"))
+    val y4m = M.synthVideos(spark, 10).toDF
+      .select((col("media_id") + 2000L).as("media_id"), col("payload"))
+    val junk = Seq(
+      (3000L, "%PDF-1.7\nx".getBytes("UTF-8")),
+      (3001L, "<!DOCTYPE html><p>x</p>".getBytes("UTF-8")),
+      (3002L, "no magic here".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val media = img.unionByName(wav).unionByName(y4m).unionByName(junk)
+
+    val feats = M.extractFeatures(media, "media_id", "payload").collect()
+    assert(feats.length == 63)
+    val byMime = feats.groupBy(_.mime).view.mapValues(_.length).toMap
+    assert(byMime == Map("image/png" -> 30, "audio/x-wav" -> 20,
+      "video/x-y4m" -> 10, "application/pdf" -> 1, "text/html" -> 1,
+      "application/octet-stream" -> 1))
+
+    // the JVM sniff and the sniffMime COLUMN expression must agree row-for-row
+    val viaCol = M.sniffMime(media, "media_id", "payload")
+      .select(col("media_id"), col("mime")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach(f => assert(viaCol(f.media_id) == f.mime, s"sniff drift at ${f.media_id}"))
+
+    // generic dims must equal the typed planes' real decodes
+    val imgDims = M.extractImageFeatures(
+        img.as[graft.operators.Multimodal.ImageRow]).collect()
+      .map(f => f.media_id -> (f.width, f.height)).toMap
+    val vidDims = M.extractVideoFeatures(
+        y4m.as[graft.operators.Multimodal.VideoRow]).collect()
+      .map(f => f.media_id -> (f.width, f.height, f.n_frames)).toMap
+    val audDims = M.extractAudioFeatures(
+        wav.as[graft.operators.Multimodal.AudioRow]).collect()
+      .map(f => f.media_id -> (f.sample_rate, f.n_frames)).toMap
+    feats.foreach { f =>
+      f.mime match {
+        case "image/png" =>
+          assert((f.width.get, f.height.get) == imgDims(f.media_id) && f.n_frames.contains(1))
+          assert(f.sample_rate.isEmpty)
+        case "video/x-y4m" =>
+          assert((f.width.get, f.height.get, f.n_frames.get) == vidDims(f.media_id))
+        case "audio/x-wav" =>
+          assert((f.sample_rate.get, f.n_frames.get) == audDims(f.media_id))
+          assert(f.width.isEmpty && f.height.isEmpty)
+        case _ =>
+          assert(f.width.isEmpty && f.height.isEmpty &&
+            f.n_frames.isEmpty && f.sample_rate.isEmpty)
+      }
+      assert(f.byte_len > 0)
+    }
+
+    // determinism
+    val again = M.extractFeatures(media, "media_id", "payload").collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
-    val resized = graft.operators.Multimodal.resizePlan(
-      graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.synth(spark, 200)), 256)
-    val bad = resized.filter(greatest(col("out_width"), col("out_height")) > 256).count()
-    assert(bad == 0)
-    val sampled = graft.operators.Multimodal.frameSamplePlan(
-      graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.synth(spark, 200)), 4)
-    assert(sampled.filter(col("modality") =!= "video").count() == 0)
-    assert(sampled.filter(col("n_sampled") < 1).count() == 0)
+
+    // resize plan: bounded for visual rows, null-through elsewhere
+    val resized = M.resizePlan(M.extractFeatures(media, "media_id", "payload"), 64)
+    assert(resized.filter(col("width").isNotNull &&
+      greatest(col("out_width"), col("out_height")) > 64).count() == 0)
+    assert(resized.filter(col("width").isNull && col("out_width").isNotNull).count() == 0)
+
+    // frame plan: video rows only, ceil(n/stride) indices
+    val sampled = M.frameSamplePlan(M.extractFeatures(media, "media_id", "payload"), 4)
+    assert(sampled.count() == 10)
+    assert(sampled.filter(col("mime") =!= "video/x-y4m").count() == 0)
+    assert(sampled.filter(col("n_sampled") =!=
+      ceil(col("n_frames").cast("double") / 4.0).cast("int")).count() == 0)
   }
 
   test("custom expressions: FloatCosine == HOF formulation; hyperplane bucket stable") {
