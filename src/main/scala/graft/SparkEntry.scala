@@ -1147,6 +1147,21 @@ object SparkEntry {
       graft.operators.LineSections.keywordWindows(
         fixtureTable(s, 150).as[graft.core.TurnSlim]).toDF
     }),
+    // X4/X5 adversarial fuzz: the SAME operators over the marker-soup
+    // fixture, checked by the SAME DuckDB replicas pointed at it — the
+    // cross-engine pin holds far outside the well-formed fixture space
+    "q_line_fsm_fuzz" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.LineSections.lineFsm(
+        s.read.parquet(fixtureMarkerSoupParquet(s))
+          .as[graft.core.TurnSlim], 16).toDF
+    }),
+    "q_keyword_windows_fuzz" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.LineSections.keywordWindows(
+        s.read.parquet(fixtureMarkerSoupParquet(s))
+          .as[graft.core.TurnSlim]).toDF
+    }),
     // S3/P5/X12: in-payload table blocks → long-form cells
     "q_table_blocks" -> ((s, d) => {
       import s.implicits._
@@ -1525,6 +1540,60 @@ object SparkEntry {
 
   /** Synthetic media fixture (fake-header payloads) materialized once, so
     * the stub-decode oracle can re-parse the same blobs. */
+  /** Adversarial MARKER-SOUP fixture for the variant sectionizers (X4/X5
+    * fuzz, round-3 verdict #8): seeded compositions of header-soup lines —
+    * canonical and mangled section names, multi-keyword lines, colon soup,
+    * case flips (headers are case-SENSITIVE for the line FSM but
+    * case-INSENSITIVE for the keyword windows), unclosed/nested keyword
+    * windows, cis-control parens, pipes, empty and indented lines —
+    * deliberately far outside the well-formed fixture space. Line 0 of every
+    * page is non-empty: Java's split('\n') and SQL's string_split diverge
+    * only on ALL-newline pages (trailing-empty elision), a shape no PDF page
+    * loop emits, and the oracle's '\n+$' strip covers trailing runs. ASCII
+    * only; whitespace limited to space/tab/newline (PyStr.strip strips
+    * unicode whitespace the SQL trim set does not). */
+  private def fixtureMarkerSoupParquet(s: SparkSession): String = synchronized {
+    val path = s"$FixtureDir/soup160"
+    if (!fixtureWritten.contains(path)) {
+      import s.implicits._
+      val rnd = new java.util.Random(0x50DA5071L)
+      val names = Seq("Description", "Rationale", "Impact", "Audit",
+        "Remediation", "CIS Controls", "Impact Audit", "Pre Description",
+        "description", "AUDIT", "Audit Remediation", "CIS Controls Impact")
+      val tails = Seq("", ":", ": tail", ": a:b:c", " no colon here",
+        "::::", ":\t tabbed ", " rationale impact", " (v8)")
+      val fillers = Seq("ensure the daemon is masked", "see above",
+        "a:b:c", "x | y | z", "", "  indented tail  ",
+        "cis control (1.2) and more", "CIS  Control ( 3 )",
+        "remediation steps: do: twice", "impact:none", "::",
+        "description audit remediation", "tail without colon",
+        "audit impact audit", "cis control (unclosed", ")stray paren(",
+        "\tdescription rationale impact audit remediation cis control (x)")
+      val rows = (0 until 160).flatMap { c =>
+        val turns = 1 + rnd.nextInt(6)
+        (0 until turns).map { t =>
+          val nLines = 1 + rnd.nextInt(11)
+          val body = (0 until nLines).map { _ =>
+            rnd.nextInt(3) match {
+              case 0 => names(rnd.nextInt(names.size)) + tails(rnd.nextInt(tails.size))
+              case 1 => fillers(rnd.nextInt(fillers.size))
+              case _ => (if (rnd.nextBoolean()) "  " else "") +
+                names(rnd.nextInt(names.size)) + " " +
+                fillers(rnd.nextInt(fillers.size)) + tails(rnd.nextInt(tails.size))
+            }
+          }
+          val text = (s"soup page $c.$t" +: body).mkString("\n") +
+            (if (rnd.nextInt(4) == 0) "\n\n" else "")
+          (s"soup-$c", t, text)
+        }
+      }
+      rows.toDF("conv_id", "turn_idx", "text")
+        .repartition(8).write.mode("overwrite").parquet(path)
+      fixtureWritten += path
+    }
+    path
+  }
+
   /** Stored-deflate PNG fixture (media_id, payload) materialized once, so
     * the image oracles read the same blobs the Spark queries decode. */
   private def fixtureImages(s: SparkSession): org.apache.spark.sql.Dataset[graft.operators.Multimodal.ImageRow] = {
@@ -1744,6 +1813,77 @@ ro AS (SELECT p.pid, COALESCE(m.m, 0) AS m, p.la, p.lb,
     """CAST(CASE WHEN x - floor(x) > 0.5 THEN floor(x) + 1
             WHEN x - floor(x) < 0.5 THEN floor(x)
             ELSE floor(x) + (CAST(floor(x) AS BIGINT) % 2) END AS BIGINT)"""
+
+  /** X5 keyword-window replica, parameterized by fixture path (shared by
+    * the slim150 query and the marker-soup fuzz query). */
+  private def keywordWindowsOracleSql(path: String): String =
+    s"""WITH t AS (SELECT * FROM read_parquet('$path')),
+         m AS (SELECT conv_id, turn_idx,
+           array_to_string(list_transform(
+             (string_split(regexp_replace(text, '\\n+$$', ''), chr(10)))[1:2],
+             x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), ' ') AS key,
+           regexp_extract_all(text, '(?is)description(.*?)rationale', 1) v1,
+           regexp_extract_all(text, '(?is)rationale(.*?)impact', 1) v2,
+           regexp_extract_all(text, '(?is)impact(.*?)audit', 1) v3,
+           regexp_extract_all(text, '(?is)audit(.*?)remediation', 1) v4,
+           regexp_extract_all(text, '(?is)remediation(.*?)cis control', 1) v5,
+           regexp_extract_all(text, '(?is)cis\\s*control\\s*\\((.*?)\\)', 1) v6
+          FROM t),
+         e AS (SELECT conv_id, turn_idx, key, v1,v2,v3,v4,v5,v6,
+            unnest(generate_series(0, greatest(len(v1),len(v2),len(v3),len(v4),len(v5),len(v6))-1)) AS row
+          FROM m)
+         SELECT conv_id, turn_idx, key, CAST(row AS INT) AS row,
+           trim(coalesce(v1[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS description,
+           trim(coalesce(v2[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS rationale,
+           trim(coalesce(v3[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS impact,
+           trim(coalesce(v4[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS audit,
+           trim(coalesce(v5[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS remediation,
+           trim(coalesce(v6[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS cis_control
+         FROM e"""
+
+  /** X4 line-FSM replica (groups + occ re-derivation), parameterized by
+    * fixture path — same sharing. */
+  private def lineFsmOracleSql(path: String): String =
+    s"""WITH t AS (SELECT * FROM read_parquet('$path')),
+pl AS (SELECT conv_id, turn_idx,
+         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
+         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
+       FROM t),
+l AS (SELECT conv_id, line,
+        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, li) AS ord,
+        (line LIKE '%Description%' OR line LIKE '%Rationale%' OR line LIKE '%Impact%'
+         OR line LIKE '%Audit%' OR line LIKE '%Remediation%' OR line LIKE '%CIS Controls%') AS is_hdr
+      FROM pl),
+g AS (SELECT *, SUM(CASE WHEN is_hdr THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY ord ROWS UNBOUNDED PRECEDING) AS grp
+      FROM l),
+sec AS (
+  SELECT conv_id, grp,
+    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END) AS name,
+    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END)
+      || coalesce(string_agg(CASE WHEN NOT is_hdr THEN ' ' || trim(line, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END, '' ORDER BY ord), '') AS value,
+    MIN(ord) AS first_ord
+  FROM g WHERE grp > 0
+  GROUP BY conv_id, grp),
+numbered AS (
+  SELECT conv_id, name, value,
+    ROW_NUMBER() OVER (PARTITION BY conv_id, name ORDER BY first_ord) - 1 AS occ
+  FROM sec),
+maxlen AS (SELECT conv_id, MAX(cnt) AS maxlen FROM
+  (SELECT conv_id, name, COUNT(*) cnt FROM numbered GROUP BY conv_id, name) GROUP BY conv_id),
+names AS (SELECT DISTINCT conv_id, name FROM numbered),
+expanded AS (
+  SELECT n.conv_id, n.name AS section, unnest(generate_series(0, m.maxlen - 1)) AS row
+  FROM names n JOIN maxlen m ON n.conv_id = m.conv_id),
+title AS (
+  SELECT t.conv_id, 'Title' AS section, unnest(generate_series(0, m.maxlen - 1)) AS row,
+    split_part(t.text, chr(10), 1) AS value
+  FROM t JOIN maxlen m ON t.conv_id = m.conv_id WHERE t.turn_idx = 0)
+SELECT e.conv_id, e.section, CAST(e.row AS INT) AS row, v.value
+FROM expanded e LEFT JOIN numbered v
+  ON e.conv_id = v.conv_id AND e.section = v.name AND e.row = v.occ
+UNION ALL
+SELECT conv_id, section, CAST(row AS INT) AS row, value FROM title"""
 
   private object Osql {
     val Mod = "18446744073709551616::HUGEINT" // 2^64
@@ -3792,71 +3932,10 @@ JOIN part rp ON rp.p_partkey = b.control_id"""
            regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 2) AS g2,
            SUBSTRING(regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 3), 1, 30) AS g3
          FROM lines WHERE regexp_matches(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)')""",
-    "q_keyword_windows" ->
-      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim150/*.parquet')),
-         m AS (SELECT conv_id, turn_idx,
-           array_to_string(list_transform(
-             (string_split(regexp_replace(text, '\\n+$$', ''), chr(10)))[1:2],
-             x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), ' ') AS key,
-           regexp_extract_all(text, '(?is)description(.*?)rationale', 1) v1,
-           regexp_extract_all(text, '(?is)rationale(.*?)impact', 1) v2,
-           regexp_extract_all(text, '(?is)impact(.*?)audit', 1) v3,
-           regexp_extract_all(text, '(?is)audit(.*?)remediation', 1) v4,
-           regexp_extract_all(text, '(?is)remediation(.*?)cis control', 1) v5,
-           regexp_extract_all(text, '(?is)cis\\s*control\\s*\\((.*?)\\)', 1) v6
-          FROM t),
-         e AS (SELECT conv_id, turn_idx, key, v1,v2,v3,v4,v5,v6,
-            unnest(generate_series(0, greatest(len(v1),len(v2),len(v3),len(v4),len(v5),len(v6))-1)) AS row
-          FROM m)
-         SELECT conv_id, turn_idx, key, CAST(row AS INT) AS row,
-           trim(coalesce(v1[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS description,
-           trim(coalesce(v2[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS rationale,
-           trim(coalesce(v3[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS impact,
-           trim(coalesce(v4[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS audit,
-           trim(coalesce(v5[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS remediation,
-           trim(coalesce(v6[row+1], ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS cis_control
-         FROM e""",
-    "q_line_fsm" ->
-      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim150/*.parquet')),
-pl AS (SELECT conv_id, turn_idx,
-         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
-         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
-       FROM t),
-l AS (SELECT conv_id, line,
-        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, li) AS ord,
-        (line LIKE '%Description%' OR line LIKE '%Rationale%' OR line LIKE '%Impact%'
-         OR line LIKE '%Audit%' OR line LIKE '%Remediation%' OR line LIKE '%CIS Controls%') AS is_hdr
-      FROM pl),
-g AS (SELECT *, SUM(CASE WHEN is_hdr THEN 1 ELSE 0 END)
-        OVER (PARTITION BY conv_id ORDER BY ord ROWS UNBOUNDED PRECEDING) AS grp
-      FROM l),
-sec AS (
-  SELECT conv_id, grp,
-    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END) AS name,
-    MAX(CASE WHEN is_hdr THEN trim(split_part(line, ':', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END)
-      || coalesce(string_agg(CASE WHEN NOT is_hdr THEN ' ' || trim(line, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) END, '' ORDER BY ord), '') AS value,
-    MIN(ord) AS first_ord
-  FROM g WHERE grp > 0
-  GROUP BY conv_id, grp),
-numbered AS (
-  SELECT conv_id, name, value,
-    ROW_NUMBER() OVER (PARTITION BY conv_id, name ORDER BY first_ord) - 1 AS occ
-  FROM sec),
-maxlen AS (SELECT conv_id, MAX(cnt) AS maxlen FROM
-  (SELECT conv_id, name, COUNT(*) cnt FROM numbered GROUP BY conv_id, name) GROUP BY conv_id),
-names AS (SELECT DISTINCT conv_id, name FROM numbered),
-expanded AS (
-  SELECT n.conv_id, n.name AS section, unnest(generate_series(0, m.maxlen - 1)) AS row
-  FROM names n JOIN maxlen m ON n.conv_id = m.conv_id),
-title AS (
-  SELECT t.conv_id, 'Title' AS section, unnest(generate_series(0, m.maxlen - 1)) AS row,
-    split_part(t.text, chr(10), 1) AS value
-  FROM t JOIN maxlen m ON t.conv_id = m.conv_id WHERE t.turn_idx = 0)
-SELECT e.conv_id, e.section, CAST(e.row AS INT) AS row, v.value
-FROM expanded e LEFT JOIN numbered v
-  ON e.conv_id = v.conv_id AND e.section = v.name AND e.row = v.occ
-UNION ALL
-SELECT conv_id, section, CAST(row AS INT) AS row, value FROM title""",
+    "q_keyword_windows" -> keywordWindowsOracleSql(s"$FixtureDir/slim150/*.parquet"),
+    "q_keyword_windows_fuzz" -> keywordWindowsOracleSql(s"$FixtureDir/soup160/*.parquet"),
+    "q_line_fsm" -> lineFsmOracleSql(s"$FixtureDir/slim150/*.parquet"),
+    "q_line_fsm_fuzz" -> lineFsmOracleSql(s"$FixtureDir/soup160/*.parquet"),
     "q_table_blocks" ->
       s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim200/*.parquet')),
 pl AS (SELECT conv_id, turn_idx,
