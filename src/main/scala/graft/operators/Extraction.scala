@@ -214,9 +214,14 @@ object Extraction {
                         cfg: Config = Config(),
                         numChunks: Int = 32,
                         batchTag: String = ""): Map[String, Long] = {
-    if (batchTag.nonEmpty &&
-        graft.sources.Snapshot.committedTags(tablePath).contains(batchTag))
-      return Map.empty
+    if (batchTag.nonEmpty) {
+      // tag replay: honor the "returns the committed snapshot's metrics"
+      // contract on THIS path too (Snapshot.write/append already do on
+      // theirs) — callers must not have to distinguish 'no-op replay'
+      // from 'committed with zero metrics'
+      val replayed = graft.sources.Snapshot.metricsOfTag(tablePath, batchTag)
+      if (replayed.isDefined) return replayed.get
+    }
     val results = extractSkewAware(newTurns, cfg)
     val (observedDf, obs) = observed(results)
     graft.sources.Snapshot.append(observedDf, tablePath, "conv_id", numChunks,

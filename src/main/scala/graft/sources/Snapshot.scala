@@ -72,17 +72,31 @@ object Snapshot {
     require(tag.matches("[A-Za-z0-9._-]*"),
       s"snapshot tag must match [A-Za-z0-9._-]*: '$tag'")
 
+  /** Observed metric keys travel through two builder-authored framings —
+    * the `_STAGED` marker's "k=v" lines and the manifest's regex-recovered
+    * `"metrics"` object — so keys carrying framing characters are REJECTED
+    * up front (requireSafeTag's fail-loud approach; the old silent `=`→`_`
+    * fold let two distinct Observation names collide and lose a value on a
+    * resumed commit, and a `}` in a key garbled the manifest regex). */
+  private def requireSafeMetricKeys(m: Map[String, Long]): Unit =
+    m.keys.foreach { k =>
+      require(!k.exists(c => c == '=' || c == '\n' || c == '\r' || c == '"' ||
+          c == '{' || c == '}' || c == '\\'),
+        s"metric key contains marker/JSON framing characters: '$k' — " +
+          "rename the Observation metric")
+    }
+
   /** Observed metrics ride INSIDE the `_STAGED` marker ("k=v" lines): a
     * commit retried after a kill past the staging step would otherwise
     * re-commit with silently EMPTY metrics (the Observation only fires on
-    * the run that executed the write job). Keys are sanitized of the
-    * framing characters (`=`, newlines) so no metric name can corrupt the
-    * marker, and the reader skips any unparseable line (old "ok" markers
-    * parse to an empty map) — a marker that already landed can never
-    * wedge the resume. */
-  private def metricsMarker(m: Map[String, Long]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"${k.replaceAll("[=\\r\\n]", "_")}=$v" }.mkString("\n")
+    * the run that executed the write job). Keys are framing-validated
+    * (fail-loud, see [[requireSafeMetricKeys]]), and the reader skips any
+    * unparseable line (old "ok" markers parse to an empty map) — a marker
+    * that already landed can never wedge the resume. */
+  private def metricsMarker(m: Map[String, Long]): String = {
+    requireSafeMetricKeys(m)
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+  }
 
   private def markerMetrics(p: Path): Map[String, Long] =
     Files.readString(p).linesIterator
@@ -91,6 +105,33 @@ object Snapshot {
         l.substring(i + 1).toLongOption.map(l.substring(0, i) -> _)
       }.toMap
 
+  /** Bounded-prefix manifest read: snapshot/parent/op fields, tag, metrics
+    * and num_chunks all render BEFORE the table-sized `filestats` body
+    * (commitManifest keeps them at the head by construction), so head-field
+    * readers — per-micro-batch [[committedTags]], [[readByTag]],
+    * [[metricsHistory]], [[manifestMetrics]] — grow a byte prefix only
+    * until `"filestats"` is visible instead of paying a metadata read that
+    * scales with table file count (the readAppended probe's approach).
+    * Bytes accumulate raw and decode ONCE, so a chunk boundary can never
+    * split a multi-byte character. */
+  private def manifestHead(p: Path): String = {
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      var n = 8192
+      var done = false
+      while (!done) {
+        val chunk = in.readNBytes(n)
+        buf.write(chunk)
+        done = chunk.length < n ||
+          buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+            .contains("\"filestats\"")
+        n = math.min(n * 2, 1 << 22)
+      }
+      buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Metrics of an already-committed snapshot, recovered from its manifest:
     * the return value of a commit retried in the post-manifest window
     * (manifest landed, staging — and its marker — already cleaned) must
@@ -98,10 +139,36 @@ object Snapshot {
   private def manifestMetrics(table: Path, k: Int): Map[String, Long] = {
     val metRe = "\"metrics\"\\s*:\\s*\\{([^}]*)\\}".r
     val kvRe = "\"([^\"]+)\"\\s*:\\s*\"?(-?\\d+)\"?".r
-    metRe.findFirstMatchIn(Files.readString(table.resolve(s"manifest-v$k.json")))
+    metRe.findFirstMatchIn(manifestHead(table.resolve(s"manifest-v$k.json")))
       .map(m => kvRe.findAllMatchIn(m.group(1))
         .map(kv => kv.group(1) -> kv.group(2).toLong).toMap)
       .getOrElse(Map.empty)
+  }
+
+  /** Committed metrics of the snapshot carrying `tag`, if any — the
+    * replay-path accessor for exactly-once batch commits
+    * (`Extraction.incrementalCommit`): a tag hit resolves to the tagged
+    * version's manifest metrics so replays honor the same return contract
+    * as the run that committed. Pure head-prefix metadata reads. */
+  def metricsOfTag(tablePath: String, tag: String): Option[Map[String, Long]] = {
+    val table = Paths.get(tablePath)
+    tagVersion(table, tag).map(manifestMetrics(table, _))
+  }
+
+  /** Highest committed version whose manifest carries `tag`, if any. */
+  private def tagVersion(table: Path, tag: String): Option[Int] = {
+    val re = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
+    // FULL-name match: a leftover manifest-v<k>.json.tmp from a killed
+    // atomicWrite must never resolve a tag to an uncommitted version
+    val verRe = "manifest-v(\\d+)\\.json".r
+    listDir(table)
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case verRe(v) if re.findFirstMatchIn(manifestHead(p))
+            .exists(_.group(1) == tag) => Some(v.toInt)
+          case _ => None
+        }
+      }.sorted.lastOption
   }
 
   /** Lineage parent of a new snapshot `k`: the highest committed version
@@ -356,6 +423,7 @@ object Snapshot {
                              observed: Map[String, Long],
                              tag: String,
                              extraFields: Seq[(String, String)]): Unit = {
+    requireSafeMetricKeys(observed) // fail-loud before any regex framing
     val dataDir = table.resolve(s"v$k")
     val parentStats =
       if (parent >= 0) parsedFileStats(table, parent) else Map.empty[String, Seq[Map[String, String]]]
@@ -548,8 +616,26 @@ object Snapshot {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
           case r: org.apache.spark.sql.catalyst.expressions.AttributeReference => r.name
         }.toSet
-        if (refs.subsetOf(pruned.columns.toSet)) pruned
-        else rd.parquet(dataDir.toString)
+        if (!refs.subsetOf(pruned.columns.toSet)) rd.parquet(dataDir.toString)
+        else if (!mergeSchema) pruned
+        else {
+          // mergeSchema contract: the result schema must equal the FULL
+          // merged table schema even when every file CARRYING a
+          // delta-evolved non-predicate column was pruned. Surviving rows
+          // come from files without that column, so the full read would
+          // surface it null for exactly these rows — null-filling the
+          // union schema onto the pruned frame IS read(...).filter(pred),
+          // keeping the prune instead of falling back to a full scan. The
+          // merged-footer schema probe costs what any mergeSchema read
+          // already accepts (one footer per file, no data tasks).
+          val fullSchema = rd.parquet(dataDir.toString).schema
+          val have = pruned.columns.toSet
+          val missing = fullSchema.filterNot(f => have.contains(f.name))
+          if (missing.isEmpty) pruned
+          else missing.foldLeft(pruned)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            .select(fullSchema.map(f => col(f.name)): _*)
+        }
       }
     base.drop("_chunk").filter(predicate)
   }
@@ -845,20 +931,7 @@ object Snapshot {
     * pure metadata scan of the manifests. */
   def readByTag(spark: SparkSession, tablePath: String, tag: String): DataFrame = {
     require(tag.nonEmpty, "tag must be non-empty")
-    val table = Paths.get(tablePath)
-    val re = "\"tag\"\\s*:\\s*\"([^\"]*)\"".r
-    // FULL-name match: a leftover manifest-v<k>.json.tmp from a killed
-    // atomicWrite must never resolve a tag to an uncommitted version
-    val verRe = "manifest-v(\\d+)\\.json".r
-    val hit = listDir(table)
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case verRe(v) if re.findFirstMatchIn(Files.readString(p))
-            .exists(_.group(1) == tag) => Some(v.toInt)
-          case _ => None
-        }
-      }.sorted.lastOption
-    readByVersionOpt(spark, tablePath, hit, tag)
+    readByVersionOpt(spark, tablePath, tagVersion(Paths.get(tablePath), tag), tag)
   }
 
   private def readByVersionOpt(spark: SparkSession, tablePath: String,
@@ -1270,9 +1343,11 @@ object Snapshot {
     val table = Paths.get(tablePath)
     if (!Files.exists(table)) return Set.empty
     val re = "\"tag\"\\s*:\\s*\"([^\"]+)\"".r
+    // head-prefix reads: this runs per streaming micro-batch, and the
+    // manifest body grew table-sized with the filestats array
     listDir(table)
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
-      .flatMap(p => re.findFirstMatchIn(Files.readString(p)).map(_.group(1)))
+      .flatMap(p => re.findFirstMatchIn(manifestHead(p)).map(_.group(1)))
       .toSet
   }
 
@@ -1360,7 +1435,7 @@ object Snapshot {
         .flatMap { p =>
           verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
             .toSeq.flatMap { v =>
-              val txt = Files.readString(p)
+              val txt = manifestHead(p) // tag+metrics render at the head
               val tag = tagRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
               metRe.findFirstMatchIn(txt).toSeq.flatMap(m =>
                 kvRe.findAllMatchIn(m.group(1)).map(kv =>

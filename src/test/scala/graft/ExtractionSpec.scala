@@ -134,8 +134,10 @@ class ExtractionSpec extends AnyFunSuite {
     assert(day1.forall(_ < "conv00000020") && day1.nonEmpty)
 
     // tagged retry is exactly-once: a replayed batch tag skips extraction
-    // and append entirely — no third version, table unchanged
-    Extraction.incrementalCommit(
+    // and append entirely — no third version, table unchanged — while STILL
+    // returning the committed snapshot's metrics (the same contract the
+    // Snapshot.write/append replay paths honor; round-3 ADVICE item)
+    val committed = Extraction.incrementalCommit(
       all.filter(col("conv_id") >= "conv00000020"), table, cfg,
       numChunks = 4, batchTag = "day2")
     assert(graft.sources.Snapshot.committedTags(table).contains("day2"))
@@ -143,8 +145,10 @@ class ExtractionSpec extends AnyFunSuite {
     val replay = Extraction.incrementalCommit(
       all.filter(col("conv_id") >= "conv00000020"), table, cfg,
       numChunks = 4, batchTag = "day2")
-    assert(replay.isEmpty, "replayed tag must be a no-op")
+    assert(replay == committed && replay("turns") > 0L,
+      "replayed tag must be a no-op that returns the committed metrics")
     assert(graft.sources.Snapshot.read(spark, table).count() == v2rows)
+    assert(graft.sources.Snapshot.metricsOfTag(table, "nosuch").isEmpty)
   }
 
   test("stripHtml stage: pipeline on raw == oracle on stripped turns") {

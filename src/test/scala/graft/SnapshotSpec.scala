@@ -33,12 +33,19 @@ class SnapshotSpec extends AnyFunSuite {
       Map("rows_in" -> 1000L))
     assert(Snapshot.read(spark, table).count() == 1000)
 
-    // a metric key carrying the marker framing chars must neither corrupt
-    // the marker nor wedge a resumed commit (keys are sanitized)
+    // a metric key carrying marker/JSON framing chars is REJECTED up front
+    // (fail-loud like requireSafeTag): the old silent '='→'_' fold let two
+    // distinct Observation names collide and lose a value on resume
     val obs2 = org.apache.spark.sql.Observation("m2")
     val df2 = df0.observe(obs2, count(lit(1)).as("rows=all"))
-    val m2 = Snapshot.write(df2, table, "conv_id", 5, observation = Some(obs2))
-    assert(m2 == Map("rows_all" -> 1000L), s"sanitized key expected, got $m2")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.write(df2, table, "conv_id", 5, observation = Some(obs2),
+        snapshotId = 7)
+    }
+    assert(e.getMessage.contains("framing"))
+    // the rejected commit left no manifest behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifest-v7.json")))
   }
 
   test("compact: one file per chunk, identical content, expiry keeps CURRENT readable") {
@@ -201,6 +208,36 @@ class SnapshotSpec extends AnyFunSuite {
     assert(merged.count() == 15)
     assert(merged.filter(col("lang").isNull).count() == 10)
     assert(merged.filter(col("lang").isNotNull).count() == 5)
+  }
+
+  test("readWhere mergeSchema: pruning away every evolved-column file keeps the merged schema") {
+    import spark.implicits._
+    val table = freshDir("snapprune-ms")
+    // v0: (conv_id, n) with n in 1..10; v1 delta-appends rows carrying the
+    // evolved column `lang`, all with n >= 100 — so a predicate on n < 50
+    // prunes EVERY file that has `lang`
+    Snapshot.write((1 to 10).map(i => (s"a$i", i)).toDF("conv_id", "n"),
+      table, "conv_id", 2)
+    Snapshot.append((1 to 5).map(i => (s"b$i", i + 100, s"lang$i"))
+      .toDF("conv_id", "n", "lang"), table, "conv_id", 2)
+    val full = Snapshot.read(spark, table, mergeSchema = true)
+      .filter(col("n") < 50)
+    val pruned = Snapshot.readWhere(spark, table, col("n") < 50,
+      mergeSchema = true)
+    // contract: readWhere == read().filter(pred), SCHEMA included — the
+    // evolved column must surface (null-filled) even though every file
+    // carrying it was pruned (round-3 ADVICE medium)
+    assert(pruned.columns.toSeq == full.columns.toSeq,
+      s"${pruned.columns.toSeq} vs ${full.columns.toSeq}")
+    assert(pruned.select("conv_id", "n", "lang").collect().map(_.toString).sorted.toSeq ==
+      full.select("conv_id", "n", "lang").collect().map(_.toString).sorted.toSeq)
+    assert(pruned.count() == 10 && pruned.filter(col("lang").isNull).count() == 10)
+    // and the prune itself still happened (not a silent full-read fallback)
+    val (kept, total) = Snapshot.pruneFiles(Paths.get(table), 1, col("n") < 50)
+    assert(kept.size < total, "evolved-column handling must keep the prune")
+    // downstream select on the evolved column works after pruning
+    assert(Snapshot.readWhere(spark, table, col("n") < 50, mergeSchema = true)
+      .select("lang").count() == 10)
   }
 
   test("snapshot versioning: second write becomes CURRENT with parent link") {
