@@ -17,7 +17,7 @@ object PlanAudit {
     "q_agg_pricing",      // partial/final HashAggregate, codegen spans
     "q_bestmatch_window", // window group-limit (InferWindowGroupLimit)
     "q_minhash_lsh",      // band-key equi join on ids only (no text in shuffle)
-    "q_jaccard_pairs",    // sorted-hash signatures scan-side, merge-verify per pair
+    "q_jaccard_pairs",    // PPJoin: (blk, prefix-token) candidate equi-join on ids only, merge-verify per pair — NOT block all-pairs
     "q_simhash_neardup",  // pigeonhole band equi join
     "q_embedding_top3",   // BroadcastNestedLoopJoin with codegen'd cosine
     "q_tfidf_match",      // relational tf-idf: term-join dot, no dense cross join
@@ -63,7 +63,11 @@ object PlanAudit {
     "q_bm25_rerank",      // TakeOrdered top-k; candidate join-back broadcast
     "q_snapshot_prune",   // manifest-stats file prune: scan lists only surviving files
     "q_snapshot_zorder",  // Morton-clustered: 2-dim rectangle prunes the file index
-    "q_snapshot_incr")    // incremental consumption: scan lists ONLY the appended files
+    "q_snapshot_incr",    // incremental consumption: scan lists ONLY the appended files
+    "q_token_sort_pairs", // broadcast-NL pair set; codegen token_sort_ratio kernel in-join
+    "q_seqmatch_best",    // broadcast-NL + window group-limit argmax; codegen seq_ratio
+    "q_lm_score",         // driver-free LM plane: vocab joins broadcast; bigram model hint-free (AQE)
+    "q_multimodal_features") // sniff+decode ride the scan in ONE mapPartitions pass
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -166,9 +166,11 @@ object ScalingHarness {
       "eff" -> f"$eff%.3f", "skipped" -> skipped.toString)
   }
 
-  def append(s: Sample): Unit = {
-    Files.createDirectories(Paths.get(SamplesFile).getParent)
-    Files.writeString(Paths.get(SamplesFile), s.toJson + "\n",
+  def append(s: Sample): Unit = appendTo(SamplesFile, s)
+
+  def appendTo(file: String, s: Sample): Unit = {
+    Files.createDirectories(Paths.get(file).getParent)
+    Files.writeString(Paths.get(file), s.toJson + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
@@ -257,6 +259,79 @@ object ScalingHarness {
       s
   }
 
+  /** Separate trail for the EXECUTOR-SHAPED multi-process dimension: same
+    * Sample schema, but (cores_n=8, cores_4n=32) here means 2 vs 8 pinned
+    * PROCESSES of 4 cores — merging it into the thread-dimension file would
+    * pollute the (8, 32) thread stats. */
+  val MultiProcFile = "bench/multiproc_samples.jsonl"
+
+  /** One barrier-released run of `procs` executor-shaped child JVMs
+    * (`coresPerProc` cores each, disjoint taskset ranges, disjoint
+    * file-modulo shards of the scaling table); returns the max shard wall —
+    * the stage wall of the emulated `procs`-executor cluster. */
+  private def shardRun(procs: Int, coresPerProc: Int): Double =
+    nodeLoaded(procs * coresPerProc) {
+      case class Child(proc: Process, out: java.io.BufferedReader,
+                       in: java.io.Writer)
+      val children = (0 until procs).map { p =>
+        val cpuList = s"${p * coresPerProc}-${(p + 1) * coresPerProc - 1}"
+        val extra = sys.env.get("GRAFT_CHILD_JVM_FLAGS").toSeq
+          .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        val cmd = Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ extra ++ Seq(
+          "-Xmx6g", "-Xms6g",
+          "-cp", System.getProperty("java.class.path"), "graft.BenchShard",
+          coresPerProc.toString, ScalingPath, WarmupPath,
+          p.toString, procs.toString, JobPartitions.toString)
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+        Child(proc,
+          new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream)),
+          new java.io.OutputStreamWriter(proc.getOutputStream))
+      }
+      def awaitLine(c: Child, pfx: String): String = {
+        var l = c.out.readLine()
+        while (l != null && !l.startsWith(pfx)) l = c.out.readLine()
+        require(l != null, s"shard child exited before printing $pfx")
+        l
+      }
+      try {
+        children.foreach(awaitLine(_, "SHARDREADY")) // all shards warmed up
+        children.foreach { c => c.in.write("GO\n"); c.in.flush() } // release together
+        val walls = children.map(c =>
+          awaitLine(c, "SHARDWALL ").stripPrefix("SHARDWALL ").toDouble)
+        walls.max
+      } finally children.foreach(_.proc.destroyForcibly())
+    }
+
+  /** Executor-shaped multi-process sample (round-3 verdict #7): N → 4N as
+    * `procsN` → `procs4N` separate JVMs of `coresPerProc` cores — the
+    * per-process overhead profile (own heap, GC, codegen, shuffle dirs) of
+    * a real executor scale-up. Still one box: the 32-core side shares the
+    * measured DRAM ceiling, so this is EVIDENCE next to the probe ratios,
+    * not a gate. Probe-gated and persisted like every other sample. */
+  def multiProcessOnce(coresPerProc: Int = 4, procsN: Int = 2,
+                       procs4N: Int = 8): Sample = withHarnessLock {
+    val lowCores = procsN * coresPerProc
+    val highCores = procs4N * coresPerProc
+    val pNb = probe(lowCores)
+    val pHb = probe(highCores)
+    val now = System.currentTimeMillis()
+    val s =
+      if (probeQuiet(pNb, lowCores) && probeQuiet(pHb, highCores)) {
+        val (secN, stealN) = withSteal(shardRun(procsN, coresPerProc))
+        val (sec4N, steal4N) = withSteal(shardRun(procs4N, coresPerProc))
+        val pNa = probe(lowCores)
+        val pHa = probe(highCores)
+        val eff = (secN / sec4N) / (procs4N.toDouble / procsN)
+        Sample(now, lowCores, highCores, pNb, pNa, pHb, pHa,
+          secN, sec4N, eff, stealN, steal4N, -1.0, -1.0, skipped = false)
+      } else
+        Sample(now, lowCores, highCores, pNb, -1.0, pHb, -1.0,
+          -1.0, -1.0, -1.0, 0.0, 0.0, -1.0, -1.0, skipped = true)
+    appendTo(MultiProcFile, s)
+    s
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -309,6 +384,28 @@ object ScalingHarness {
           median(quiet.map(_.memEff).filter(_ > 0)))
       }
     Summary(dims, all)
+  }
+}
+
+/** Standalone collector for the executor-shaped multi-process dimension.
+  * args: attempts [sleepSec]. Requires the scaling table (run graft.Bench
+  * or RegenBenchData first). */
+object MultiProcSample {
+  def main(args: Array[String]): Unit = {
+    val attempts = if (args.length > 0) args(0).toInt else 1
+    val sleepSec = if (args.length > 1) args(1).toInt else 30
+    require(Files.exists(Paths.get(ScalingHarness.ScalingPath)),
+      s"scaling input missing at ${ScalingHarness.ScalingPath}")
+    (0 until attempts).foreach { i =>
+      val s = ScalingHarness.multiProcessOnce()
+      println(s"[multiproc-sample] ${s.toJson}")
+      if (i < attempts - 1) Thread.sleep(sleepSec * 1000L)
+    }
+    ScalingHarness.summarize(ScalingHarness.MultiProcFile).dims.foreach { d =>
+      println(f"[multiproc-sample] dim ${d.coresN}->${d.cores4N}: " +
+        f"quiet=${d.quietPairs}/${d.pairs} quietMedian=${d.quietMedian}%.3f " +
+        f"minEff=${d.minEff}%.3f")
+    }
   }
 }
 
