@@ -1289,6 +1289,13 @@ object SparkEntry {
         defaultPpm = 50000)
       .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // Efraimidis–Spirakis weighted sampling without replacement: integer
+    // exponential race keyed on the id fingerprint, n_chars as the weight;
+    // TakeOrdered top-50 — non-survivors never shuffle
+    "q_weighted_sample" -> ((s, d) => TrainingData.weightedSample(
+        t(s, d, "documents"), "doc_id", col("n_chars"), k = 50)
+      .select(col("doc_id"), col("w"), col("pri"))),
+
     // CCNet-style bigram-LM quality score: Laplace bigram model trained on
     // the corpus (top-20 vocab of 31 types, so the <unk> fold is exercised),
     // per-position log-prob quantized to 1e-4 BEFORE summation — the output
@@ -4119,6 +4126,18 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 SELECT doc_id, lang, bucket FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                          WHEN 'es' THEN 250000 WHEN 'fr' THEN 100000 ELSE 50000 END""",
+
+    // A-ES exponential race replica: same fingerprint bucket chain, −ln(u)
+    // floor-quantized to 1e-4 BEFORE the integer weight division, ties on
+    // (fp, doc_id) — the race key is a bigint both engines compute exactly
+    "q_weighted_sample" ->
+      s"""WITH $idBucketCtes,
+race AS (SELECT b.doc_id, d.n_chars::BIGINT AS w, b.fp,
+    (CAST(FLOOR(ln((b.bucket + 1)::DOUBLE / 1000000.0) * -10000.0) AS BIGINT)
+      * 1000000) // d.n_chars::BIGINT AS pri
+  FROM b JOIN documents d ON b.doc_id = d.doc_id
+  WHERE d.n_chars >= 1)
+SELECT doc_id, w, pri FROM race ORDER BY pri, fp, doc_id LIMIT 50""",
 
     // same bucket chain; rates derived from corpus counts via the
     // correctly-rounded divide/sqrt/multiply/floor chain (bit-exact)

@@ -1110,4 +1110,38 @@ object TrainingData {
     val uK = BigInt(fpK) + (if (fpK < 0) BigInt(1) << 64 else BigInt(0))
     (BigDecimal(BigInt(k - 1) << 64) / BigDecimal(uK)).toDouble
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis A-ES scheme as an integer exponential race): each
+    * row draws u ∈ (0, 1] from its id fingerprint (the same 10^6-bucket
+    * chain as [[stratifiedSample]], +1 so u is never 0), races with arrival
+    * time −ln(u)/w, and the k earliest arrivals win — inclusion probability
+    * proportional to weight, exactly one pass, no RNG state, reproducible
+    * under any partitioning or retry.
+    *
+    * Cross-engine exactness: −ln(u) is floor-quantized to 1e-4 BEFORE the
+    * weight division (`q_lm_score`'s convention — engines agree on libm ln
+    * at that granularity), and the division is INTEGER (`div`/`//`), so the
+    * race key `pri = (qln·10^6) div w` is a bigint both engines compute
+    * identically; ties break on (fingerprint, id). Weights must be ≥ 1
+    * (rows with null/non-positive weight are dropped, documented).
+    *
+    * Scale shape: the sort-limit compiles to TakeOrderedAndProject — an
+    * O(k) heap per partition, k rows per partition cross to the final
+    * select, non-survivors never shuffle. At 10^12 rows and k=10^6 that is
+    * the only viable weighted-sample shape short of a full sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    val fp = TextHashExpressions.fingerprint64(col(idCol).cast("string"))
+    df.withColumn("w", weightCol.cast("long"))
+      .filter(col("w") >= 1L)
+      .withColumn("fp", fp)
+      .withColumn("bucket", pmod(col("fp"), lit(1000000L)).cast("long"))
+      .withColumn("qln", floor(
+        log((col("bucket") + 1L).cast("double") / lit(1000000.0))
+          * lit(-10000.0)).cast("long"))
+      .withColumn("pri", expr("(qln * 1000000) div w"))
+      .orderBy(col("pri"), col("fp"), col(idCol))
+      .limit(k)
+  }
 }

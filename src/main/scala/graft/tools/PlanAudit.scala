@@ -17,6 +17,7 @@ object PlanAudit {
     "q_agg_pricing",      // partial/final HashAggregate, codegen spans
     "q_bestmatch_window", // window group-limit (InferWindowGroupLimit)
     "q_minhash_lsh",      // band-key equi join on ids only (no text in shuffle)
+    "q_weighted_sample",  // A-ES race: TakeOrderedAndProject (O(k) heap/partition), no global sort
     "q_jaccard_pairs",    // PPJoin: (blk, prefix-token) candidate equi-join on ids only, merge-verify per pair — NOT block all-pairs
     "q_simhash_neardup",  // pigeonhole band equi join
     "q_embedding_top3",   // BroadcastNestedLoopJoin with codegen'd cosine

@@ -153,6 +153,52 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(binLoads.forall(_ <= 256))
   }
 
+  test("weightedSample: == naive A-ES race; equal weights degenerate to bottom-k; partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 800L).map(i => (i, 1L + rnd.nextInt(500).toLong))
+    val df = rows.toDF("doc_id", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      TrainingData.weightedSample(d, "doc_id", col("n_chars"), k)
+        .select("doc_id", "pri").as[(Long, Long)].collect()
+    val got = run(df, 60)
+    // naive replica: fetch (fp, bucket) via the pinned fingerprint
+    // expression (its own oracle is q_fingerprint), then race in plain Scala
+    val fps = df.select(col("doc_id"),
+        graft.expressions.TextHashExpressions.fingerprint64(col("doc_id").cast("string")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val naive = rows.map { case (id, w) =>
+      val fp = fps(id)
+      val bucket = ((fp % 1000000L) + 1000000L) % 1000000L
+      val qln = math.floor(math.log((bucket + 1).toDouble / 1000000.0) * -10000.0).toLong
+      (qln * 1000000L / w, fp, id)
+    }.sorted.take(60).map { case (pri, _, id) => (id, pri) }
+    assert(got.sortBy(_._2).map(_._1).toSeq == naive.map(_._1).toSeq)
+    assert(got.toMap == naive.toMap)
+    // partition invariance
+    assert(run(df.repartition(17), 60).toSet == got.toSet)
+    // equal weights: the race reduces to bottom-k by quantized -ln(u) —
+    // i.e. the LARGEST buckets win (small bucket = small u = late arrival)
+    val eq = TrainingData.weightedSample(
+        df.withColumn("n_chars", lit(7L)), "doc_id", col("n_chars"), 40)
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    val eqNaive = rows.map { case (id, _) =>
+      val fp = fps(id)
+      val bucket = ((fp % 1000000L) + 1000000L) % 1000000L
+      val qln = math.floor(math.log((bucket + 1).toDouble / 1000000.0) * -10000.0).toLong
+      (qln * 1000000L / 7L, fp, id)
+    }.sorted.take(40).map(_._3).toSet
+    assert(eq.map(_._1).toSet == eqNaive)
+    assert(eq.map(_._2).min > 800000L) // winners are all large-u rows
+    // heavier rows win more often: duplicate the race with weight 1 vs 500
+    val heavy = (0L until 400L).map(i => (i, if (i < 200) 1L else 500L)).toDF("doc_id", "n_chars")
+    val kept = run(heavy, 100).map(_._1)
+    assert(kept.count(_ >= 200) > 80, s"heavy kept ${kept.count(_ >= 200)}")
+    // non-positive / null weights dropped
+    val withBad = df.withColumn("n_chars",
+      when(col("doc_id") < 10L, lit(0L)).otherwise(col("n_chars")))
+    assert(run(withBad, 800).map(_._1).forall(_ >= 10L))
+  }
+
   test("temperatureSample: rates scale as sqrt(n_max/n_l), capped; deterministic") {
     // 1600 en vs 400 zh → zh rate = en rate * sqrt(4) = 2×
     val df = (0L until 2000L).map(i => (i, if (i % 5 == 4) "zh" else "en"))
