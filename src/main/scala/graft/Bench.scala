@@ -109,15 +109,18 @@ object Bench {
     val want28 = mode == "always" || (mode != "never" && quietPairs(2, 8) < 3)
     val wantN4N = mode == "always" ||
       (mode != "never" && quietPairs(lowCores, highCores) < 3)
-    // executor-shaped multi-process dimension (2 vs 8 procs × 4 cores):
-    // cheaper per attempt (shards are 1/P of the table), 2 quiet pairs do
-    val mpQuiet = ScalingHarness.summarize(ScalingHarness.MultiProcFile)
-      .dim(8, 32).map(_.quietPairs).getOrElse(0)
+    // executor-shaped multi-process dimensions: (1 vs 4 procs × 2 cores) —
+    // the bandwidth-scalable literal N→4N-executor shape — and the
+    // (2 vs 8 procs × 4 cores) DRAM-capped control; 2 quiet pairs each do
+    val mpPre = ScalingHarness.summarize(ScalingHarness.MultiProcFile)
+    val mpQuiet = mpPre.dim(8, 32).map(_.quietPairs).getOrElse(0)
     val wantMp = mode == "always" || (mode != "never" && mpQuiet < 2)
+    val mp2Quiet = mpPre.dim(2, 8).map(_.quietPairs).getOrElse(0)
+    val wantMp2 = mode == "always" || (mode != "never" && mp2Quiet < 2)
 
     // --- materialize the scaling transcript table (deterministic) only if
     // a fresh attempt will actually run against it ---
-    if ((want28 || wantN4N || wantMp) &&
+    if ((want28 || wantN4N || wantMp || wantMp2) &&
         (!Files.exists(Paths.get(ScalingHarness.ScalingPath)) ||
          !Files.exists(Paths.get(ScalingHarness.WarmupPath)))) {
       val s = newSession(highCores)
@@ -139,10 +142,12 @@ object Bench {
       s"$lowCores→$highCores=${quietPairs(lowCores, highCores)})")
     if (want28) ScalingHarness.sampleOnce(2, 8)
     if (wantN4N) ScalingHarness.sampleOnce(lowCores, highCores)
+    if (wantMp2) ScalingHarness.multiProcessOnce(coresPerProc = 2, procsN = 1, procs4N = 4)
     if (wantMp) ScalingHarness.multiProcessOnce()
     val sum = ScalingHarness.summarize()
     val mpSum = ScalingHarness.summarize(ScalingHarness.MultiProcFile)
     val dMp = mpSum.dim(8, 32)
+    val dMp2 = mpSum.dim(2, 8)
     val totalTurns: Long = readMetaTurns().getOrElse {
       val sess = newSession(highCores)
       // the meta cache may be missing while sampling was skipped — the
@@ -211,6 +216,7 @@ object Bench {
       f""""scaling_efficiency":${sum.headline}%.3f,""" +
       s""""scaling_dim_2_8":${dimJson(d28)},""" +
       s""""scaling_dim_${lowCores}_$highCores":${dimJson(d832)},""" +
+      s""""scaling_multiproc_1x2_4x2":${dimJson(dMp2)},""" +
       s""""scaling_multiproc_2x4_8x4":${dimJson(dMp)},""" +
       f""""quiet_probe_wall_sec":${ScalingHarness.QuietCpuProbeWall}}"""
     // raw samples: their own stderr line + the full-record file — NEVER the
@@ -271,21 +277,27 @@ object Bench {
          |   bandwidth-scalable regime — N=2 → 4N=8 — and the 8→32 dimension
          |   is reported against the probe ceilings as hardware controls.
          |
-         |A third, EXECUTOR-SHAPED dimension runs 2 vs 8 separate child JVMs
-         |of 4 cores each (disjoint taskset ranges, disjoint file-modulo
-         |shards of the same table, warmup barrier then simultaneous
-         |release; wall = max shard wall — the stage wall of the emulated
-         |cluster). It carries the per-process overheads a real N→4N
-         |executor scale-up pays (own heap/GC/codegen/shuffle dirs), though
-         |being one box its 32-core side still shares the measured DRAM
-         |ceiling — evidence next to the probe ratios, not a gate
-         |(bench/multiproc_samples.jsonl).
+         |Two further EXECUTOR-SHAPED dimensions run separate child JVMs
+         |(disjoint taskset ranges, disjoint file-modulo shards of the same
+         |table, warmup barrier then simultaneous release; wall = max shard
+         |wall — the stage wall of the emulated cluster), carrying the
+         |per-process overheads a real N→4N executor scale-up pays (own
+         |heap/GC/codegen/shuffle dirs):
+         |
+         |- **1 → 4 processes × 2 cores** (2 → 8 total cores): the literal
+         |  "N executors → 4N executors" of the north rule, INSIDE the box's
+         |  bandwidth-scalable regime — the strongest single-box emulation
+         |  of the rule's criterion this sandbox permits.
+         |- 2 → 8 processes × 4 cores (8 → 32 total cores): its 32-core side
+         |  shares the measured DRAM ceiling — evidence next to the probe
+         |  ratios, not a gate (bench/multiproc_samples.jsonl).
          |
          || quantity | value |
          || --- | --- |
          |${fmtDim(d28, "**2→8 (primary gate)**")}
          |${fmtDim(d832, s"$lowCores→$highCores (bandwidth-capped)")}
-         |${fmtDim(dMp, "2→8 procs × 4 cores (executor-shaped, disjoint shards, barrier-released)")}
+         |${fmtDim(dMp2, "**1→4 procs × 2 cores (executor-shaped, bandwidth-scalable regime)**")}
+         |${fmtDim(dMp, "2→8 procs × 4 cores (executor-shaped, DRAM-capped control)")}
          || **headline scaling efficiency (2→8)** | ${f"${sum.headline}%.3f"} |
          || representative throughput local[$highCores] | ${f"$thr4N%.0f"} turns/s (${f"$sec4N%.2f"} s) |
          || representative throughput local[$lowCores] | ${f"$thrN%.0f"} turns/s (${f"$secN%.2f"} s) |

@@ -306,9 +306,13 @@ object ScalingHarness {
   /** Executor-shaped multi-process sample (round-3 verdict #7): N → 4N as
     * `procsN` → `procs4N` separate JVMs of `coresPerProc` cores — the
     * per-process overhead profile (own heap, GC, codegen, shuffle dirs) of
-    * a real executor scale-up. Still one box: the 32-core side shares the
-    * measured DRAM ceiling, so this is EVIDENCE next to the probe ratios,
-    * not a gate. Probe-gated and persisted like every other sample. */
+    * a real executor scale-up. Two shapes sampled:
+    *  - (1 → 4 procs) × 2 cores = 2 → 8 total cores: INSIDE the box's
+    *    bandwidth-scalable regime — the literal "N executors → 4N
+    *    executors" of the north rule, with per-process overheads included;
+    *  - (2 → 8 procs) × 4 cores = 8 → 32 total cores: shares the measured
+    *    DRAM ceiling, reported as a hardware-capped control.
+    * Probe-gated and persisted like every other sample. */
   def multiProcessOnce(coresPerProc: Int = 4, procsN: Int = 2,
                        procs4N: Int = 8): Sample = withHarnessLock {
     val lowCores = procsN * coresPerProc
@@ -387,19 +391,35 @@ object ScalingHarness {
   }
 }
 
-/** Standalone collector for the executor-shaped multi-process dimension.
-  * args: attempts [sleepSec]. Requires the scaling table (run graft.Bench
-  * or RegenBenchData first). */
+/** Standalone collector for the executor-shaped multi-process dimensions.
+  * Alternates the two shapes: (1 → 4 procs) × 2 cores — the box's
+  * bandwidth-scalable regime, the literal "N executors → 4N executors" of
+  * the north rule — and (2 → 8 procs) × 4 cores (DRAM-capped control).
+  * args: attempts [sleepSec] [coresPerProc procsN procs4N — pin one shape].
+  * Requires the scaling table (run graft.Bench or RegenBenchData first).
+  * Same sampler-outlives-session kill switch as ScalingSample. */
 object MultiProcSample {
   def main(args: Array[String]): Unit = {
     val attempts = if (args.length > 0) args(0).toInt else 1
     val sleepSec = if (args.length > 1) args(1).toInt else 30
+    val pinned: Option[(Int, Int, Int)] =
+      if (args.length > 4) Some((args(2).toInt, args(3).toInt, args(4).toInt))
+      else None
     require(Files.exists(Paths.get(ScalingHarness.ScalingPath)),
       s"scaling input missing at ${ScalingHarness.ScalingPath}")
-    (0 until attempts).foreach { i =>
-      val s = ScalingHarness.multiProcessOnce()
-      println(s"[multiproc-sample] ${s.toJson}")
-      if (i < attempts - 1) Thread.sleep(sleepSec * 1000L)
+    var i = 0
+    while (i < attempts &&
+           !Files.exists(Paths.get("bench/sampler.stop"))) {
+      val (cpp, pN, p4N) = pinned.getOrElse(
+        if (i % 2 == 0) (2, 1, 4) else (4, 2, 8))
+      try {
+        val s = ScalingHarness.multiProcessOnce(cpp, pN, p4N)
+        println(s"[multiproc-sample] ${s.toJson}")
+      } catch {
+        case e: Throwable => println(s"[multiproc-sample] attempt failed: ${e.getMessage}")
+      }
+      i += 1
+      if (i < attempts) Thread.sleep(sleepSec * 1000L)
     }
     ScalingHarness.summarize(ScalingHarness.MultiProcFile).dims.foreach { d =>
       println(f"[multiproc-sample] dim ${d.coresN}->${d.cores4N}: " +
