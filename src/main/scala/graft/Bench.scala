@@ -112,7 +112,7 @@ object Bench {
     // executor-shaped multi-process dimensions: (1 vs 4 procs × 2 cores) —
     // the bandwidth-scalable literal N→4N-executor shape — and the
     // (2 vs 8 procs × 4 cores) DRAM-capped control; 2 quiet pairs each do
-    val mpPre = ScalingHarness.summarize(ScalingHarness.MultiProcFile)
+    val mpPre = ScalingHarness.summarize(ScalingHarness.MultiProcFile, ScalingHarness.MultiProcEffCap)
     val mpQuiet = mpPre.dim(8, 32).map(_.quietPairs).getOrElse(0)
     val wantMp = mode == "always" || (mode != "never" && mpQuiet < 2)
     val mp2Quiet = mpPre.dim(2, 8).map(_.quietPairs).getOrElse(0)
@@ -145,7 +145,7 @@ object Bench {
     if (wantMp2) ScalingHarness.multiProcessOnce(coresPerProc = 2, procsN = 1, procs4N = 4)
     if (wantMp) ScalingHarness.multiProcessOnce()
     val sum = ScalingHarness.summarize()
-    val mpSum = ScalingHarness.summarize(ScalingHarness.MultiProcFile)
+    val mpSum = ScalingHarness.summarize(ScalingHarness.MultiProcFile, ScalingHarness.MultiProcEffCap)
     val dMp = mpSum.dim(8, 32)
     val dMp2 = mpSum.dim(2, 8)
     val totalTurns: Long = readMetaTurns().getOrElse {

@@ -149,8 +149,16 @@ object ScalingHarness {
       probeQuiet(pNb, coresN) && probeQuiet(pNa, coresN)
     def clean4N: Boolean = sec4N > 0 && steal4N <= 0.02 &&
       probeQuiet(pHb, cores4N) && probeQuiet(pHa, cores4N)
-    /** whole-window-quiet full pair with a physically plausible ratio */
-    def quiet: Boolean = cleanN && clean4N && eff > 0 && eff <= 1.1
+    /** whole-window-quiet full pair with a physically plausible ratio.
+      * `cap` is dimension-dependent: thread pairs share one heap, so
+      * eff > 1.1 only ever means the N side ate a contention burst that
+      * started after its gate probe; the multi-process (executor-shaped)
+      * pairs genuinely go superlinear — the 4N side has 4× the AGGREGATE
+      * heap for the same table, so per-JVM GC pressure drops with scale-out
+      * exactly as it does on a real cluster (measured 1.14–1.19 on a clean
+      * box with quiet probes on both sides) — hence MultiProcEffCap. */
+    def quietAt(cap: Double): Boolean = cleanN && clean4N && eff > 0 && eff <= cap
+    def quiet: Boolean = quietAt(1.1)
     /** Memory-probe traffic is PER-THREAD-proportional, so equal walls at
       * both widths == perfect bandwidth scaling: the ceiling is memN/memH
       * (1.0 ideal), NOT divided by the core ratio. */
@@ -224,7 +232,64 @@ object ScalingHarness {
       Paths.get("/dev/shm/graft-bench/harness.lock"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock = ch.lock()
-    try f finally { lock.release(); ch.close() }
+    try { sweepOrphanedSparkLocal(); f } finally { lock.release(); ch.close() }
+  }
+
+  /** tmpfs is RAM: every hard-killed bench-family JVM (OOM, destroyForcibly,
+    * driver timeout) skips its shutdown hook and leaks its blockmgr/shuffle
+    * dirs under /dev/shm/spark-local (~4.5 GB per extraction child). Left
+    * alone they snowball — one observed cascade reached 117 GB of tmpfs,
+    * OOM-killing every subsequent JVM on the box. Swept on each lock
+    * acquisition: an entry is an orphan iff no live process holds an open
+    * fd inside it AND it is >2 min old (a just-started child's dirs are
+    * protected by both guards; live Spark sessions always hold fds there). */
+  def sweepOrphanedSparkLocal(root: String = "/dev/shm/spark-local"): Unit =
+    try {
+      val rootPath = Paths.get(root)
+      if (!Files.isDirectory(rootPath)) return
+      def listOf(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val s = Files.list(dir)
+        try { import scala.jdk.CollectionConverters._; s.iterator.asScala.toVector }
+        finally s.close()
+      }
+      val open = new scala.collection.mutable.HashSet[String]
+      val prefix = root + "/"
+      for (p <- listOf(Paths.get("/proc"))
+           if p.getFileName.toString.forall(_.isDigit)) {
+        try for (fd <- listOf(p.resolve("fd"))) {
+          try {
+            val t = Files.readSymbolicLink(fd).toString
+            if (t.startsWith(prefix))
+              open += t.substring(prefix.length).takeWhile(_ != '/')
+          } catch { case _: Exception => }
+        } catch { case _: Exception => } // process exited / no permission
+      }
+      val cutoff = System.currentTimeMillis() - 120000L
+      var freed = 0L
+      for (d <- listOf(rootPath)) {
+        try {
+          if (!open.contains(d.getFileName.toString) &&
+              Files.getLastModifiedTime(d).toMillis < cutoff) {
+            freed += deleteRecursively(d)
+          }
+        } catch { case _: Exception => } // concurrently removed
+      }
+      if (freed > 0)
+        System.err.println(f"[harness] swept orphaned spark-local dirs: ${freed / 1e9}%.1f GB freed")
+    } catch { case e: Exception =>
+      System.err.println(s"[harness] orphan sweep failed (continuing): ${e.getMessage}")
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Long = {
+    var bytes = 0L
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try {
+        val s = Files.list(p)
+        try s.forEach(c => bytes += deleteRecursively(c)) finally s.close()
+      } catch { case _: Exception => }
+    } else bytes = try Files.size(p) catch { case _: Exception => 0L }
+    try Files.deleteIfExists(p) catch { case _: Exception => }
+    bytes
   }
 
   def sampleOnce(lowCores: Int, highCores: Int): Sample = withHarnessLock {
@@ -300,7 +365,15 @@ object ScalingHarness {
         val walls = children.map(c =>
           awaitLine(c, "SHARDWALL ").stripPrefix("SHARDWALL ").toDouble)
         walls.max
-      } finally children.foreach(_.proc.destroyForcibly())
+      } finally children.foreach { c =>
+        // Graceful teardown: SIGKILL skips Spark's shutdown hook, leaking the
+        // shard's blockmgr dir on tmpfs (= RAM — an observed cascade reached
+        // 117 GB and OOM-killed every later JVM). SIGTERM lets the hook
+        // delete it; the hard kill stays as a 30 s hang fallback.
+        if (c.proc.isAlive) c.proc.destroy()
+        if (!c.proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+          c.proc.destroyForcibly()
+      }
     }
 
   /** Executor-shaped multi-process sample (round-3 verdict #7): N → 4N as
@@ -365,11 +438,14 @@ object ScalingHarness {
         .getOrElse(if (dims.isEmpty) -1.0 else dims.map(_.headline).max)
   }
 
-  def summarize(file: String = SamplesFile): Summary = {
+  /** Plausibility cap for executor-shaped pairs (see Sample.quietAt). */
+  val MultiProcEffCap = 1.5
+
+  def summarize(file: String = SamplesFile, effCap: Double = 1.1): Summary = {
     val all = load(file)
     val dims = all.filterNot(_.skipped).groupBy(s => (s.coresN, s.cores4N)).toSeq
       .sortBy(_._1).map { case ((n, h), ss) =>
-        val quiet = ss.filter(_.quiet)
+        val quiet = ss.filter(_.quietAt(effCap))
         val cleanN = ss.filter(_.cleanN).map(_.secN)
         val clean4N = ss.filter(_.clean4N).map(_.sec4N)
         val ratio = h.toDouble / n
@@ -421,7 +497,7 @@ object MultiProcSample {
       i += 1
       if (i < attempts) Thread.sleep(sleepSec * 1000L)
     }
-    ScalingHarness.summarize(ScalingHarness.MultiProcFile).dims.foreach { d =>
+    ScalingHarness.summarize(ScalingHarness.MultiProcFile, ScalingHarness.MultiProcEffCap).dims.foreach { d =>
       println(f"[multiproc-sample] dim ${d.coresN}->${d.cores4N}: " +
         f"quiet=${d.quietPairs}/${d.pairs} quietMedian=${d.quietMedian}%.3f " +
         f"minEff=${d.minEff}%.3f")
