@@ -290,10 +290,12 @@ object Bench {
          |
          |- **1 → 4 processes × 2 cores** (2 → 8 total cores): the literal
          |  "N executors → 4N executors" of the north rule. Measured
-         |  SUPERLINEAR on a clean box (see table): the 4N side holds 4× the
-         |  aggregate heap for the same table, so per-JVM GC pressure drops
-         |  with scale-out — the real aggregate-memory effect of adding
-         |  executors.
+         |  SUPERLINEAR on a clean box (see table). Controls (walls in
+         |  bench/README.md): not heap (24g N side == 6g), not partition
+         |  count (64 == 256), not co-scheduling (a quarter shard alone ==
+         |  the 4N per-shard wall); the residual is per-JVM data volume —
+         |  one process runs ~10-20% slower on 4× the data than 4× its
+         |  quarter-share wall, the familiar many-small-executors profile.
          |- 2 → 8 processes × 4 cores (8 → 32 total cores): the same
          |  executor scale-up at 4× the width — clears 0.8 where the
          |  single-JVM thread shape cannot (fact 3), isolating the monolith
@@ -312,8 +314,8 @@ object Bench {
          |The pure-CPU probe scales at ~1.0 in every quiet window (ruling out
          |starvation artifacts), and the executor-shaped dimensions — the
          |deployment the north rule describes — clear the 0.8 gate at BOTH
-         |measured widths (superlinear at 2→8 total cores via the aggregate-
-         |heap effect; ~0.85 at 8→32). The thread-shaped 8→32 number stays in
+         |measured widths (superlinear at 2→8 total cores; ~0.85 at 8→32).
+         |The thread-shaped 8→32 number stays in
          |the table as the monolith-JVM control: same plan, same cores, one
          |shared heap — the configuration a real deployment avoids.
          |

@@ -153,10 +153,15 @@ object ScalingHarness {
       * `cap` is dimension-dependent: thread pairs share one heap, so
       * eff > 1.1 only ever means the N side ate a contention burst that
       * started after its gate probe; the multi-process (executor-shaped)
-      * pairs genuinely go superlinear — the 4N side has 4× the AGGREGATE
-      * heap for the same table, so per-JVM GC pressure drops with scale-out
-      * exactly as it does on a real cluster (measured 1.14–1.19 on a clean
-      * box with quiet probes on both sides) — hence MultiProcEffCap. */
+      * pairs genuinely go superlinear (measured 1.14–1.20 on a clean box,
+      * quiet probes both sides). Controlled attributions (walls in
+      * bench/README.md): NOT aggregate heap (24g N side == 6g walls), NOT
+      * reduce-partition count (64 == 256), NOT co-scheduling (one quarter
+      * shard in isolation == the 4N side's per-shard walls, 14.6 s) — the
+      * residual is per-JVM data volume: a single process is ~10–20% slower
+      * on 4× the data than 4× its quarter-share wall (the familiar
+      * many-small-executors > one-big-executor profile; leading candidate
+      * is per-process shuffle/cleanup pressure). Hence MultiProcEffCap. */
     def quietAt(cap: Double): Boolean = cleanN && clean4N && eff > 0 && eff <= cap
     def quiet: Boolean = quietAt(1.1)
     /** Memory-probe traffic is PER-THREAD-proportional, so equal walls at
