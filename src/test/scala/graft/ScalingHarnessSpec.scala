@@ -38,6 +38,38 @@ class ScalingHarnessSpec extends AnyFunSuite {
     assert(!pair(2, 8, -1.0, 25).quiet, "single-side salvage is never a quiet pair")
   }
 
+  test("multiproc cap admits measured superlinear pairs; thread cap does not") {
+    val s = pair(2, 8, 70.0, 14.5) // eff ~1.207 — in the measured 1.14-1.23 band
+    assert(!s.quiet, "thread-dim cap 1.1 excludes it")
+    assert(s.quietAt(ScalingHarness.MultiProcEffCap), "executor-shaped cap admits it")
+    assert(!pair(2, 8, 95.0, 14.5).quietAt(ScalingHarness.MultiProcEffCap),
+      "a contention-burst ratio (eff ~1.64) stays excluded even at the multiproc cap")
+  }
+
+  test("orphan sweep removes only dead, stale spark-local entries") {
+    val root = java.nio.file.Files.createTempDirectory("sl")
+    val orphan = root.resolve("blockmgr-dead")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("shuffle_0_0_0.data"), "x" * 1024)
+    java.nio.file.Files.setLastModifiedTime(root.resolve("blockmgr-dead"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 600000))
+    val fresh = root.resolve("blockmgr-fresh") // young: protected by mtime guard
+    java.nio.file.Files.createDirectories(fresh)
+    val held = root.resolve("blockmgr-held")   // old but open: protected by fd guard
+    java.nio.file.Files.createDirectories(held)
+    val heldFile = held.resolve("shuffle.data")
+    java.nio.file.Files.writeString(heldFile, "y")
+    java.nio.file.Files.setLastModifiedTime(held,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 600000))
+    val ch = java.nio.channels.FileChannel.open(heldFile,
+      java.nio.file.StandardOpenOption.READ)
+    try ScalingHarness.sweepOrphanedSparkLocal(root.toString)
+    finally ch.close()
+    assert(!java.nio.file.Files.exists(orphan), "dead+stale entry swept")
+    assert(java.nio.file.Files.exists(fresh), "young entry kept")
+    assert(java.nio.file.Files.exists(heldFile), "entry with a live open fd kept")
+  }
+
   test("summarize: per-dimension quiet median + conservative session-min") {
     val dir = java.nio.file.Files.createTempDirectory("sh2")
     val f = dir.resolve("samples.jsonl").toString
