@@ -20,7 +20,9 @@ import graft.core._
   *    skew from heavy-tail conversation lengths is handled by routing each
   *    "monster" conversation to its own dedicated partition while normal
   *    conversations hash into the rest (`extractSkewAware`). Only the heavy
-  *    hitters are collected to the driver (rare by definition — bounded).
+  *    hitters are collected to the driver, and at most `maxMonsters` of them
+  *    (top-M by turn count via TakeOrdered) — bounded even when a low
+  *    threshold meets a 10^12-turn table; the uncapped tail hashes normally.
   *  - Memory per task is bounded by the largest single conversation (the P8
   *    front-matter gate needs one look-ahead pass over the conversation,
   *    cis_pdf_parser.py:85-90), not by partition size: the group iterator
@@ -32,6 +34,12 @@ object Extraction {
       numPartitions: Int = 32,
       /** conversations with more turns than this get dedicated partitions */
       monsterThreshold: Long = 2000L,
+      /** hard cap on dedicated monster partitions: only the `maxMonsters`
+        * HEAVIEST over-threshold conversations are isolated (TakeOrdered —
+        * the driver sees at most this many ids, whatever the threshold or
+        * table size); the remainder hash with the normal population.
+        * Placement-only, so the cap is output-invisible. */
+      maxMonsters: Int = 4096,
       /** strip HTML boilerplate from turn text before the FSM (north-rule
         * DOM-heuristic stage; off for reference-exact golden comparison) */
       stripHtml: Boolean = false)
@@ -92,6 +100,8 @@ object Extraction {
     val monsterIds: Array[String] = turns
       .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > cfg.monsterThreshold)
+      .orderBy(col("n").desc, col("conv_id"))   // TakeOrderedAndProject: ≤ maxMonsters rows reach the driver
+      .limit(cfg.maxMonsters)
       .select("conv_id").as[String].collect().sorted
 
     if (monsterIds.isEmpty) return extract(turns, cfg)

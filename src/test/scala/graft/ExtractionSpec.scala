@@ -43,6 +43,19 @@ class ExtractionSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("maxMonsters cap is output-invisible (placement-only)") {
+    val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
+    // threshold 1 makes (nearly) EVERY conversation a "monster"; the cap
+    // must keep the driver-side map at ≤ 2 entries while results stay exact
+    val got = sortedResults(Extraction.extractSkewAware(turns,
+      Extraction.Config(numPartitions = 8, monsterThreshold = 1, maxMonsters = 2)))
+    assert(got == oracle)
+    // cap 0: no conversation is isolated — pure hash routing, still exact
+    val uncapped = sortedResults(Extraction.extractSkewAware(turns,
+      Extraction.Config(numPartitions = 8, monsterThreshold = 1, maxMonsters = 0)))
+    assert(uncapped == oracle)
+  }
+
   test("bucketed plane: extractBucketed == oracle AND plans no exchange") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
     val tmp = java.nio.file.Files.createTempDirectory("bucketed-turns").toString
