@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.ml.clustering.LDA
 import org.apache.spark.ml.feature.{CountVectorizer, Tokenizer}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,24 +38,59 @@ object TopicModel {
     * each normalized by its ascending-order row sum; init
     *   θ0(d,z) ∝ 1 + ((id·31 + z·17) mod 97)/1000,
     *   φ0(z,w) ∝ 1 + ((z·13 + w·7) mod 89)/1000.
-    * The FIT is driver-side on the bounded union (counts matrix D×V — at
-    * corpus scale you fit on a deterministic sample, like every iterative
-    * model here); the SCORING is the usual distributed broadcast cross-join
-    * + per-left argmax window. */
+    * The FIT is driver-side on a BOUNDED doc set: when the union holds at
+    * most `fitSampleLimit` docs (every test/oracle scale) it is the full
+    * union — bit-identical to the SQL oracle's replay; past the cap, the
+    * model is fit on the `fitSampleLimit` union docs with the smallest
+    * (fingerprint64(id), id) — an unbiased deterministic sample, the same
+    * chain as TrainingData's samplers — and EVERY doc (sample included,
+    * for uniformity) is then embedded by a DISTRIBUTED per-doc fold-in:
+    * `iters` theta-only EM steps against the broadcast final φ (each doc's
+    * theta is independent given φ, so the embed is one codegen-adjacent
+    * map pass — nothing corpus-sized ever reaches the driver). The SCORING
+    * is the usual broadcast cross-join + per-left argmax window (`right`
+    * is the bounded query side). */
   def plsaBestMatch(left: DataFrame, right: DataFrame, k: Int = 10,
-                    iters: Int = 5): DataFrame = {
+                    iters: Int = 5, fitSampleLimit: Int = 1 << 16): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    val tokRe = java.util.regex.Pattern.compile("\\w\\w+")
-    def toks(s: String): Seq[String] = {
-      val m = tokRe.matcher(s.toLowerCase)
-      val b = Seq.newBuilder[String]
-      while (m.find()) b += m.group()
-      b.result()
-    }
-    val l = left.select(col("id").cast("long"), col("text")).as[(Long, String)].collect()
-    val r = right.select(col("id").cast("long"), col("text")).as[(Long, String)].collect()
+    val lDs = left.select(col("id").cast("long"), col("text")).as[(Long, String)]
+    val rDs = right.select(col("id").cast("long"), col("text")).as[(Long, String)]
+    // bounded probe (limit-pushdown — never a full count of a huge corpus)
+    val overCap = lDs.toDF.unionByName(rDs.toDF)
+      .limit(fitSampleLimit + 1).count() > fitSampleLimit
+    if (overCap) return plsaFoldInMatch(lDs, rDs, k, iters, fitSampleLimit)
+    val l = lDs.collect()
+    val r = rDs.collect()
     val docs = (l ++ r).sortBy(_._1)
+    val ids = docs.map(_._1)
+    val (_, theta, _) = fitPlsa(docs, k, iters)
+    val thetaDf = spark.createDataFrame(
+      ids.zip(theta).map { case (id, row) => (id, row.toSeq) }.toSeq
+    ).toDF("id", "tv")
+    val leftIds = l.map(_._1).toSet
+    val lv = thetaDf.filter(col("id").isin(leftIds.toSeq: _*))
+      .select(col("id").as("left_id"), col("tv").as("lv"))
+    val rv = thetaDf.filter(!col("id").isin(leftIds.toSeq: _*))
+      .select(col("id").as("right_id"), col("tv").as("rv"))
+    bestTopicCosine(lv, rv)
+  }
+
+  private val tokRe = java.util.regex.Pattern.compile("\\w\\w+")
+  private def toks(s: String): Seq[String] = {
+    val m = tokRe.matcher(s.toLowerCase)
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  /** The exact joint EM fit of the scaladoc's arithmetic contract over an
+    * in-memory doc set (MUST be id-ascending). Returns (vocab ascending,
+    * theta D×k, phi k×v). Pure code motion from the original inline fit —
+    * every float op keeps its documented order, so the DuckDB oracle's
+    * unrolled-CTE replay is unaffected. */
+  private[graft] def fitPlsa(docs: Array[(Long, String)], k: Int, iters: Int)
+      : (Array[String], Array[Array[Double]], Array[Array[Double]]) = {
     val ids = docs.map(_._1)
     val vocab = docs.flatMap(d => toks(d._2)).distinct.sorted
     val widx = vocab.zipWithIndex.toMap
@@ -100,14 +135,70 @@ object TopicModel {
       }
       it += 1
     }
-    val thetaDf = spark.createDataFrame(
-      ids.zip(theta).map { case (id, row) => (id, row.toSeq) }.toSeq
-    ).toDF("id", "tv")
-    val leftIds = l.map(_._1).toSet
-    val lv = thetaDf.filter(col("id").isin(leftIds.toSeq: _*))
-      .select(col("id").as("left_id"), col("tv").as("lv"))
-    val rv = thetaDf.filter(!col("id").isin(leftIds.toSeq: _*))
-      .select(col("id").as("right_id"), col("tv").as("rv"))
+    (vocab, theta, phi)
+  }
+
+  /** Per-doc fold-in: `iters` theta-only EM steps against a FIXED φ. Each
+    * doc is independent given φ, so this runs inside a map pass. Per-z
+    * partial sums accumulate in ascending-w order — the same float-op
+    * sequence as the joint fit's tN — and a zero row (no in-vocab tokens)
+    * keeps the modular init, mirroring the joint fit's 0/0 guard. OOV
+    * tokens (absent from the sample vocabulary) are dropped. */
+  private[graft] def foldInTheta(id: Long, text: String, widx: Map[String, Int],
+      phi: Array[Array[Double]], k: Int, iters: Int): Array[Double] = {
+    val cnt = scala.collection.mutable.HashMap.empty[Int, Double]
+    toks(text).foreach { t =>
+      widx.get(t).foreach(w => cnt.update(w, cnt.getOrElse(w, 0.0) + 1.0))
+    }
+    val ws = cnt.keys.toArray.sorted
+    var theta = Array.tabulate(k)(z => 1.0 + ((id * 31 + z * 17) % 97).toDouble / 1000.0)
+    locally { val s = theta.sum; theta = theta.map(_ / s) }
+    var it = 0
+    while (it < iters) {
+      val tN = new Array[Double](k)
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i); val nw = cnt(w)
+        var den = 0.0; var z = 0
+        while (z < k) { den += theta(z) * phi(z)(w); z += 1 }
+        z = 0
+        while (z < k) { tN(z) += nw * theta(z) * phi(z)(w) / den; z += 1 }
+        i += 1
+      }
+      val s = tN.sum
+      if (s != 0.0) theta = tN.map(_ / s)
+      it += 1
+    }
+    theta
+  }
+
+  /** Over-cap plane: bounded deterministic sample fit + distributed fold-in
+    * embed (see [[plsaBestMatch]] scaladoc). Nothing corpus-sized touches
+    * the driver: the sample is `limit`-bounded, φ broadcasts once, and the
+    * embeds stay on the executors until the bounded-right scoring join. */
+  private def plsaFoldInMatch(lDs: Dataset[(Long, String)], rDs: Dataset[(Long, String)],
+      k: Int, iters: Int, fitSampleLimit: Int): DataFrame = {
+    import graft.expressions.TextHashExpressions.fingerprint64
+    val spark = lDs.sparkSession
+    import spark.implicits._
+    val sample = lDs.toDF.unionByName(rDs.toDF)
+      .withColumn("fp", fingerprint64(col("id").cast("string")))
+      .orderBy(col("fp"), col("id")).limit(fitSampleLimit)   // TakeOrdered — no global sort
+      .select(col("id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (vocab, _, phi) = fitPlsa(sample, k, iters)
+    val bc = spark.sparkContext.broadcast((vocab.zipWithIndex.toMap, phi))
+    def embed(ds: Dataset[(Long, String)], idAs: String, vecAs: String): DataFrame =
+      ds.mapPartitions { it =>
+        val (widx, ph) = bc.value
+        it.map { case (id, t) => (id, foldInTheta(id, t, widx, ph, k, iters).toSeq) }
+      }.toDF(idAs, vecAs)
+    bestTopicCosine(embed(lDs, "left_id", "lv"), embed(rDs, "right_id", "rv"))
+  }
+
+  /** Shared scoring tail: broadcast cross-join on topic-space cosine,
+    * per-left argmax with the (desc score, right_id) tie order. */
+  private def bestTopicCosine(lv: DataFrame, rv: DataFrame): DataFrame = {
     val cosD = udf { (a: Seq[Double], b: Seq[Double]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

@@ -341,6 +341,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("plsaBestMatch over-cap fold-in == dense local replica; partition-invariant") {
+    import spark.implicits._
+    import graft.operators.TopicModel
+    // 14 docs > cap 6 forces the sample-fit + distributed fold-in plane
+    val words = Vector("pasta", "sauce", "tomato", "basil", "olive", "garlic",
+      "rocket", "orbit", "launch", "booster", "stage", "fuel")
+    def doc(seed: Int): String =
+      (0 until 8).map(j => words((seed * 7 + j * (seed % 5 + 1)) % words.length)).mkString(" ")
+    val lRows = (0L until 9L).map(i => (i, doc(i.toInt)))
+    val rRows = (20L until 25L).map(i => (i, doc(i.toInt)))
+    val (k, iters, cap) = (4, 3, 6)
+    val got = TopicModel.plsaBestMatch(lRows.toDF("id", "text"), rRows.toDF("id", "text"),
+      k, iters, fitSampleLimit = cap)
+      .select("left_id", "right_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+
+    // replica: same fingerprint-ranked sample (derived via the production
+    // hash column but ranked locally), production joint fit (itself pinned
+    // by the q_plsa_match oracle), then a DENSE fold-in — full-vocab arrays
+    // with zero counts, the opposite code shape of the sparse kernel
+    import graft.expressions.TextHashExpressions.fingerprint64
+    import org.apache.spark.sql.functions.col
+    val all = (lRows ++ rRows)
+    val fps = all.toDF("id", "text")
+      .select(col("id"), fingerprint64(col("id").cast("string")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampleIds = all.map(_._1).sortBy(id => (fps(id), id)).take(cap).toSet
+    val sample = all.filter(d => sampleIds(d._1)).sortBy(_._1).toArray
+    val (vocab, _, phi) = TopicModel.fitPlsa(sample, k, iters)
+    val widx = vocab.zipWithIndex.toMap
+    def denseFold(id: Long, text: String): Array[Double] = {
+      val n = new Array[Double](vocab.length)
+      "\\w\\w+".r.findAllIn(text.toLowerCase).foreach(t => widx.get(t).foreach(n(_) += 1.0))
+      var th = Array.tabulate(k)(z => 1.0 + ((id * 31 + z * 17) % 97).toDouble / 1000.0)
+      val s0 = th.sum; th = th.map(_ / s0)
+      for (_ <- 0 until iters) {
+        val tN = new Array[Double](k)
+        for (w <- vocab.indices if n(w) != 0.0) {
+          var den = 0.0; var z = 0
+          while (z < k) { den += th(z) * phi(z)(w); z += 1 }
+          z = 0
+          while (z < k) { tN(z) += n(w) * th(z) * phi(z)(w) / den; z += 1 }
+        }
+        val s = tN.sum
+        if (s != 0.0) th = tN.map(_ / s)
+      }
+      th
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rTheta = rRows.map { case (id, t) => (id, denseFold(id, t)) }
+    val expect = lRows.map { case (lid, lt) =>
+      val lv = denseFold(lid, lt)
+      val best = rTheta.map { case (rid, rv) => (rid, cos(lv, rv)) }
+        .minBy { case (rid, s) => (-s, rid) }
+      (lid, best._1, best._2)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // partition invariance: the distributed embed must not depend on layout
+    val wide = TopicModel.plsaBestMatch(
+      lRows.toDF("id", "text").repartition(5), rRows.toDF("id", "text").repartition(3),
+      k, iters, fitSampleLimit = cap)
+      .select("left_id", "right_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(wide.toSeq == got.toSeq)
+  }
+
   test("QLearning.bestMatches == episodes-outer reference-shaped fold; partition-invariant") {
     import spark.implicits._
     import graft.core.TextStats
