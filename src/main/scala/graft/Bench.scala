@@ -178,6 +178,17 @@ object Bench {
     val results: Seq[(String, Double, Option[String])] =
       ScalingHarness.withHarnessLock {
         val spark = newSession(highCores)
+        // untimed warmup: session-wide one-time costs (codegen compiler,
+        // parquet reader init, noop-sink registration) otherwise land
+        // entirely on whichever query sorts first
+        try {
+          spark.range(1 << 16).selectExpr("sum(id % 7) as s")
+            .write.format("noop").mode("overwrite").save()
+          spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1024)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+        }
         try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           var err: Option[String] = None
           val sec = time {
