@@ -998,6 +998,21 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
     }),
 
+    // the OVER-CAP PLSA plane (the 100-TB path): fitSampleLimit 64 < the
+    // 200-doc corpus at every sf, so the fingerprint-sampled fit + the
+    // distributed per-doc theta fold-in run here — and the oracle replays
+    // the sampling chain, the sample fit, AND the fold-in independently
+    "q_plsa_foldin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TopicModel.plsaBestMatch(
+          docs.filter(col("doc_id") < 50)
+            .select(col("doc_id").as("id"), col("text")),
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 200)
+            .select(col("doc_id").as("id"), col("text")),
+          fitSampleLimit = 64)
+        .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
+    }),
+
     // A7: Q-learning match fold (row-independent episode folds, broadcast
     // control side). The seeded RNG + IEEE-ordered update arithmetic make
     // the whole 200-episode learning process bit-replayable — the DuckDB
@@ -2363,14 +2378,18 @@ FROM asn a LEFT JOIN drp d ON a.id = d.id"""
     * the topic-space cosine argmax. Every sum is an ascending-order
     * list_reduce, matching the Scala fold order term for term, so the
     * learned topic mixtures are bit-identical cross-engine. */
+  // --- shared PLSA-oracle list arithmetic (plsaOracleSql + plsaFoldinOracleSql)
+  /** rowsum over row (i // w) of width `w` in flat list `l` */
+  private def plsaRowSum(l: String, w: String) =
+    s"list_reduce($l[(i // $w) * $w + 1 : (i // $w) * $w + $w], (a, b) -> a + b)"
+  /** row-normalize flat list `src` of width `w`; zero rows keep `keep` */
+  private def plsaNormed(src: String, w: String, keep: String) =
+    s"""list_transform(generate_series(0, len($src) - 1), i ->
+      CASE WHEN ${plsaRowSum(src, w)} = 0.0 THEN $keep[i + 1]
+           ELSE $src[i + 1] / ${plsaRowSum(src, w)} END)"""
+
   private def plsaOracleSql(k: Int = 10, iters: Int = 5): String = {
-    // rowsum over row (i // w) of width `w` in flat list `l`
-    def rowSum(l: String, w: String) =
-      s"list_reduce($l[(i // $w) * $w + 1 : (i // $w) * $w + $w], (a, b) -> a + b)"
-    def normed(src: String, w: String, keep: String) =
-      s"""list_transform(generate_series(0, len($src) - 1), i ->
-      CASE WHEN ${rowSum(src, w)} = 0.0 THEN $keep[i + 1]
-           ELSE $src[i + 1] / ${rowSum(src, w)} END)"""
+    def normed(src: String, w: String, keep: String) = plsaNormed(src, w, keep)
     val iterBlocks = (1 to iters).map { t =>
       val p = if (t == 1) "s0" else s"i${t - 1}"
       s"""i${t}a AS (SELECT nf, dn, vn, ids, th, ph,
@@ -2424,6 +2443,118 @@ $iterBlocks,
 emb AS (SELECT ids[di] AS id,
     list_transform(generate_series(0, ${k - 1}), z -> th[(di - 1) * $k + z + 1]) AS tv
   FROM (SELECT *, unnest(generate_series(1, dn)) AS di FROM i$iters)),
+sc AS (SELECT l.id AS left_id, r.id AS right_id, ${cos("l.tv", "r.tv")} AS score
+  FROM emb l CROSS JOIN emb r WHERE l.id < 50 AND r.id >= 50)
+SELECT left_id, right_id, CAST(FLOOR(score * 1000000) AS BIGINT) AS score_ppm
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rn FROM sc)
+WHERE rn = 1"""
+  }
+
+  /** Independent DuckDB replay of the OVER-CAP `plsaBestMatch` plane
+    * (`fitSampleLimit` = cap < corpus — the 100-TB path): the fingerprint64
+    * sample ranking (char-257 fold + splitmix64, signed order, id
+    * tie-break — the q_group_sample chain), the joint EM fit on the sample
+    * docs (same unrolled chain as [[plsaOracleSql]]), then the distributed
+    * per-doc theta fold-in — `iters` theta-only EM blocks against the
+    * FITTED φ over ALL docs — as a dense flat-list replica. Zero-count
+    * (doc, word) terms add an exact 0.0 to nonnegative partial sums, so
+    * the dense w-ascending folds equal the Scala kernel's sparse
+    * w-ascending folds bit for bit. */
+  private def plsaFoldinOracleSql(k: Int = 10, iters: Int = 5, cap: Int = 64): String = {
+    def normed(src: String, w: String, keep: String) = plsaNormed(src, w, keep)
+    val fitBlocks = (1 to iters).map { t =>
+      val p = if (t == 1) "s0" else s"i${t - 1}"
+      s"""i${t}a AS (SELECT nf, dn, vn, ids, th, ph,
+  list_transform(generate_series(0, dn * vn - 1), i ->
+    list_reduce(list_transform(generate_series(0, ${k - 1}), z ->
+      th[(i // vn) * $k + z + 1] * ph[z * vn + (i % vn) + 1]), (a, b) -> a + b)) AS dnm
+  FROM $p),
+i${t}b AS (SELECT *, list_transform(generate_series(0, dn * $k - 1), i ->
+    list_reduce(list_transform(generate_series(0, vn - 1), w ->
+      nf[(i // $k) * vn + w + 1] * th[i + 1] * ph[(i % $k) * vn + w + 1] / dnm[(i // $k) * vn + w + 1]),
+      (a, b) -> a + b)) AS tn
+  FROM i${t}a),
+i${t}c AS (SELECT *, list_transform(generate_series(0, $k * vn - 1), i ->
+    list_reduce(list_transform(generate_series(0, dn - 1), dd ->
+      nf[dd * vn + (i % vn) + 1] * th[dd * $k + (i // vn) + 1] * ph[i + 1] / dnm[dd * vn + (i % vn) + 1]),
+      (a, b) -> a + b)) AS pn
+  FROM i${t}b),
+i$t AS (SELECT nf, dn, vn, ids,
+  ${normed("tn", k.toString, "th")} AS th,
+  ${normed("pn", "vn", "ph")} AS ph
+  FROM i${t}c)"""
+    }.mkString(",\n")
+    val foldBlocks = (1 to iters).map { t =>
+      val p = if (t == 1) "f0s" else s"g${t - 1}"
+      s"""g${t}a AS (SELECT mf, dm, vn, jds, ph, tf,
+  list_transform(generate_series(0, dm * vn - 1), i ->
+    list_reduce(list_transform(generate_series(0, ${k - 1}), z ->
+      tf[(i // vn) * $k + z + 1] * ph[z * vn + (i % vn) + 1]), (a, b) -> a + b)) AS dnm
+  FROM $p),
+g${t}b AS (SELECT *, list_transform(generate_series(0, dm * $k - 1), i ->
+    list_reduce(list_transform(generate_series(0, vn - 1), w ->
+      mf[(i // $k) * vn + w + 1] * tf[i + 1] * ph[(i % $k) * vn + w + 1] / dnm[(i // $k) * vn + w + 1]),
+      (a, b) -> a + b)) AS tn
+  FROM g${t}a),
+g$t AS (SELECT mf, dm, vn, jds, ph,
+  ${normed("tn", k.toString, "tf")} AS tf
+  FROM g${t}b)"""
+    }.mkString(",\n")
+    def cos(a: String, b: String) =
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $a[i]), (x, y) -> x + y) = 0.0
+           OR list_reduce(list_transform(generate_series(1, $k), i -> $b[i] * $b[i]), (x, y) -> x + y) = 0.0 THEN 0.0
+         ELSE list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $b[i]), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(generate_series(1, $k), i -> $a[i] * $a[i]), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(generate_series(1, $k), i -> $b[i] * $b[i]), (x, y) -> x + y))) END"""
+    s"""WITH h0 AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x
+  FROM documents WHERE doc_id < 200),
+${Osql.mixCtes("h", "x")},
+samp AS (SELECT doc_id FROM hd
+  ORDER BY CAST(${Osql.signed("x")} AS BIGINT), doc_id LIMIT $cap),
+d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w\\w+') AS tk
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
+ds AS (SELECT doc_id, tk, ROW_NUMBER() OVER (ORDER BY doc_id) AS di FROM d0),
+vz AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS w
+  FROM (SELECT DISTINCT unnest(tk) AS tok FROM ds)),
+nrows AS (SELECT ds.di, vz.w, len(list_filter(ds.tk, t -> t = vz.tok))::DOUBLE AS c
+  FROM ds CROSS JOIN vz),
+base AS (SELECT
+  (SELECT list(c ORDER BY di, w) FROM nrows) AS nf,
+  (SELECT COUNT(*)::INTEGER FROM ds) AS dn,
+  (SELECT COUNT(*)::INTEGER FROM vz) AS vn,
+  (SELECT list(doc_id ORDER BY doc_id) FROM ds) AS ids),
+b1 AS (SELECT *, list_transform(generate_series(0, dn * $k - 1), i ->
+    1.0 + CAST((ids[i // $k + 1] * 31 + (i % $k) * 17) % 97 AS DOUBLE) / 1000.0) AS thr,
+  list_transform(generate_series(0, $k * vn - 1), i ->
+    1.0 + CAST(((i // vn) * 13 + (i % vn) * 7) % 89 AS DOUBLE) / 1000.0) AS phr
+  FROM base),
+s0 AS (SELECT nf, dn, vn, ids,
+  ${normed("thr", k.toString, "thr")} AS th,
+  ${normed("phr", "vn", "phr")} AS ph
+  FROM b1),
+$fitBlocks,
+e0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w\\w+') AS tk
+  FROM documents WHERE doc_id < 200),
+es AS (SELECT doc_id, tk, ROW_NUMBER() OVER (ORDER BY doc_id) AS dj FROM e0),
+mrows AS (SELECT es.dj, vz.w, len(list_filter(es.tk, t -> t = vz.tok))::DOUBLE AS c
+  FROM es CROSS JOIN vz),
+fb AS (SELECT
+  (SELECT list(c ORDER BY dj, w) FROM mrows) AS mf,
+  (SELECT COUNT(*)::INTEGER FROM es) AS dm,
+  (SELECT list(doc_id ORDER BY doc_id) FROM es) AS jds,
+  vn, ph FROM i$iters),
+f1 AS (SELECT *, list_transform(generate_series(0, dm * $k - 1), i ->
+    1.0 + CAST((jds[i // $k + 1] * 31 + (i % $k) * 17) % 97 AS DOUBLE) / 1000.0) AS tfr
+  FROM fb),
+f0s AS (SELECT mf, dm, vn, jds, ph,
+  ${normed("tfr", k.toString, "tfr")} AS tf
+  FROM f1),
+$foldBlocks,
+emb AS (SELECT jds[dj] AS id,
+    list_transform(generate_series(0, ${k - 1}), z -> tf[(dj - 1) * $k + z + 1]) AS tv
+  FROM (SELECT *, unnest(generate_series(1, dm)) AS dj FROM g$iters)),
 sc AS (SELECT l.id AS left_id, r.id AS right_id, ${cos("l.tv", "r.tv")} AS score
   FROM emb l CROSS JOIN emb r WHERE l.id < 50 AND r.id >= 50)
 SELECT left_id, right_id, CAST(FLOOR(score * 1000000) AS BIGINT) AS score_ppm
@@ -3463,6 +3594,7 @@ FROM e$BpeMerges""",
     "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_qlearning_match" -> qlearnOracleSql,
     "q_plsa_match" -> plsaOracleSql(),
+    "q_plsa_foldin" -> plsaFoldinOracleSql(),
     "q_semdedup" -> semDedupOracleSql,
     // int8 quantizer replica: per-vector scale = max|v|/127, floor(x+0.5)
     // clamp ±127, then exact integer dot/norm cosine
