@@ -332,6 +332,21 @@ object SparkEntry {
       Extraction.records(Extraction.extractSkewAware(turns,
         Extraction.Config(numPartitions = 16, monsterThreshold = 200))).toDF
     }),
+    // adversarial routing config: threshold 1 makes (nearly) every
+    // conversation a "monster", maxMonsters 2 lets only the two heaviest
+    // take dedicated partitions — the driver map stays 2 entries on ANY
+    // corpus, and the oracle (identical to q_fsm_records) proves the cap
+    // is output-invisible at the driver gate, not just in a unit test
+    "q_fsm_capped_route" -> ((s, d) => {
+      import s.implicits._
+      val turns = s.read.parquet(fixtureFsmParquet(s, "fsmrec60",
+          FixtureGen.Profile(numConvs = 60, monsterEvery = 23,
+            monsterTurns = 300, invalidEvery = 17)))
+        .as[graft.core.Turn]
+      Extraction.records(Extraction.extractSkewAware(turns,
+        Extraction.Config(numPartitions = 16, monsterThreshold = 1,
+          maxMonsters = 2))).toDF
+    }),
     // same records through the bucketed plane: the FSM's
     // ClusteredDistribution(conv_id) is satisfied by the bucketed scan, so
     // the plan has NO shuffle exchange (ExtractionSpec asserts) — the layout
@@ -2655,6 +2670,8 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
     "q_fsm_records" ->
       FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
     "q_fsm_bucketed" ->
+      FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
+    "q_fsm_capped_route" ->
       FsmOracleSql.records.replace("__FIX__", s"$FixtureDir/fsmrec60/*.parquet"),
     "q_conv_docs" ->
       s"""SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
