@@ -393,6 +393,34 @@ object Snapshot {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomic-EXCLUSIVE commit of a version's manifest — the one contested
+    * point of the protocol. `link(2)` publishes the file iff no other
+    * writer has (create-if-absent is atomic, unlike exists-then-move). A
+    * pre-existing IDENTICAL manifest is this commit's own replay (manifests
+    * are fully deterministic — no timestamps, stable field/stat order) and
+    * a no-op; a DIFFERENT one means a second live writer raced the same
+    * snapshot version — fail loudly instead of silently clobbering the
+    * winner's commit. Coordination beyond this guard (true multi-writer)
+    * needs an external catalog CAS, exactly as Apache Iceberg requires of
+    * its catalogs: single-writer-per-table is this emulation's documented
+    * contract, and this claim turns a violated contract into an error
+    * rather than a corrupted table. */
+  private[graft] def claimManifest(table: Path, k: Int, content: String): Unit = {
+    val target = table.resolve(s"manifest-v$k.json")
+    val tmp = target.resolveSibling(
+      s"manifest-v$k.json.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); Files.delete(tmp) }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.delete(tmp)
+      if (Files.readString(target) != content)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest-v$k.json of $table was committed concurrently with different " +
+          "content (two writers raced the same snapshot version); this table is " +
+          "single-writer-per-table — serialize commits or assign versions externally")
+    }
+  }
+
   /** Resume path for a commit whose manifest already landed: the manifest IS
     * the commit, but a kill between the manifest write and the CURRENT swap
     * would otherwise wedge the table forever (every rerun computes the same
@@ -473,7 +501,7 @@ object Snapshot {
           .map { case (key, v) => key -> v.toString }: _*),
         "filestats" -> Json.arr(allEntries),
         "chunks" -> Json.obj(chunkJson: _*))
-    atomicWrite(table.resolve(s"manifest-v$k.json"), Json.obj(fields: _*))
+    claimManifest(table, k, Json.obj(fields: _*))
     if (currentVersion(table).getOrElse(-1) < k)
       atomicWrite(table.resolve("CURRENT"), k.toString)
     deleteRecursively(table.resolve(s"_staging-v$k"))

@@ -929,4 +929,22 @@ class SnapshotSpec extends AnyFunSuite {
     // full-content sanity after both commits
     assert(Snapshot.read(spark, table).count() == 8000)
   }
+
+  test("claimManifest: atomic-exclusive commit — replay no-op, racing writer fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("claim-spec")
+    Snapshot.claimManifest(dir, 3, """{"snapshot":"3","rows":"1"}""")       // fresh claim
+    assert(java.nio.file.Files.readString(dir.resolve("manifest-v3.json"))
+      == """{"snapshot":"3","rows":"1"}""")
+    Snapshot.claimManifest(dir, 3, """{"snapshot":"3","rows":"1"}""")       // own replay: no-op
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshot.claimManifest(dir, 3, """{"snapshot":"3","rows":"2"}""")     // a SECOND writer
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the winner's manifest survives untouched and no tmp litter remains
+    assert(java.nio.file.Files.readString(dir.resolve("manifest-v3.json"))
+      == """{"snapshot":"3","rows":"1"}""")
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSet
+      == Set("manifest-v3.json"))
+  }
 }
