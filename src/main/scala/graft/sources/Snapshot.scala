@@ -50,9 +50,12 @@ object Snapshot {
 
   private def recoverCommitted(table: Path): Option[Int] = {
     if (!Files.exists(table)) return None
+    // FULL-name match (pattern, not findFirstMatchIn): a leftover
+    // manifest-v<k>.json.tmp-* from a writer killed mid-claim must never
+    // count as a committed version — a phantom max here wedges every read
     val verRe = "manifest-v(\\d+)\\.json".r
-    val ks = listDir(table).flatMap(p =>
-      verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+    val ks = listDir(table).flatMap(p => p.getFileName.toString match {
+      case verRe(k) => Some(k.toInt); case _ => None })
     if (ks.isEmpty) None
     else { val k = ks.max; finishCommitted(table, k); Some(k) }
   }
@@ -179,8 +182,8 @@ object Snapshot {
   private def parentOf(table: Path, k: Int): Int = {
     val verRe = "manifest-v(\\d+)\\.json".r
     listDir(table)
-      .flatMap(p => verRe.findFirstMatchIn(p.getFileName.toString)
-        .map(_.group(1).toInt))
+      .flatMap(p => p.getFileName.toString match {
+        case verRe(v) => Some(v.toInt); case _ => None })   // full-name match (tmp litter)
       .filter(_ < k).sorted.lastOption.getOrElse(-1)
   }
 
@@ -1461,7 +1464,9 @@ object Snapshot {
       if (!Files.exists(table)) Seq.empty[(Int, String, String, Long)]
       else listDir(table)
         .flatMap { p =>
-          verRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
+          // full-name match: skip tmp litter from killed claims
+          (p.getFileName.toString match {
+            case verRe(v) => Some(v.toInt); case _ => None })
             .toSeq.flatMap { v =>
               val txt = manifestHead(p) // tag+metrics render at the head
               val tag = tagRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")

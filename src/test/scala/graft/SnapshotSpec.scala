@@ -947,4 +947,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(java.nio.file.Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSet
       == Set("manifest-v3.json"))
   }
+
+  test("tmp litter from a killed claim is never a phantom committed version") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("phantom").toString
+    Snapshot.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), table, "k", 2)
+    // a writer killed between writeString(tmp) and link() leaves exactly this
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "manifest-v9.json.tmp-12345-6789"), "{}")
+    assert(Snapshot.committedVersion(table).contains(0),
+      "phantom version from tmp litter") // NOT 9
+    assert(Snapshot.read(spark, table).count() == 2) // reads resolve v0, not v9
+    Snapshot.append(Seq(("c", 3L)).toDF("k", "v"), table, "k", 2)
+    assert(Snapshot.committedVersion(table).contains(1)) // next commit is 1, no gap
+    assert(Snapshot.read(spark, table).count() == 3)
+  }
 }
