@@ -435,6 +435,10 @@ object Snapshot {
     if (currentVersion(table).getOrElse(-1) < k)
       atomicWrite(table.resolve("CURRENT"), k.toString)
     deleteRecursively(table.resolve(s"_staging-v$k"))
+    // a kill between claimManifest's link() and its tmp delete leaves
+    // harmless (full-name-match-ignored) litter: sweep it here
+    listDir(table).filter(_.getFileName.toString.startsWith(s"manifest-v$k.json.tmp-"))
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
     true
   }
 

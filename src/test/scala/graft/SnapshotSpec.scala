@@ -961,5 +961,12 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshot.append(Seq(("c", 3L)).toDF("k", "v"), table, "k", 2)
     assert(Snapshot.committedVersion(table).contains(1)) // next commit is 1, no gap
     assert(Snapshot.read(spark, table).count() == 3)
+    // litter for a COMMITTED version (kill between link and tmp delete) is
+    // swept by the next recovery pass
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "manifest-v1.json.tmp-42-42"), "{}")
+    Snapshot.committedVersion(table)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifest-v1.json.tmp-42-42")))
   }
 }
