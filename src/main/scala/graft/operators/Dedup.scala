@@ -496,8 +496,27 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("lbl"))
-      val next = labels.unionAll(prop)
+      val stepped = labels.unionAll(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        // checkpoint BEFORE the self-join: the materialized RDD backs both
+        // join sides without recompute and severs the union lineage
+        .localCheckpoint()
+      // pointer-doubling shortcut (Kiveris et al., "Connected Components in
+      // MapReduce and Beyond"): lbl ← lbl(lbl). Every label IS a node id of
+      // the same set and lbl(x) ≤ x invariantly, so the lookup only lowers
+      // labels — monotonicity (and the sum fixpoint witness) is preserved —
+      // while label chains collapse in O(log diameter) rounds instead of
+      // O(diameter): the difference between ~40 and ~6 shuffle rounds on a
+      // re-rolled-conversation family a few dozen hops deep. The mapping
+      // side is rebuilt from the checkpointed RDD with FRESH attributes
+      // (createDataFrame): a plain self-join here trips Catalyst's
+      // union-constraint rewrite on the shared expression ids.
+      val mapping = stepped.sparkSession
+        .createDataFrame(stepped.rdd, stepped.schema)
+        .select(col("id").as("m_id"), col("lbl").as("m_lbl"))
+      val next = stepped
+        .join(mapping, col("lbl") === col("m_id"), "left")
+        .select(col("id"), coalesce(col("m_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0

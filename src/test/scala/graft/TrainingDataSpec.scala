@@ -270,6 +270,16 @@ class TrainingDataSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: pointer doubling collapses a 64-chain within O(log d) rounds") {
+    // a 64-node path has diameter 63: plain min-propagation needs ~63
+    // rounds, pointer doubling must finish well within 10 — maxRounds = 10
+    // FAILS (require) if the shortcut ever regresses to linear rounds
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val out = graft.operators.Dedup.nearDupClusters(pairs, maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(out.length == 64 && out.forall(_._2 == 0L))
+  }
+
   test("sequencePackSharded: per-(group,shard) packs respect capacity and cover all rows") {
     val rows = (0L until 300L).map(i => (i, "en", 10L + (i % 80)))
     val df = rows.toDF("doc_id", "lang", "w")
