@@ -123,4 +123,38 @@ class PropertySpec extends AnyFunSuite {
       ham > maxH || bandKeys(a, maxH).zip(bandKeys(b, maxH)).exists(p => p._1 == p._2)
     })
   }
+
+  test("TopicModel.foldInTheta (sparse ascending-w kernel) == dense full-vocab model") {
+    import graft.operators.TopicModel
+    val word: Gen[String] = Gen.oneOf("pasta", "orbit", "basil", "rocket",
+      "olive", "stage", "garlic", "fuel", "xx", "yy")
+    val doc: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+    val params = for {
+      docs <- Gen.listOfN(6, doc); k <- Gen.choose(1, 6)
+      iters <- Gen.choose(0, 4); id <- Gen.choose(-5L, 500L); target <- doc
+    } yield (docs, k, iters, id, target)
+    check(Prop.forAll(params) { case (docs, k, iters, id, target) =>
+      val sample = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toArray
+      val (vocab, _, phi) = TopicModel.fitPlsa(sample, k, 1 max iters)
+      val widx = vocab.zipWithIndex.toMap
+      val got = TopicModel.foldInTheta(id, target, widx, phi, k, iters)
+      // dense model: full-vocab counts, ascending-w loop over nonzero terms
+      val n = new Array[Double](vocab.length)
+      "\\w\\w+".r.findAllIn(target.toLowerCase).foreach(t => widx.get(t).foreach(n(_) += 1.0))
+      var th = Array.tabulate(k)(z => 1.0 + ((id * 31 + z * 17) % 97).toDouble / 1000.0)
+      val s0 = th.sum; th = th.map(_ / s0)
+      for (_ <- 0 until iters) {
+        val tN = new Array[Double](k)
+        for (w <- vocab.indices if n(w) != 0.0) {
+          var den = 0.0; var z = 0
+          while (z < k) { den += th(z) * phi(z)(w); z += 1 }
+          z = 0
+          while (z < k) { tN(z) += n(w) * th(z) * phi(z)(w) / den; z += 1 }
+        }
+        val s = tN.sum
+        if (s != 0.0) th = tN.map(_ / s)
+      }
+      got.toSeq == th.toSeq
+    }, n = 200)
+  }
 }
