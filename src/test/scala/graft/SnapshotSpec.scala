@@ -969,4 +969,45 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(table, "manifest-v1.json.tmp-42-42")))
   }
+
+  test("model-based op-sequence fuzz: table == in-memory model after every op") {
+    import spark.implicits._
+    // a seeded random interleaving of every mutating op, checked after each
+    // step against a trivial in-memory model — the invariant a 10^12-row
+    // table must keep through any append/upsert/delete/compact history
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val table = java.nio.file.Files.createTempDirectory("model-fuzz").toString + "/t"
+    def rows(n: Int): Seq[(String, Long, String)] =
+      Seq.fill(n)((s"k${rnd.nextInt(40)}", rnd.nextInt(1000).toLong,
+        s"v${rnd.nextInt(100000)}"))
+    var model = rows(60)
+    Snapshot.write(model.toDF("k", "ts", "txt"), table, "k", 4)
+    def checkEq(step: String): Unit = {
+      val got = Snapshot.read(spark, table).as[(String, Long, String)].collect()
+      assert(got.sorted.toSeq == model.sorted, s"content mismatch after $step")
+      val c = rnd.nextInt(1000) // random stat-prunable predicate each step
+      assert(Snapshot.readWhere(spark, table, col("ts") < c).count() ==
+        model.count(_._2 < c), s"readWhere mismatch after $step")
+    }
+    checkEq("write")
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val b = rows(20); model = model ++ b
+          Snapshot.append(b.toDF("k", "ts", "txt"), table, "k", 4)
+        case 1 =>
+          val b = rows(10); val bk = b.map(_._1).toSet
+          model = model.filterNot(r => bk(r._1)) ++ b
+          Snapshot.upsert(b.toDF("k", "ts", "txt"), table)
+        case 2 =>
+          val ks = Seq.fill(5)(s"k${rnd.nextInt(40)}").distinct
+          val kset = ks.toSet
+          model = model.filterNot(r => kset(r._1))
+          Snapshot.deleteKeys(ks.toDF("k"), table)
+        case 3 =>
+          Snapshot.compact(spark, table) // content no-op
+      }
+      checkEq(s"step $step")
+    }
+  }
 }
