@@ -990,11 +990,16 @@ class SnapshotSpec extends AnyFunSuite {
         model.count(_._2 < c), s"readWhere mismatch after $step")
     }
     checkEq("write")
+    // per-version model history: index v holds the model after version v
+    // committed, and appendedAt(v) the rows version v added (append ops only)
+    val history = scala.collection.mutable.ArrayBuffer(model)
+    val appendedAt = scala.collection.mutable.Map.empty[Int, Seq[(String, Long, String)]]
     for (step <- 1 to 10) {
       rnd.nextInt(4) match {
         case 0 =>
           val b = rows(20); model = model ++ b
           Snapshot.append(b.toDF("k", "ts", "txt"), table, "k", 4)
+          appendedAt(history.length) = b
         case 1 =>
           val b = rows(10); val bk = b.map(_._1).toSet
           model = model.filterNot(r => bk(r._1)) ++ b
@@ -1007,7 +1012,20 @@ class SnapshotSpec extends AnyFunSuite {
         case 3 =>
           Snapshot.compact(spark, table) // content no-op
       }
+      history += model
       checkEq(s"step $step")
+    }
+    // time travel: EVERY retained version replays its model state exactly
+    history.zipWithIndex.foreach { case (m, v) =>
+      val got = Snapshot.read(spark, table, version = v)
+        .as[(String, Long, String)].collect()
+      assert(got.sorted.toSeq == m.sorted, s"time travel to v$v")
+    }
+    // incremental consumption: each append version's delta is exactly its batch
+    appendedAt.foreach { case (v, b) =>
+      val got = Snapshot.readAppended(spark, table, v - 1, v)
+        .as[(String, Long, String)].collect()
+      assert(got.sorted.toSeq == b.sorted, s"readAppended($v)")
     }
   }
 }
