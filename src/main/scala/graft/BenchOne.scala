@@ -55,6 +55,31 @@ object BenchOne {
           .select("conv_id", "turn_idx", "text").as[graft.core.TurnSlim]
           .mapPartitions(Extraction.parsePartitionForProfiling _)
           .write.format("noop").mode("overwrite").save()
+      case "bucketed" =>
+        Extraction.extractBucketed(spark, ensureBucketed(path),
+          Extraction.Config(numPartitions = parts))
+          .write.format("noop").mode("overwrite").save()
+    }
+    /* Bucketed-plane table for `path`: reuses already-bucketed files across
+     * JVMs via external-table DDL (the in-memory catalog forgets tables at
+     * exit, the bucket files don't move); first ever use pays one
+     * writeBucketed. Registration/build happens via the warmup call, so
+     * timed samples measure ONLY the exchange-free extraction. */
+    def ensureBucketed(path: String): String = {
+      val tbl = "benchone_bucketed_" + java.lang.Integer.toHexString(path.hashCode)
+      if (!spark.catalog.tableExists(tbl)) {
+        val bpath = path + "-bucketed"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(bpath)))
+          spark.sql(s"""CREATE TABLE $tbl (conv_id STRING, turn_idx INT,
+            role STRING, text STRING, tool STRING, ts TIMESTAMP)
+            USING parquet CLUSTERED BY (conv_id)
+            SORTED BY (conv_id ASC, turn_idx ASC) INTO $parts BUCKETS
+            LOCATION '$bpath'""")
+        else
+          Extraction.writeBucketed(spark.read.parquet(path).as[graft.core.Turn],
+            tbl, bpath, parts)
+      }
+      tbl
     }
     // Optional stage-level diagnostics (BENCHONE_STAGES=1): per-stage wall,
     // task-time spread, and wave tail — identifies the non-scaling stage.
@@ -82,6 +107,8 @@ object BenchOne {
         }
       })
     jobOn(warmupPath)
+    // bucketize the measured table OUTSIDE the timed loop (one-time build)
+    if (mode == "bucketed") ensureBucketed(rawPath)
     import scala.jdk.CollectionConverters._
     def procCpuSec: Double = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime / 1e9
