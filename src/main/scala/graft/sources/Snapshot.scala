@@ -533,6 +533,14 @@ object Snapshot {
     * `pmod(xxhash64(chunkKey), numChunks)`. Safe to re-invoke after a kill at
     * any point; a completed snapshot is a no-op. Returns observed metrics.
     *
+    * Resume contract corollary: a rerun after a kill RESUMES the staged
+    * attempt — it commits the data staged by the killed run, not a re-read
+    * of `df` (that is what makes resume cheap: the write job never
+    * re-executes past the `_STAGED` marker). Re-invoking a half-committed
+    * version with a DIFFERENT input is therefore a contract violation of
+    * the same single-writer family `claimManifest` guards at the manifest:
+    * delete `_staging-v<k>`/`v<k>` first if the input legitimately changed.
+    *
     * `clusterBy` sorts rows by the given columns within each chunk and
     * `rowsPerFile > 0` splits the sorted run into that many rows per file —
     * together they give each data file a tight, disjoint min/max range on
