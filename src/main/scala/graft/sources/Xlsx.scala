@@ -25,15 +25,45 @@ object Xlsx {
 
   // ---- writer --------------------------------------------------------------
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case '"' => "&quot;"
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => f"_x${c.toInt}%04x_"
-      case c => c.toString
+  /** OOXML string escaping (the ECMA-376 `_xHHHH_` convention, like Excel):
+    * characters invalid in XML 1.0 — C0 controls except \t\n\r,
+    * U+FFFE/U+FFFF, and LONE surrogates (raw ones are silently destroyed by
+    * the UTF-8 encoder) — are written as `_xHHHH_`, and a literal substring
+    * that would itself PARSE as an escape gets its leading underscore
+    * escaped as `_x005f_` so the reader's decode is an exact inverse. */
+  private val escapeLiteral = "_x[0-9A-Fa-f]{4}_".r
+  private def xmlEscape(s: String): String = {
+    val p = escapeLiteral.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement("_x005f_" + m.matched.substring(1)))
+    val sb = new StringBuilder(p.length + 16)
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c =>
+          val invalid = (c < ' ' && c != '\t' && c != '\n' && c != '\r') ||
+            c == '\uFFFE' || c == '\uFFFF' ||
+            (Character.isHighSurrogate(c) &&
+              !(i + 1 < p.length && Character.isLowSurrogate(p.charAt(i + 1)))) ||
+            (Character.isLowSurrogate(c) &&
+              !(i > 0 && Character.isHighSurrogate(p.charAt(i - 1))))
+          if (invalid) sb.append(f"_x${c.toInt}%04x_") else sb.append(c)
+      }
+      i += 1
     }
+    sb.toString
+  }
+
+  private val escapeSeq = "_x([0-9A-Fa-f]{4})_".r
+  /** Reader-side inverse of [[xmlEscape]]'s `_xHHHH_` convention:
+    * non-overlapping left-to-right, so `_x005f_x0007_` decodes to the
+    * literal `_x0007_`. */
+  private[sources] def xmlUnescape(s: String): String =
+    escapeSeq.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
+      Integer.parseInt(m.group(1), 16).toChar.toString))
 
   def colRef(idx: Int): String = {
     // 0 -> A, 25 -> Z, 26 -> AA …
@@ -174,7 +204,7 @@ object Xlsx {
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
-            case "si" => out += cur.toString; cur = null
+            case "si" => out += xmlUnescape(cur.toString); cur = null
             case _ =>
           }
         case _ =>
@@ -219,8 +249,8 @@ object Xlsx {
             case "c" =>
               val raw = text.toString
               val v = cellType match {
-                case "s" => shared.lift(raw.trim.toInt).orNull
-                case _ => raw // inlineStr already accumulated via <t>; numbers via <v>
+                case "s" => shared.lift(raw.trim.toInt).orNull // decoded at parse
+                case _ => xmlUnescape(raw) // inlineStr/str via <t>; numbers never contain _x escapes
               }
               while (cells.length < colIdx) cells += null
               if (cells.length == colIdx) cells += v else cells(colIdx) = v

@@ -473,6 +473,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stems == Seq("report.v2", "plain", "noext"))
   }
 
+  test("Xlsx: OOXML _xHHHH_ escaping roundtrips XML-invalid and trap strings") {
+    import spark.implicits._
+    val hostile = Seq(
+      ("h1", "bell\u0007null\u0000end"),   // C0 controls → _xHHHH_
+      ("h2", "_x0007_literal"),            // literal escape must NOT decode to a bell
+      ("h3", "_x005f_"),                   // the escape-of-the-escape itself
+      ("h4", "nonchar\uFFFE\uFFFFok"),     // XML noncharacters
+      ("h6", "pair😁ok\tkeep\nlines")) // valid astral pair untouched
+    val df = hostile.toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-esc").toString
+    graft.sources.Xlsx.write(df, s"$dir/out.xlsx")
+    val back = graft.sources.Xlsx.readWithHeader(spark, s"$dir/*.xlsx")
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(back == hostile)
+    // lone surrogates cannot even ENTER a DataFrame (Spark's UTF8String
+    // encode replaces them) -- the writer/reader KERNEL must still
+    // roundtrip them for direct toBytes callers, via the _xHHHH_ escape
+    val bytes = graft.sources.Xlsx.toBytes(Seq("k", "v"),
+      Iterator(Seq("h5", "lone\uD83Dsurrogate")))
+    val rows = graft.sources.Xlsx.parseSheet(bytes)
+    assert(rows == Seq((0, Seq("k", "v")), (1, Seq("h5", "lone\uD83Dsurrogate"))))
+  }
+
   test("Xlsx: roundtrip write/read, shared-string files, sparse rows, escaping") {
     import spark.implicits._
     val df = Seq(
