@@ -107,8 +107,20 @@ object ImageCodec {
     out.toByteArray
   }
 
-  def decode(payload: Array[Byte]): Option[BufferedImage] =
-    Option(ImageIO.read(new ByteArrayInputStream(payload)))
+  /** Corrupt-input contract (web-scale reality: right magic, broken body):
+    * returns None instead of throwing, and rejects absurd IHDR dimensions
+    * BEFORE ImageIO can attempt the raster allocation a 30-byte payload
+    * claiming 10^9×10^9 would trigger. */
+  def decode(payload: Array[Byte]): Option[BufferedImage] = {
+    if (payload.length < 24) return None
+    def be32(o: Int): Int =
+      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    val (w, h) = (be32(16), be32(20)) // IHDR is always the first chunk
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Exact integer area-average downsample to (w, h). */
   private def areaAverage(img: BufferedImage, w: Int, h: Int): Array[Array[(Long, Long, Long, Long)]] = {

@@ -84,6 +84,9 @@ object VideoCodec {
       }
     }
     if (w <= 0 || h <= 0 || chroma != "444") return None
+    // overflow guard: crafted W/H headers must not wrap w*h into a zero or
+    // negative stride (ArithmeticException / NegativeArraySizeException)
+    if (w.toLong * h > Int.MaxValue / 8) return None
     val planeLen = w * h
     val stride = FrameMarker.length + 3 * planeLen
     val bodyLen = payload.length - (nl + 1)

@@ -103,6 +103,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l(1) == "runn dog carri box") // pinned rule-based semantics
   }
 
+  test("Multimodal: right-magic corrupt bodies degrade to base rows, never throw") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // PNG magic + IHDR claiming 1e9 × 1e9 — must be rejected BEFORE any
+    // raster allocation, not OOM or throw
+    val hugePng = pngMagic ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0x3B, 0x9A.toByte, 0xCA.toByte, 0x00, 0x3B, 0x9A.toByte,
+        0xCA.toByte, 0x00, 8, 6, 0, 0, 0) ++ Array.fill[Byte](16)(0)
+    val garbagePng = pngMagic ++ Array.fill[Byte](64)(0x55)
+    // valid PNG truncated mid-IDAT
+    val validPng = M.synthImages(spark, 1, dupEvery = 0).collect().head.payload
+    val truncPng = java.util.Arrays.copyOf(validPng, validPng.length / 2)
+    // Y4M with overflow-crafting dims (46341^2 wraps Int) and a truncated WAV
+    val overflowY4m = "YUV4MPEG2 W46341 H46341 F25:1 C444\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](32)(1)
+    val truncWav = java.util.Arrays.copyOf(
+      M.synthAudio(spark, 1).collect().head.payload, 50)
+    val media = Seq(
+      (1L, hugePng), (2L, garbagePng), (3L, truncPng),
+      (4L, overflowY4m), (5L, truncWav)).toDF("media_id", "payload")
+    val feats = M.extractFeatures(media, "media_id", "payload").collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.size == 5)
+    // every corrupt payload sniffs its container but yields NO decoded dims
+    assert(feats(1L).mime == "image/png" && feats(1L).width.isEmpty)
+    assert(feats(2L).mime == "image/png" && feats(2L).width.isEmpty)
+    assert(feats(3L).mime == "image/png" && feats(3L).width.isEmpty)
+    assert(feats(4L).mime == "video/x-y4m" && feats(4L).n_frames.isEmpty)
+    assert(feats(5L).mime == "audio/x-wav" && feats(5L).sample_rate.isEmpty)
+  }
+
   test("Multimodal generic plane: sniffed real-codec routing, dims == typed planes, resize/frame plans") {
     import spark.implicits._
     val M = graft.operators.Multimodal
