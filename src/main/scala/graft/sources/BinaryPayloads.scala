@@ -90,15 +90,22 @@ object BinaryPayloads {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, gz) =>
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(gz))
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        val b = out.toByteArray
-        (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
+        // corrupt-member contract (web-scale shards WILL contain bad
+        // magic / truncated streams / CRC mismatches): the row survives
+        // with NULL text and n_bytes = -1 instead of failing the task
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(gz))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          val b = out.toByteArray
+          (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
+        } catch { case scala.util.control.NonFatal(_) =>
+          (id, null: String, -1L)
+        }
       })
       .toDF(idCol, "text", "n_bytes")
   }

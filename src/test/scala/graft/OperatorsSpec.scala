@@ -717,6 +717,17 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got(id) == ((t, t.getBytes("UTF-8").length.toLong)))
     }
     assert(got(4L)._1 == "compressed payload " * 100)
+    // corrupt members survive as NULL-text rows instead of failing the task
+    val corrupt = Seq(
+      (10L, "not gzip at all".getBytes("UTF-8")),
+      (11L, java.util.Arrays.copyOf(stored.head._2, 15)),     // truncated mid-block
+      (12L, { val b = stored.head._2.clone(); b(b.length - 1) = (b.last ^ 0x7F).toByte; b })) // CRC/ISIZE corrupted
+    val mixed = (stored ++ corrupt).toDF("doc_id", "payload")
+    val got2 = BinaryPayloads.gunzipTexts(mixed, "doc_id", "payload")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2.size == 6)
+    Seq(10L, 11L, 12L).foreach(id => assert(got2(id) == ((null, -1L)), s"id $id"))
+    texts.foreach { case (id, t) => assert(got2(id)._1 == t) } // valid rows intact
   }
 
   test("gzipStoredBlocks: multi-block framing walks and decodes; edge sizes") {
