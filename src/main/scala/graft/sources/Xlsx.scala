@@ -272,7 +272,12 @@ object Xlsx {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseSheet(bytes).map { case (i, cells) => (path, i, cells) }
+        // one corrupt workbook (bad zip / malformed XML) must not kill a
+        // glob-wide scan: it contributes zero rows instead of a task failure
+        val rows =
+          try parseSheet(bytes)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty[(Int, Seq[String])] }
+        rows.map { case (i, cells) => (path, i, cells) }
       }
       .toDF("file", "row_idx", "cells")
   }

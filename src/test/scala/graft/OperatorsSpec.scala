@@ -526,6 +526,12 @@ class OperatorsSpec extends AnyFunSuite {
       Iterator(Seq("h5", "lone\uD83Dsurrogate")))
     val rows = graft.sources.Xlsx.parseSheet(bytes)
     assert(rows == Seq((0, Seq("k", "v")), (1, Seq("h5", "lone\uD83Dsurrogate"))))
+    // a corrupt workbook in the glob contributes zero rows, not a task failure
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/corrupt.xlsx"),
+      "PK this is not a real zip".getBytes("UTF-8"))
+    val withCorrupt = graft.sources.Xlsx.read(spark, s"$dir/*.xlsx")
+      .select(col("file")).distinct().count()
+    assert(withCorrupt == 1) // only out.xlsx yields rows
   }
 
   test("Xlsx: roundtrip write/read, shared-string files, sparse rows, escaping") {
