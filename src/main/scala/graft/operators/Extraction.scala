@@ -60,9 +60,12 @@ object Extraction {
 
   private def parsePartition(cfg: Config)(it: Iterator[TurnSlim]): Iterator[TurnResult] =
     groupedByConv(it).flatMap { case (cid, ts) =>
+      // null text ≡ empty page (defined degradation: real transcript tables
+      // carry NULL cells; the FSM must not NPE mid-job on one of them)
+      val nonNull = ts.map(t => if (t.text == null) t.copy(text = "") else t)
       val cleaned =
-        if (cfg.stripHtml) ts.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
-        else ts
+        if (cfg.stripHtml) nonNull.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
+        else nonNull
       ConvParser.parse(cid, cleaned)
     }
 
@@ -164,6 +167,7 @@ object Extraction {
       .groupBy(col("conv_id")).as[String, TurnSlim]
       .flatMapGroups { (cid: String, it: Iterator[TurnSlim]) =>
         val ts = it.toIndexedSeq.sortBy(_.turn_idx)
+          .map(t => if (t.text == null) t.copy(text = "") else t) // null ≡ empty page
         val cleaned =
           if (cfg.stripHtml) ts.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
           else ts

@@ -43,6 +43,27 @@ class ExtractionSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("null-text turns parse as empty pages (no NPE) on every plane") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("cN", 0, "user", null, "", new java.sql.Timestamp(0L)),
+      Turn("cN", 1, "user", "plain text", "", new java.sql.Timestamp(1L))).toDS
+    val viaExtract = Extraction.extract(turns, Extraction.Config(numPartitions = 2))
+      .collect().sortBy(_.turn_idx)
+    assert(viaExtract.length == 2)
+    val viaSkew = Extraction.extractSkewAware(turns,
+      Extraction.Config(numPartitions = 2, monsterThreshold = 0, maxMonsters = 1))
+      .collect().sortBy(_.turn_idx)
+    assert(viaSkew.toSeq == viaExtract.toSeq)
+    // null text == empty text, the defined degradation
+    val emptyTurns = Seq(
+      Turn("cN", 0, "user", "", "", new java.sql.Timestamp(0L)),
+      Turn("cN", 1, "user", "plain text", "", new java.sql.Timestamp(1L))).toDS
+    val viaEmpty = Extraction.extract(emptyTurns, Extraction.Config(numPartitions = 2))
+      .collect().sortBy(_.turn_idx)
+    assert(viaExtract.toSeq == viaEmpty.toSeq)
+  }
+
   test("maxMonsters cap is output-invisible (placement-only)") {
     val turns = TranscriptGen.generate(spark, profile, parallelism = 8)
     // threshold 1 makes (nearly) EVERY conversation a "monster"; the cap
