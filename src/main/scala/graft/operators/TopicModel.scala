@@ -54,8 +54,12 @@ object TopicModel {
                     iters: Int = 5, fitSampleLimit: Int = 1 << 16): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    val lDs = left.select(col("id").cast("long"), col("text")).as[(Long, String)]
-    val rDs = right.select(col("id").cast("long"), col("text")).as[(Long, String)]
+    // null text ≡ empty doc (real corpora carry NULL cells; the fit and the
+    // fold-in kernel must not NPE on one)
+    val lDs = left.select(col("id").cast("long"),
+      coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
+    val rDs = right.select(col("id").cast("long"),
+      coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
     // bounded probe (limit-pushdown — never a full count of a huge corpus)
     val overCap = lDs.toDF.unionByName(rDs.toDF)
       .limit(fitSampleLimit + 1).count() > fitSampleLimit
@@ -216,14 +220,16 @@ object TopicModel {
   def bestMatch(left: DataFrame, right: DataFrame, k: Int = 10,
                 vocabSize: Int = 1 << 14, seed: Long = 42L): DataFrame = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-    val union = left.select(col("text")).unionByName(right.select(col("text")))
+    val union = left.select(coalesce(col("text"), lit("")).as("text"))
+      .unionByName(right.select(coalesce(col("text"), lit("")).as("text")))
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("tf")
       .setVocabSize(vocabSize).fit(tok.transform(union))
     val lda = new LDA().setK(k).setMaxIter(10).setSeed(seed).setFeaturesCol("tf")
       .fit(cv.transform(tok.transform(union)))
 
     def embed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      lda.transform(cv.transform(tok.transform(df)))
+      lda.transform(cv.transform(tok.transform(
+          df.withColumn("text", coalesce(col("text"), lit(""))))))
         .select(col("id").as(idAs), col("topicDistribution").as(vecAs))
 
     val l = embed(left, "left_id", "lv")

@@ -373,6 +373,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("topic matchers tolerate null-text docs (≡ empty doc, no NPE)") {
+    import spark.implicits._
+    val left = Seq((0L, "pasta sauce tomato"), (1L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val right = Seq((10L, "tomato pasta sauce"), (11L, null.asInstanceOf[String]),
+      (12L, "rocket orbit launch")).toDF("id", "text")
+    val plsa = graft.operators.TopicModel.plsaBestMatch(left, right, k = 4, iters = 2)
+      .collect()
+    assert(plsa.length == 2) // both lefts scored, incl. the null doc
+    val foldin = graft.operators.TopicModel.plsaBestMatch(left, right, k = 4,
+      iters = 2, fitSampleLimit = 2).collect()
+    assert(foldin.length == 2)
+    val lda = graft.operators.TopicModel.bestMatch(left, right, k = 4).collect()
+    assert(lda.length == 2)
+  }
+
   test("plsaBestMatch over-cap fold-in == dense local replica; partition-invariant") {
     import spark.implicits._
     import graft.operators.TopicModel
