@@ -93,8 +93,11 @@ object TfIdfMatch {
 
   /** Best TF-IDF match per left row. `left`/`right`: (id, text). */
   def bestMatch(left: DataFrame, right: DataFrame, numFeatures: Int = 1 << 16): DataFrame = {
-    val l = left.select(col("id").as("left_id"), col("text").as("left_text"))
-    val r = right.select(col("id").as("right_id"), col("text").as("right_text"))
+    // null text ≡ empty doc (ML Tokenizer NPEs on NULL cells otherwise)
+    val l = left.select(col("id").as("left_id"),
+      coalesce(col("text"), lit("")).as("left_text"))
+    val r = right.select(col("id").as("right_id"),
+      coalesce(col("text"), lit("")).as("right_text"))
 
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val tf = new HashingTF().setInputCol("words").setOutputCol("tf")

@@ -387,6 +387,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(foldin.length == 2)
     val lda = graft.operators.TopicModel.bestMatch(left, right, k = 4).collect()
     assert(lda.length == 2)
+    val tfidf = TfIdfMatch.bestMatch(left, right).collect()
+    assert(tfidf.length == 2)
+    val exact = TfIdfMatch.bestMatchExact(left, right).collect()
+    assert(exact.length == 2) // null left rides the no-shared-term fallback
   }
 
   test("plsaBestMatch over-cap fold-in == dense local replica; partition-invariant") {
