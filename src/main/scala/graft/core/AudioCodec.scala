@@ -76,7 +76,7 @@ object AudioCodec {
     * writer's fixed layout), requires PCM 16-bit. Undecodable → None
     * (corrupt-input policy: skip, count upstream). */
   def decode(payload: Array[Byte]): Option[Clip] = {
-    if (payload.length < 44) return None
+    if (payload == null || payload.length < 44) return None
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag4(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")

@@ -112,7 +112,7 @@ object ImageCodec {
     * BEFORE ImageIO can attempt the raster allocation a 30-byte payload
     * claiming 10^9×10^9 would trigger. */
   def decode(payload: Array[Byte]): Option[BufferedImage] = {
-    if (payload.length < 24) return None
+    if (payload == null || payload.length < 24) return None
     def be32(o: Int): Int =
       ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
         ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)

@@ -64,6 +64,7 @@ object VideoCodec {
     * X-tags skipped), then fixed-stride frame walk. Truncated payloads,
     * non-C444 chroma, or bad frame markers → None. */
   def decode(payload: Array[Byte]): Option[Video] = {
+    if (payload == null) return None
     val nl = payload.indexOf('\n'.toByte)
     if (nl < Magic.length) return None
     val header = new String(payload, 0, nl, "US-ASCII")

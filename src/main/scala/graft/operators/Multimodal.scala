@@ -50,6 +50,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, p) =>
+        if (p == null) // NULL payload cell: defined degraded row, not an NPE
+          GenericFeatures(id, "application/octet-stream", 0, None, None, None, None)
+        else {
         val mime = sniff(p)
         val base = GenericFeatures(id, mime, p.length, None, None, None, None)
         mime match {
@@ -64,6 +67,7 @@ object Multimodal {
               width = Some(f.width), height = Some(f.height),
               n_frames = Some(f.nFrames)))
           case _ => base
+        }
         }
       }))
   }

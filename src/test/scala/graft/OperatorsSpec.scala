@@ -123,11 +123,13 @@ class OperatorsSpec extends AnyFunSuite {
       M.synthAudio(spark, 1).collect().head.payload, 50)
     val media = Seq(
       (1L, hugePng), (2L, garbagePng), (3L, truncPng),
-      (4L, overflowY4m), (5L, truncWav)).toDF("media_id", "payload")
+      (4L, overflowY4m), (5L, truncWav),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
     val feats = M.extractFeatures(media, "media_id", "payload").collect()
       .map(f => f.media_id -> f).toMap
-    assert(feats.size == 5)
+    assert(feats.size == 6)
     // every corrupt payload sniffs its container but yields NO decoded dims
+    assert(feats(6L).mime == "application/octet-stream" && feats(6L).byte_len == 0)
     assert(feats(1L).mime == "image/png" && feats(1L).width.isEmpty)
     assert(feats(2L).mime == "image/png" && feats(2L).width.isEmpty)
     assert(feats(3L).mime == "image/png" && feats(3L).width.isEmpty)
