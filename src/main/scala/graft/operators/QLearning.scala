@@ -69,11 +69,13 @@ object QLearning {
     val spark: SparkSession = guidelines.sparkSession
     import spark.implicits._
     val ctl: Array[(Long, Array[Float])] = controls
+      .filter(col("vec").isNotNull) // null vectors carry no geometry
       .select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(ctl.nonEmpty, "empty control side")
     val bc = spark.sparkContext.broadcast(ctl)
-    guidelines.select(col("id").cast("long"), col("vec"))
+    guidelines.filter(col("vec").isNotNull)
+      .select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val controls = bc.value

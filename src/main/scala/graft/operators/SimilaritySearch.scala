@@ -95,7 +95,8 @@ object SimilaritySearch {
                         lloydIters: Int = 0): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids: Array[Array[Float]] = corpus
+    val vecs = corpus.filter(col("vec").isNotNull) // null vectors carry no geometry
+    var centroids: Array[Array[Float]] = vecs
       .withColumn("fp", fingerprint64(col("id").cast("string")))
       .orderBy(col("fp"), col("id")).limit(nlist)
       .select(col("vec")).as[Array[Float]].collect()
@@ -104,7 +105,7 @@ object SimilaritySearch {
     var iter = 0
     while (iter < lloydIters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val partials = corpus.select(col("vec")).as[Array[Float]]
+      val partials = vecs.select(col("vec")).as[Array[Float]]
         .mapPartitions { it =>
           val cents = bc.value
           val sums = Array.ofDim[Double](cents.length, dim)
