@@ -1027,5 +1027,15 @@ class SnapshotSpec extends AnyFunSuite {
         .as[(String, Long, String)].collect()
       assert(got.sorted.toSeq == b.sorted, s"readAppended($v)")
     }
+    // expiry epilogue: keep 2 — the tip and its parent still replay their
+    // models, anything older errors, and the live read is unchanged
+    val tip = history.length - 1
+    Snapshot.expireSnapshots(table, keep = 2)
+    checkEq("post-expiry")
+    assert(Snapshot.read(spark, table, version = tip - 1)
+      .as[(String, Long, String)].collect().sorted.toSeq == history(tip - 1).sorted)
+    intercept[Exception] {
+      Snapshot.read(spark, table, version = tip - 2).collect()
+    }
   }
 }
