@@ -27,7 +27,9 @@ object StreamingExtract {
       convId: String,
       rows: Iterator[TurnSlim],
       state: GroupState[ConvBuffer]): Iterator[TurnResult] = {
-    val buffered = state.getOption.map(_.turns).getOrElse(Nil) ++ rows.toList
+    // null text ≡ empty page, matching the batch planes' degradation
+    val incoming = rows.map(t => if (t.text == null) t.copy(text = "") else t).toList
+    val buffered = state.getOption.map(_.turns).getOrElse(Nil) ++ incoming
     state.update(ConvBuffer(buffered))
     ConvParser.parse(convId, buffered.sortBy(_.turn_idx).toIndexedSeq)
   }
