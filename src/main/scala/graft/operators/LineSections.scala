@@ -29,8 +29,9 @@ object LineSections {
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .mapPartitions { it =>
         Extraction.groupedForProfiling(it).flatMap { case (cid, ts) =>
-          val parsed = LineFsm.parseDocument(ts.map(_.text))
-          val title = ts.head.text.split('\n').headOption.getOrElse("")
+          val texts = ts.map(t => if (t.text == null) "" else t.text) // null ≡ empty page
+          val parsed = LineFsm.parseDocument(texts)
+          val title = texts.head.split('\n').headOption.getOrElse("")
           val n = if (parsed.isEmpty) 0 else parsed.map(_.row).max + 1
           parsed.map(sv => SectionRow(cid, sv.section, sv.row, sv.value)) ++
             (0 until n).map(i => SectionRow(cid, "Title", i, title))
@@ -43,7 +44,7 @@ object LineSections {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.flatMap { t =>
-      KeywordWindows.parsePage(t.text).map { pr =>
+      KeywordWindows.parsePage(if (t.text == null) "" else t.text).map { pr =>
         def v(k: String) = pr.values.getOrElse(k, "")
         KeywordRow(t.conv_id, t.turn_idx, pr.key, pr.row,
           v("description"), v("rationale"), v("impact"), v("audit"),

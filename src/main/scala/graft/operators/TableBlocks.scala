@@ -54,7 +54,7 @@ object TableBlocks {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.flatMap { t =>
-      parseTables(t.text).flatMap { case (tableIdx, rows) =>
+      parseTables(if (t.text == null) "" else t.text).flatMap { case (tableIdx, rows) =>
         val header = makeUnique(rows.head)
         val arity = header.length
         rows.tail.filter(_.length == arity).zipWithIndex.flatMap { case (r, ri) =>

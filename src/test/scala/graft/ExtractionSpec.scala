@@ -62,6 +62,11 @@ class ExtractionSpec extends AnyFunSuite {
     val viaEmpty = Extraction.extract(emptyTurns, Extraction.Config(numPartitions = 2))
       .collect().sortBy(_.turn_idx)
     assert(viaExtract.toSeq == viaEmpty.toSeq)
+    // the sibling text-kernel planes share the null ≡ empty-page contract
+    val slim = Seq(TurnSlim("cN", 0, null), TurnSlim("cN", 1, "Col | A\nv | 1")).toDS
+    assert(graft.operators.LineSections.lineFsm(slim, 2).collect() != null)
+    assert(graft.operators.LineSections.keywordWindows(slim).collect() != null)
+    assert(graft.operators.TableBlocks.extract(slim).collect().nonEmpty)
   }
 
   test("maxMonsters cap is output-invisible (placement-only)") {
