@@ -345,10 +345,14 @@ object Bench {
          |## Stage decomposition + the bucketed plane
          |
          |bench/README.md carries the measured extraction stage split on this
-         |corpus (scan ~24% / shuffle+sort ~39% / FSM ~37%) and the
+         |corpus (scan ~24% / shuffle+sort ~39% / FSM ~37%), the
          |exchange-free bucketed plane beating the exchange plane 1.79×
          |(3.24 s vs 5.80 s at local[32]) — the layout a standing 100-TB
-         |table would use, re-measurable via `graft.BenchOne … bucketed 256`.
+         |table would use, re-measurable via `graft.BenchOne … bucketed 256` —
+         |and a 52M-turn (3×) per-JVM data-volume ceiling measurement: the
+         |12 g monolith JVM FAILS outright at 3× volume, the 32 g one loses
+         |~30% throughput, while sharded executors hold per-JVM volume
+         |constant (full 52M pipeline incl. snapshot commit: 152 s, rc=0).
          |
          |## Run-budget notes (why round 2's artifacts were empty)
          |
