@@ -69,13 +69,20 @@ object BenchOne {
       val tbl = "benchone_bucketed_" + java.lang.Integer.toHexString(path.hashCode)
       if (!spark.catalog.tableExists(tbl)) {
         val bpath = path + "-bucketed"
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(bpath)))
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(bpath))) {
+          // the DDL's bucket count MUST match the files actually on disk
+          // (one part file per bucket from the pre-write repartition) — a
+          // mismatched registration silently mislabels the measurement
+          val existing = java.nio.file.Files.list(java.nio.file.Paths.get(bpath))
+            .filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
+          require(existing == parts,
+            s"$bpath holds $existing buckets but parts=$parts — delete it or rerun with $existing")
           spark.sql(s"""CREATE TABLE $tbl (conv_id STRING, turn_idx INT,
             role STRING, text STRING, tool STRING, ts TIMESTAMP)
             USING parquet CLUSTERED BY (conv_id)
             SORTED BY (conv_id ASC, turn_idx ASC) INTO $parts BUCKETS
             LOCATION '$bpath'""")
-        else
+        } else
           Extraction.writeBucketed(spark.read.parquet(path).as[graft.core.Turn],
             tbl, bpath, parts)
       }

@@ -108,18 +108,27 @@ object ImageCodec {
   }
 
   /** Corrupt-input contract (web-scale reality: right magic, broken body):
-    * returns None instead of throwing, and rejects absurd IHDR dimensions
-    * BEFORE ImageIO can attempt the raster allocation a 30-byte payload
-    * claiming 10^9×10^9 would trigger. */
+    * returns None instead of throwing, and rejects absurd dimensions via a
+    * HEADER-ONLY reader probe (ImageReader.getWidth/getHeight decode no
+    * pixels) BEFORE ImageIO.read can attempt the raster allocation a
+    * 30-byte payload claiming 10^9×10^9 would trigger. Format-generic:
+    * PNG, JPEG, BMP, GIF — whatever ImageIO registers. */
   def decode(payload: Array[Byte]): Option[BufferedImage] = {
-    if (payload == null || payload.length < 24) return None
-    def be32(o: Int): Int =
-      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
-        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
-    val (w, h) = (be32(16), be32(20)) // IHDR is always the first chunk
-    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
-    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-    catch { case scala.util.control.NonFatal(_) => None }
+    if (payload == null || payload.length == 0) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val (w, h) = (r.getWidth(0), r.getHeight(0)) // header fields only
+          if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+        } finally r.dispose()
+      } finally iis.close()
+      Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Exact integer area-average downsample to (w, h). */

@@ -60,12 +60,17 @@ object TopicModel {
       coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
     val rDs = right.select(col("id").cast("long"),
       coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
-    // bounded probe (limit-pushdown — never a full count of a huge corpus)
-    val overCap = lDs.toDF.unionByName(rDs.toDF)
-      .limit(fitSampleLimit + 1).count() > fitSampleLimit
-    if (overCap) return plsaFoldInMatch(lDs, rDs, k, iters, fitSampleLimit)
-    val l = lDs.collect()
-    val r = rDs.collect()
+    // ONE side-tagged bounded collect decides over/under-cap AND, under the
+    // cap, IS the corpus — the inputs are never evaluated a probe-only
+    // extra time (they may be expensive derived pipelines)
+    val probe = lDs.toDF.withColumn("is_left", lit(true))
+      .unionByName(rDs.toDF.withColumn("is_left", lit(false)))
+      .limit(fitSampleLimit + 1)
+      .as[(Long, String, Boolean)].collect()
+    if (probe.length > fitSampleLimit)
+      return plsaFoldInMatch(lDs, rDs, k, iters, fitSampleLimit)
+    val l = probe.filter(_._3).map(p => (p._1, p._2))
+    val r = probe.filterNot(_._3).map(p => (p._1, p._2))
     val docs = (l ++ r).sortBy(_._1)
     val ids = docs.map(_._1)
     val (_, theta, _) = fitPlsa(docs, k, iters)

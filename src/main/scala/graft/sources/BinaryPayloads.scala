@@ -84,25 +84,37 @@ object BinaryPayloads {
     * like the media codecs. Emits (id, text, n_bytes). Any RFC-1952 stream
     * decodes; the fixture uses stored-deflate members so the DuckDB oracle
     * can re-extract the bytes arithmetically. */
-  def gunzipTexts(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def gunzipTexts(df: DataFrame, idCol: String, payloadCol: String,
+                  maxBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, gz) =>
-        // corrupt-member contract (web-scale shards WILL contain bad
-        // magic / truncated streams / CRC mismatches): the row survives
-        // with NULL text and n_bytes = -1 instead of failing the task
+        // corrupt-member contract (web-scale shards WILL contain bad magic /
+        // truncated streams / CRC mismatches / decompression bombs): the row
+        // survives with NULL text and n_bytes = -1 instead of failing the
+        // task. The bomb cap matters because an OutOfMemoryError from an
+        // unbounded inflate is fatal and would escape any catch.
         try {
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(gz))
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
+          var total = 0L
+          var bomb = false
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          while (n >= 0 && !bomb) {
+            total += n
+            if (total > maxBytes) bomb = true
+            else { out.write(buf, 0, n); n = in.read(buf) }
+          }
           in.close()
-          val b = out.toByteArray
-          (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
+          if (bomb) (id, null: String, -1L)
+          else {
+            val b = out.toByteArray
+            (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
+          }
         } catch { case scala.util.control.NonFatal(_) =>
           (id, null: String, -1L)
         }

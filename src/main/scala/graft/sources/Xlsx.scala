@@ -26,30 +26,38 @@ object Xlsx {
   // ---- writer --------------------------------------------------------------
 
   /** OOXML string escaping (the ECMA-376 `_xHHHH_` convention, like Excel):
-    * characters invalid in XML 1.0 — C0 controls except \t\n\r,
+    * characters invalid in XML 1.0 -- C0 controls except \t\n\r,
     * U+FFFE/U+FFFF, and LONE surrogates (raw ones are silently destroyed by
-    * the UTF-8 encoder) — are written as `_xHHHH_`, and a literal substring
-    * that would itself PARSE as an escape gets its leading underscore
-    * escaped as `_x005f_` so the reader's decode is an exact inverse. */
-  private val escapeLiteral = "_x[0-9A-Fa-f]{4}_".r
+    * the UTF-8 encoder) -- are written as `_xHHHH_`, and a literal `_`
+    * directly before an `x` is escaped as `_x005f_`.
+    *
+    * Why that exact rule (and not "protect full _xHHHH_ shapes"): after
+    * encoding, EVERY `_x` bigram in the output opens an emitted escape --
+    * plain text cannot contain one (the rule), one escape's trailing `_`
+    * plus a following literal `x` cannot collide (the leftmost decode match
+    * consumes the trailing underscore first), and a literal `_` before an
+    * emitted escape yields `__x`, whose first underscore the decoder skips.
+    * The decoder's leftmost non-overlapping `_xHHHH_` scan is therefore an
+    * EXACT inverse -- including overlap traps like `_x0041_x0042_`, which a
+    * consuming regex pre-pass silently corrupts. */
   private def xmlEscape(s: String): String = {
-    val p = escapeLiteral.replaceAllIn(s, m =>
-      scala.util.matching.Regex.quoteReplacement("_x005f_" + m.matched.substring(1)))
-    val sb = new StringBuilder(p.length + 16)
+    val sb = new StringBuilder(s.length + 16)
     var i = 0
-    while (i < p.length) {
-      p.charAt(i) match {
+    while (i < s.length) {
+      s.charAt(i) match {
         case '&' => sb.append("&amp;")
         case '<' => sb.append("&lt;")
         case '>' => sb.append("&gt;")
         case '"' => sb.append("&quot;")
+        case '_' if i + 1 < s.length && s.charAt(i + 1) == 'x' =>
+          sb.append("_x005f_")
         case c =>
           val invalid = (c < ' ' && c != '\t' && c != '\n' && c != '\r') ||
             c == '\uFFFE' || c == '\uFFFF' ||
             (Character.isHighSurrogate(c) &&
-              !(i + 1 < p.length && Character.isLowSurrogate(p.charAt(i + 1)))) ||
+              !(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)))) ||
             (Character.isLowSurrogate(c) &&
-              !(i > 0 && Character.isHighSurrogate(p.charAt(i - 1))))
+              !(i > 0 && Character.isHighSurrogate(s.charAt(i - 1))))
           if (invalid) sb.append(f"_x${c.toInt}%04x_") else sb.append(c)
       }
       i += 1

@@ -534,7 +534,11 @@ class OperatorsSpec extends AnyFunSuite {
       ("h2", "_x0007_literal"),            // literal escape must NOT decode to a bell
       ("h3", "_x005f_"),                   // the escape-of-the-escape itself
       ("h4", "nonchar\uFFFE\uFFFFok"),     // XML noncharacters
-      ("h6", "pair😁ok\tkeep\nlines")) // valid astral pair untouched
+      ("h6", "pair😁ok\tkeep\nlines"), // valid astral pair untouched
+      ("h7", "_x0041_x0042_"),             // OVERLAPPING escape-shaped literals
+      ("h8", "_x0041\u0007"),             // literal escape prefix + real escaped char
+      ("h9", "a__x0007_b"),                // literal _ directly before a trap shape
+      ("hA", "_xyz _x _x00 x0041_"))       // assorted near-miss shapes
     val df = hostile.toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("xlsx-esc").toString
     graft.sources.Xlsx.write(df, s"$dir/out.xlsx")

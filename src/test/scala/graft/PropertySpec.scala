@@ -124,6 +124,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ImageCodec.decode stays format-generic: JPEG/BMP pass the header dim gate") {
+    // regression: the corrupt-input dim gate must probe dimensions via the
+    // format's OWN reader, not assume a PNG IHDR at fixed offsets
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xFF8040)
+    for (fmt <- Seq("jpg", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"ImageIO lacks $fmt writer")
+      val back = ImageCodec.decode(bos.toByteArray)
+      assert(back.exists(b => b.getWidth == 5 && b.getHeight == 3), s"$fmt rejected")
+    }
+    // corrupt and degenerate inputs still degrade to None, never throw
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageCodec.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+  }
+
   test("TopicModel.foldInTheta (sparse ascending-w kernel) == dense full-vocab model") {
     import graft.operators.TopicModel
     val word: Gen[String] = Gen.oneOf("pasta", "orbit", "basil", "rocket",
