@@ -293,15 +293,25 @@ object Snapshot {
       case _ => return None
     }
     val sts = chunks.map(_.getStatistics)
-    // any row group with neither value bounds nor a null count ⇒ unknown
-    if (sts.exists(s => s == null || (!s.hasNonNullValue && s.getNumNulls < 0)))
+    if (sts.exists(_ == null)) return None
+    // SOUNDNESS GATE for omitted bounds: parquet-mr DROPS a chunk's min/max
+    // when min+max exceed MAX_STATS_SIZE (4 KB — routine for long document
+    // text) while still writing null_count. A bound-less chunk is therefore
+    // NOT evidence of an all-null chunk: conclude "no non-null values" ONLY
+    // when null_count PROVES it (numNulls == valueCount). Any chunk that
+    // lacks bounds without that proof poisons the whole column's stat —
+    // bounds from the other chunks would not cover its values, and an
+    // "all-null" verdict would let readWhere prune files full of matches.
+    val counts = chunks.map(_.getValueCount)
+    if (sts.zip(counts).exists { case (s, vc) =>
+        !s.hasNonNullValue && s.getNumNulls != vc })
       return None
     // -1 = some footer omitted its null count: bounds still prune, IS NULL
     // never does (nulls=0 would wrongly prune a null-bearing file)
     val nulls = if (sts.exists(_.getNumNulls < 0)) -1L
                 else sts.map(_.getNumNulls).sum
     val valued = sts.filter(_.hasNonNullValue)
-    if (valued.isEmpty)
+    if (valued.isEmpty) // every chunk PROVED all-null above
       return Some(ColStat(tag, "", "", nulls, hasNonNull = false, pt, lk = lk))
     tag match {
       case "long" =>
@@ -390,7 +400,11 @@ object Snapshot {
     Json.parseFlatObjects(fileStatsArrayText(manifestText)).groupBy(_("file"))
 
   private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    // writer-unique tmp: wedged-table repair (finishCommitted) runs from
+    // every reader's recovery path, so concurrent parties must not collide
+    // on one fixed tmp name (the loser's move would throw NoSuchFile)
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
     Files.writeString(tmp, content)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -553,6 +567,9 @@ object Snapshot {
             tag: String = "", clusterBy: Seq[String] = Nil,
             rowsPerFile: Long = 0): Map[String, Long] = {
     requireSafeTag(tag)
+    require(!df.columns.contains("_chunk"),
+      "_chunk is the table's reserved layout column: write/append/upsert " +
+      "would silently overwrite it and reads drop it — rename the column")
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     Files.createDirectories(table)
@@ -1159,6 +1176,9 @@ object Snapshot {
              tag: String = "", clusterBy: Seq[String] = Nil,
              rowsPerFile: Long = 0): Map[String, Long] = {
     requireSafeTag(tag)
+    require(!df.columns.contains("_chunk"),
+      "_chunk is the table's reserved layout column: write/append/upsert " +
+      "would silently overwrite it and reads drop it — rename the column")
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     // committed tip from manifests (repairing a wedged CURRENT): falling
@@ -1267,6 +1287,9 @@ object Snapshot {
   private def cowRewrite(df: DataFrame, tablePath: String, tag: String,
                          opName: String, keepBatch: Boolean): Map[String, Long] = {
     requireSafeTag(tag)
+    require(!df.columns.contains("_chunk"),
+      "_chunk is the table's reserved layout column: write/append/upsert " +
+      "would silently overwrite it and reads drop it — rename the column")
     val spark = df.sparkSession
     val table = Paths.get(tablePath)
     val parentVersion = recoverCommitted(table).getOrElse(
@@ -1297,42 +1320,57 @@ object Snapshot {
     if (!Files.exists(stagedMarker)) {
       if (Files.exists(staging)) deleteRecursively(staging)
       Files.createDirectories(staging)
-      val batch = df.withColumn("_chunk", chunkOf(col(chunkKey)))
-      // touched chunks from the batch — at most numChunks values, driver-safe
-      val touched = batch.select("_chunk").distinct()
-        .collect().map(_.getLong(0)).sorted
-      // file-level pruning: read ONLY the touched parent chunk dirs
-      val parentDir = table.resolve(s"v$parentVersion")
-      val touchedDirs = touched.map(c => parentDir.resolve(s"_chunk=$c"))
-        .filter(Files.exists(_)).map(_.toString)
-      // mergeSchema: a delta append may have added columns — a single-footer
-      // schema pick would silently drop them from the rewritten chunks
-      val tableCols =
-        read(spark, tablePath, parentVersion, mergeSchema = true).columns
-      val survivors =
-        if (touchedDirs.isEmpty)
-          read(spark, tablePath, parentVersion, mergeSchema = true)
-            .filter(lit(false))
-        else spark.read.option("basePath", parentDir.toString)
-          .option("mergeSchema", "true")
-          .parquet(touchedDirs: _*).drop("_chunk")
-          .join(df.select(chunkKey), Seq(chunkKey), "left_anti")
-      // upsert keeps EVERY table column (survivors carry delta-evolved
-      // columns the batch may not know about — selecting df.columns here
-      // would destroy their values in rewritten chunks while untouched
-      // chunks keep them); missing columns on either side null-fill
-      val staged =
-        if (keepBatch) survivors.unionByName(df, allowMissingColumns = true)
-        else survivors.select(tableCols.map(col): _*)
-      staged
-        .withColumn("_chunk", chunkOf(col(chunkKey)))
-        .write.partitionBy("_chunk").mode("overwrite")
-        .parquet(staging.resolve("data").toString)
-      Files.writeString(touchedFile, touched.mkString(","))
-      // marker lands atomically and strictly after _TOUCHED: a kill at any
-      // point either leaves no marker (rerun restages from scratch) or a
-      // complete marker + touched list (rerun promotes)
-      atomicWrite(stagedMarker, "ok")
+      // ONE evaluation of the batch: it feeds the touched-chunk collect, the
+      // anti-join, AND the staged union — unpersisted, a non-deterministic
+      // batch source could make _TOUCHED disagree with the staged chunk dirs
+      // (a chunk both hard-linked as untouched AND rewritten = duplicates),
+      // and even a deterministic one pays three full computations
+      val batchDf = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val batch = batchDf.withColumn("_chunk", chunkOf(col(chunkKey)))
+        // touched chunks from the batch — at most numChunks values, driver-safe
+        val touched = batch.select("_chunk").distinct()
+          .collect().map(_.getLong(0)).sorted
+        // file-level pruning: read ONLY the touched parent chunk dirs
+        val parentDir = table.resolve(s"v$parentVersion")
+        val touchedDirs = touched.map(c => parentDir.resolve(s"_chunk=$c"))
+          .filter(Files.exists(_)).map(_.toString)
+        // mergeSchema: a delta append may have added columns — a single-footer
+        // schema pick would silently drop them from the rewritten chunks
+        val tableSchema =
+          read(spark, tablePath, parentVersion, mergeSchema = true).schema
+        val survivors =
+          if (touchedDirs.isEmpty)
+            read(spark, tablePath, parentVersion, mergeSchema = true)
+              .filter(lit(false))
+          else spark.read.option("basePath", parentDir.toString)
+            .option("mergeSchema", "true")
+            .parquet(touchedDirs: _*).drop("_chunk")
+            .join(batchDf.select(chunkKey), Seq(chunkKey), "left_anti")
+        // upsert keeps EVERY table column (survivors carry delta-evolved
+        // columns the batch may not know about — selecting df.columns here
+        // would destroy their values in rewritten chunks while untouched
+        // chunks keep them); missing columns on either side null-fill —
+        // including evolved columns carried by NO touched-chunk file, which
+        // a bare select would throw UNRESOLVED_COLUMN on (typed null-fill
+        // from the merged schema, so the parquet write keeps real types)
+        val have = survivors.columns.toSet
+        val filled = tableSchema.fields.filterNot(f => have(f.name))
+          .foldLeft(survivors)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val staged =
+          if (keepBatch) filled.unionByName(batchDf, allowMissingColumns = true)
+          else filled.select(tableSchema.fieldNames.map(col): _*)
+        staged
+          .withColumn("_chunk", chunkOf(col(chunkKey)))
+          .write.partitionBy("_chunk").mode("overwrite")
+          .parquet(staging.resolve("data").toString)
+        Files.writeString(touchedFile, touched.mkString(","))
+        // marker lands atomically and strictly after _TOUCHED: a kill at any
+        // point either leaves no marker (rerun restages from scratch) or a
+        // complete marker + touched list (rerun promotes)
+        atomicWrite(stagedMarker, "ok")
+      } finally batchDf.unpersist()
     }
     val touched = Files.readString(touchedFile).split(",")
       .filter(_.nonEmpty).map(_.toLong).toSet
@@ -1496,6 +1534,7 @@ object Snapshot {
   def expireSnapshots(tablePath: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, "must keep at least the current snapshot")
     val table = Paths.get(tablePath)
+    if (!Files.exists(table)) return Nil // sibling APIs no-op on absent tables
     val versions = listDir(table)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
@@ -1515,6 +1554,12 @@ object Snapshot {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
+      // deleteIfExists: wedged-table repair runs from EVERY reader's
+      // recoverCommitted, so two parties may race to clean the same staging
+      // dir — the loser must no-op, not throw out of a read()
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+        .iterator().asScala.foreach(q =>
+          try Files.deleteIfExists(q)
+          catch { case _: java.nio.file.DirectoryNotEmptyException
+                     | _: java.nio.file.NoSuchFileException => () })
 }

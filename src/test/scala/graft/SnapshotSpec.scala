@@ -970,6 +970,59 @@ class SnapshotSpec extends AnyFunSuite {
       java.nio.file.Paths.get(table, "manifest-v1.json.tmp-42-42")))
   }
 
+  test("delete/upsert on schema-evolved tables: evolved columns survive even when no touched file carries them") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("evodel").toString + "/t"
+    Snapshot.write(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), table, "k", 4)
+    // delta append adds column 'extra'; its files land only in SOME chunks
+    Snapshot.append(Seq(("d", 4L, "x")).toDF("k", "v", "extra"), table, "k", 4)
+    // premise check: the deleted key's chunk must NOT be d's chunk, so its
+    // touched-dir read cannot see any extra-bearing file (the crash path)
+    val chunkOf = Seq("a", "d").toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(4)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chunkOf("a") != chunkOf("d"),
+      "fixture premise broken: pick a different deletion key")
+    // delete a key whose chunk has NO extra-bearing file: must not throw,
+    // and the merged schema (null-filled) must survive the rewrite
+    Snapshot.deleteKeys(Seq("a").toDF("k"), table)
+    val afterDel = Snapshot.read(spark, table, mergeSchema = true)
+    assert(afterDel.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    assert(afterDel.count() == 3)
+    assert(afterDel.filter(col("k") === "d").select("extra").head.getString(0) == "x")
+    // upsert through the same path keeps the evolved column too
+    Snapshot.upsert(Seq(("b", 20L)).toDF("k", "v"), table)
+    val afterUp = Snapshot.read(spark, table, mergeSchema = true)
+    assert(afterUp.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    assert(afterUp.filter(col("k") === "b").select("v").head.getLong(0) == 20L)
+    assert(afterUp.filter(col("k") === "d").select("extra").head.getString(0) == "x")
+  }
+
+  test("reserved _chunk column and absent-table expiry fail safe") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("guards").toString + "/t"
+    val bad = Seq(("a", 1L)).toDF("k", "_chunk")
+    intercept[IllegalArgumentException] { Snapshot.write(bad, table, "k", 2) }
+    assert(Snapshot.expireSnapshots(table + "/never-written") == Nil)
+  }
+
+  test("stat soundness: parquet-omitted large-binary bounds never read as all-null") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("bigstats").toString + "/t"
+    // min+max of this column exceed parquet-mr's 4 KB MAX_STATS_SIZE, so the
+    // writer DROPS the chunk bounds while keeping null_count = 0 — which the
+    // pruner must not read as "all-null" (it used to, pruning every file)
+    val big = "Z" * 5000
+    val rows = (0 until 40).map(i => (s"k$i", i.toLong, big + i))
+    Snapshot.write(rows.toDF("k", "ts", "txt"), table, "k", 2)
+    assert(Snapshot.readWhere(spark, table,
+      col("txt") === (big + "7")).count() == 1)
+    assert(Snapshot.readWhere(spark, table, col("txt").isNotNull).count() == 40)
+    assert(Snapshot.readWhere(spark, table, col("txt") > big).count() == 40)
+    // the short columns around it still carry sound, prunable stats
+    assert(Snapshot.readWhere(spark, table, col("ts") < 10L).count() == 10)
+  }
+
   test("model-based op-sequence fuzz: table == in-memory model after every op") {
     import spark.implicits._
     // a seeded random interleaving of every mutating op, checked after each
