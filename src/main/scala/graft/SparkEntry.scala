@@ -3645,13 +3645,13 @@ lines AS (SELECT id,
     unnest(string_split(text, chr(10))) AS line,
     unnest(generate_series(0, len(string_split(text, chr(10))) - 1)) AS li
   FROM t),
-hot AS (SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
-  GROUP BY trim(line) HAVING COUNT(DISTINCT id) >= 2),
+hot AS (SELECT trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS norm FROM lines WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''
+  GROUP BY trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) HAVING COUNT(DISTINCT id) >= 2),
 kept AS (SELECT id, li, line FROM lines
-  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT norm FROM hot)),
+  WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = '' OR trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) NOT IN (SELECT norm FROM hot)),
 agg AS (SELECT id, string_agg(line, chr(10) ORDER BY li) AS cleaned FROM kept GROUP BY id),
 drp AS (SELECT id, COUNT(*) AS dropped FROM lines
-  WHERE trim(line) <> '' AND trim(line) IN (SELECT norm FROM hot) GROUP BY id)
+  WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> '' AND trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) IN (SELECT norm FROM hot) GROUP BY id)
 SELECT t.id, COALESCE(a.cleaned, '') AS cleaned, COALESCE(p.dropped, 0) AS dropped
 FROM t LEFT JOIN agg a ON a.id = t.id LEFT JOIN drp p ON p.id = t.id""",
     "q_repetition" ->

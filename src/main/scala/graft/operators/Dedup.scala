@@ -98,9 +98,14 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
                  threshold: Double = 0.6): DataFrame = {
+    // persist: the signature frame feeds the band join AND both verify
+    // join-backs — unmarked, the shingle/minhash kernels re-run in three
+    // scans of the input (the frame is (id, hashes) only, never text;
+    // LRU eviction bounds residency)
     val base = df.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleK).as("th"),
       minhash_bands(col(textCol), shingleK, numHashes, bands).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val candidates = banded.as("l").join(banded.as("r"),
@@ -206,6 +211,11 @@ object Dedup {
     * (`sigs`: (id, sim)) — shared by SimHash text near-dup and image
     * aHash near-dup. Exact recall within maxHamming. */
   def hammingNearDup(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    // 64 bands of width 1 is the maximum meaningful split: beyond it the
+    // band width collapses to 0 and every row shares band key 0 — the
+    // all-pairs cross product this operator exists to avoid
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands // last band also takes the remainder bits
     val bandStructs = array((0 until bands).map { b =>
@@ -232,7 +242,12 @@ object Dedup {
 
   /** n-gram Jaccard pair scores within explicit blocks (`blockCol`) — the
     * EXACT set-similarity join (same output as brute-force all-pairs, pair
-    * for pair), shaped as a PPJoin-style prefix-filtered candidate join
+    * for pair, over docs with a NON-EMPTY token set — docs whose text
+    * yields zero token hashes have no shingles to block on and are
+    * excluded, the standard LSH/PPJoin convention; note J(∅,∅) is
+    * definitionally 1.0, so a brute force that includes them differs
+    * exactly on empty-empty pairs), shaped as a PPJoin-style
+    * prefix-filtered candidate join
     * (Xiao et al., WWW'08) instead of within-block all-pairs (the round-3
     * scale defect: blocks grow with the corpus, so block all-pairs is
     * O(n²/k) comparisons at 100×).
@@ -260,21 +275,30 @@ object Dedup {
     * copies first ([[exact]]). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
+    // persist: (id, blk, hashes) feeds prefix candidates and both verify
+    // join-backs — see minHashLsh's matching note
     val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       token_hashes(col(textCol)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = s.withColumn("sz", size(col("th")))
-    // prefix length sz - floor(t*sz): conservative (never shorter than the
-    // tight sz - ceil(t*sz) + 1), and floor's worst-case float error only
-    // lengthens it further — recall stays exact under any rounding
+    // PPJoin prefix length: the TIGHT bound is sz - ceil(t·sz) + 1 — any
+    // shorter drops pairs sitting exactly at J == t (and at t = 1.0 a
+    // shorter prefix is EMPTY, missing even identical docs). ceil is
+    // computed in exact ppm integer arithmetic: a double ceil(t*sz) can
+    // round UP on float error (0.6*5 = 3.0000000000000004 → 4), silently
+    // shortening the prefix below the bound.
+    val tppm = math.round(threshold * 1000000L)
     val pref = sized.select(col("id"), col("blk"), col("sz"),
       explode(slice(col("th"), lit(1),
-        (col("sz") - floor(lit(threshold) * col("sz"))).cast("int"))).as("tok"))
+        (col("sz") - floor((lit(tppm) * col("sz") + 999999L) / 1000000L) + 1)
+          .cast("int"))).as("tok"))
     val cand = pref.as("l").join(pref.as("r"),
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") < col("r.id") &&
           // length-ratio prune: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|)
-          col("l.sz").cast("double") >= lit(threshold) * col("r.sz") &&
-          col("r.sz").cast("double") >= lit(threshold) * col("l.sz"))
+          // (ppm integers — a float product could exclude boundary pairs)
+          col("l.sz") * 1000000L >= lit(tppm) * col("r.sz") &&
+          col("r.sz") * 1000000L >= lit(tppm) * col("l.sz"))
       .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
       .distinct()
     cand
@@ -287,7 +311,12 @@ object Dedup {
 
   /** Cross-document repeated-line removal (the CCNet/RefinedWeb boilerplate
     * pass): a line whose trimmed form appears in ≥ `minDocs` DISTINCT
-    * documents is dropped from every document; blank lines are kept. Three
+    * documents is dropped from every document; blank lines are kept. The
+    * trim is whitespace-aware (space, tab, CR, VT, FF): on CRLF corpora a
+    * split("\n") leaves "\r" on every line, and an ASCII-space-only trim
+    * would count blank lines as a hot line (stripping every paragraph
+    * break) while the same boilerplate in LF and CRLF docs counted as two
+    * different norms. Three
     * key-partitioned shuffles — line-hash agg, line-hash join, doc
     * reassembly — and the only per-group materialization is one document's
     * own lines, so it scales with corpus size, not with line popularity.
@@ -296,7 +325,7 @@ object Dedup {
                     minDocs: Int = 2): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("li", "line")))
-      .withColumn("norm", trim(col("line")))
+      .withColumn("norm", trim(col("line"), " \t\r\u000B\f"))
     val hot = lines.filter(col("norm") =!= "")
       .groupBy(col("norm")).agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
@@ -427,22 +456,6 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("cos"))
   }
 
-  /** Cluster assignment over a near-dup pair list — the step a dedup
-    * pipeline actually needs after candidate scoring: connected components,
-    * labeling every paired doc with the MIN doc id reachable through the
-    * pair graph ("keep the representative, drop the rest").
-    *
-    * Iterative min-label propagation: each round is one equi-join (edge src
-    * → neighbor label) + one min-agg, i.e. two hash-partition shuffles over
-    * (id, label) pairs only; `localCheckpoint` truncates the lineage so the
-    * plan does not grow with rounds. Rounds needed = graph diameter — small
-    * for near-dup clusters (dense blobs of mutual near-matches); for
-    * adversarial long-chain graphs the alternating large-star/small-star
-    * form (Kiveris et al., MapReduce CC) bounds rounds at O(log² n) with the
-    * same per-round shape. Singleton docs (no pair) are not emitted.
-    *
-    * Converges to the exact fixpoint (checked per round), so the output is
-    * deterministic and DuckDB-oracle-comparable. */
   /** Conversation-level near-dup: Jaccard similarity over each
     * conversation's SET of distinct turn-text hashes — the dedup unit for
     * SFT corpora, where re-rolled conversations share most turns verbatim.
@@ -477,22 +490,39 @@ object Dedup {
       .select(col("cid1"), col("cid2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** Cluster assignment over a near-dup pair list — the step a dedup
+    * pipeline actually needs after candidate scoring: connected components,
+    * labeling every paired doc with the MIN doc id reachable through the
+    * pair graph ("keep the representative, drop the rest").
+    *
+    * Iterative min-label propagation WITH pointer doubling (lbl <- lbl(lbl),
+    * Kiveris et al., MapReduce CC): each round is one edge equi-join + one
+    * min-agg + one label-lookup join over (id, label) pairs only, and label
+    * chains collapse in O(log diameter) rounds; `localCheckpoint` truncates
+    * the lineage so the plan does not grow with rounds. Singleton docs (no
+    * pair) are not emitted; null-id edges are dropped (no identity). Works
+    * for any id type (numeric or string).
+    *
+    * Converges to the exact fixpoint (anti-join-diff-checked per round), so
+    * the output is deterministic and DuckDB-oracle-comparable. */
   def nearDupClusters(pairs: DataFrame, leftCol: String = "left_id",
                       rightCol: String = "right_id",
                       maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
       .unionAll(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull) // null ids carry no identity
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    // labels are monotonically non-increasing, so the exact label sum is a
-    // fixpoint witness: unchanged sum ⟺ no label moved (one tiny agg per
-    // round instead of a join-based diff)
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = lblSum(labels)
+    // fixpoint witness: an EXACT anti-join diff against the previous round
+    // (empty ⟺ no (id, lbl) changed). Type-agnostic — string ids work,
+    // unlike a decimal label sum which nulls out on non-numeric ids (and
+    // NPEs outright on an EMPTY pair list, a perfectly normal clean-corpus
+    // outcome). The frames are checkpointed and tiny; isEmpty is limit(1).
+    def unchanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.join(prev, Seq("id", "lbl"), "left_anti").isEmpty
     var round = 0
-    var converged = false
+    var converged = labels.isEmpty // zero pairs: already at the fixpoint
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("lbl"))
@@ -504,7 +534,7 @@ object Dedup {
       // pointer-doubling shortcut (Kiveris et al., "Connected Components in
       // MapReduce and Beyond"): lbl ← lbl(lbl). Every label IS a node id of
       // the same set and lbl(x) ≤ x invariantly, so the lookup only lowers
-      // labels — monotonicity (and the sum fixpoint witness) is preserved —
+      // labels — monotone convergence to the per-component min is preserved —
       // while label chains collapse in O(log diameter) rounds instead of
       // O(diameter): the difference between ~40 and ~6 shuffle rounds on a
       // re-rolled-conversation family a few dozen hops deep. The mapping
@@ -518,9 +548,7 @@ object Dedup {
         .join(mapping, col("lbl") === col("m_id"), "left")
         .select(col("id"), coalesce(col("m_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      val s = lblSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = unchanged(next, labels)
       labels = next
       round += 1
     }

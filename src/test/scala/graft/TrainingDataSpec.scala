@@ -270,6 +270,74 @@ class TrainingDataSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("ngramJaccardPairs == brute force at boundary thresholds (t·|s| integral, t = 1.0)") {
+    import spark.implicits._
+    import graft.expressions.TextHashExpressions.{token_hashes, sorted_jaccard}
+    // deterministic word-soup corpus with heavy overlap so J == t pairs occur
+    val words = Vector("ape", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibis", "jay")
+    val docs = (0 until 30).map { i =>
+      val n = 2 + i % 5
+      (i.toLong, "b", (0 until n).map(j => words((i * 3 + j) % words.length)).mkString(" "))
+    } ++ Seq((100L, "b", "ape bee cat dog elk"), (101L, "b", "cat dog elk"), // J = 3/5 = 0.6
+      (102L, "b", "ape bee cat dog elk"))                                   // J(100,102) = 1.0
+    val df = docs.toDF("id", "blk", "text")
+    for (t <- Seq(0.5, 0.6, 1.0)) {
+      val got = graft.operators.Dedup.ngramJaccardPairs(df, "text", "id", "blk", t)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      val s = df.select(col("id"), col("blk"), token_hashes(col("text")).as("th"))
+        .filter(size(col("th")) > 0)
+      val brute = s.as("l").join(s.as("r"),
+          col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+        .select(col("l.id"), col("r.id"),
+          sorted_jaccard(col("l.th"), col("r.th")).as("j"))
+        .filter(col("j") >= t).as[(Long, Long, Double)]
+        .collect().map(x => (x._1, x._2)).toSet
+      assert(got == brute, s"t=$t: missing=${brute -- got} extra=${got -- brute}")
+      if (t == 0.6) assert(got.contains((100L, 101L)), "exact-boundary pair dropped")
+      if (t == 1.0) assert(got.contains((100L, 102L)), "identical pair dropped at t=1.0")
+    }
+  }
+
+  test("nearDupClusters: empty pair list and string ids both work (no decimal-sum NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
+    assert(graft.operators.Dedup.nearDupClusters(empty).collect().isEmpty)
+    val strPairs = Seq(("convB", "convA"), ("convC", "convB")).toDF("left_id", "right_id")
+    val got = graft.operators.Dedup.nearDupClusters(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("convA" -> "convA", "convB" -> "convA", "convC" -> "convA"))
+  }
+
+  test("repeatedLines: CRLF corpora keep blank lines and unify boilerplate norms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header line\r\n\r\nbody one\r\n"),
+      (2L, "header line\r\n\r\nbody two\r\n"),
+      (3L, "header line\n\nbody three\n")) // LF sibling: same boilerplate norm
+    val out = graft.operators.Dedup.repeatedLines(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minDocs = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // the shared header is dropped from ALL THREE (LF and CRLF agree on norm)
+    out.values.foreach { case (_, cleaned, dropped) =>
+      assert(!cleaned.contains("header line"), cleaned)
+      assert(dropped == 1L)
+    }
+    // blank lines survive (they must never count as a hot line)
+    assert(out(1L)._2.split("\n", -1).exists(_.trim.isEmpty))
+  }
+
+  test("hammingNearDup rejects out-of-range maxHamming") {
+    import spark.implicits._
+    val sigs = Seq((1L, 7L), (2L, 7L)).toDF("id", "sim")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingNearDup(sigs, 64).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingNearDup(sigs, -1).collect()
+    }
+    assert(graft.operators.Dedup.hammingNearDup(sigs, 0).count() == 1) // identical sigs
+  }
+
   test("nearDupClusters: pointer doubling collapses a 64-chain within O(log d) rounds") {
     // a 64-node path has diameter 63: plain min-propagation needs ~63
     // rounds, pointer doubling must finish well within 10 — maxRounds = 10
