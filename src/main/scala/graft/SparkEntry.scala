@@ -4189,17 +4189,19 @@ FROM s4""",
     '.' || ((doc_id * 7) % 256) || '.4 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
     ' tel +1-555-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') AS raw
   FROM documents)
+, stages AS (
+  SELECT doc_id, raw,
+    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+  FROM aug),
+stages2 AS (SELECT *, regexp_replace(after_email, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS after_ssn FROM stages),
+stages3 AS (SELECT *, regexp_replace(after_ssn, '\+\d{1,2}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone FROM stages2)
 SELECT doc_id,
   len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-  len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
-  len(regexp_extract_all(raw, '\+\d{1,2}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
-  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-    '\+\d{1,2}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-FROM aug""",
+  len(regexp_extract_all(after_email, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+  len(regexp_extract_all(after_ssn, '\+\d{1,2}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+  len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+  regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM stages3""",
 
     "q_sliding_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4286,7 +4288,7 @@ race AS (SELECT b.doc_id, d.n_chars::BIGINT AS w, b.fp,
       * 1000000) // d.n_chars::BIGINT AS pri
   FROM b JOIN documents d ON b.doc_id = d.doc_id
   WHERE d.n_chars >= 1)
-SELECT doc_id, w, pri FROM race ORDER BY pri, fp, doc_id LIMIT 50""",
+SELECT doc_id, w, pri FROM race ORDER BY pri, w DESC, fp, doc_id LIMIT 50""",
 
     // same bucket chain; rates derived from corpus counts via the
     // correctly-rounded divide/sqrt/multiply/floor chain (bit-exact)

@@ -31,16 +31,18 @@ object TrainingData {
     * longer donate digits to an IP match). */
   def piiRedact(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
+    // counts run against the SAME stage of the chain as their replacement,
+    // so n_x always equals the number of <X> markers actually emitted: a
+    // string consumed by an earlier pattern ("123-45-6789@example.com" is
+    // one EMAIL) is not double-reported by a later one
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "<SSN>")
+    val afterPhone = regexp_replace(afterSsn, PhoneRe, "<PHONE>")
     df.withColumn("n_email", regexp_count(c, lit(EmailRe)))
-      .withColumn("n_ssn", regexp_count(c, lit(SsnRe)))
-      .withColumn("n_phone", regexp_count(c, lit(PhoneRe)))
-      .withColumn("n_ip", regexp_count(c, lit(IpRe)))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-          EmailRe, "<EMAIL>"),
-          SsnRe, "<SSN>"),
-          PhoneRe, "<PHONE>"),
-          IpRe, "<IP>"))
+      .withColumn("n_ssn", regexp_count(afterEmail, lit(SsnRe)))
+      .withColumn("n_phone", regexp_count(afterSsn, lit(PhoneRe)))
+      .withColumn("n_ip", regexp_count(afterPhone, lit(IpRe)))
+      .withColumn("redacted", regexp_replace(afterPhone, IpRe, "<IP>"))
   }
 
   /** Sub-document exact dedup at fixed-token-chunk granularity (the
@@ -77,12 +79,16 @@ object TrainingData {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     n: Int, benchPred: Column): DataFrame = {
     val toks = split(col(textCol), " ")
-    val grams = df.select(col(idCol),
+    def gramsOf(src: DataFrame) = src.select(col(idCol),
       explode(array_distinct(
         when(size(toks) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n))))))).as("g"))
-    val bench = grams.filter(benchPred).select(col("g")).distinct()
+    val grams = gramsOf(df)
+    // benchPred filters the INPUT rows (any df column may appear in it),
+    // not the (id, gram) projection — a predicate on e.g. `source` would
+    // otherwise throw UNRESOLVED_COLUMN
+    val bench = gramsOf(df.filter(benchPred)).select(col("g")).distinct()
     grams.join(broadcast(bench), "g")
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("n_contam"))
@@ -116,7 +122,11 @@ object TrainingData {
                    topVocab: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toksOf = (s: String) => graft.core.TextStats.wsTokens(String.valueOf(s).toLowerCase)
+    // NULL text tokenizes to NOTHING — String.valueOf(null) would mint a
+    // literal "null" token that pollutes the vocabulary and the <unk> mass
+    val toksOf = (s: String) =>
+      if (s == null) Array.empty[String]
+      else graft.core.TextStats.wsTokens(s.toLowerCase)
     val docs = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
     val uni = docs.flatMap { case (_, t) => toksOf(t) }.toDF("tok")
@@ -148,8 +158,12 @@ object TrainingData {
       .select(col("id"),
         when(col("u_in").isNotNull, col("ur")).otherwise("<unk>").as("u"),
         when(col("v_in").isNotNull, col("vr")).otherwise("<unk>").as("v"))
-    val big = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c12"))
-    val scored = pairs
+    // persist: the pair stream feeds BOTH the count agg and the score join —
+    // unpinned, the tokenize + two broadcast joins would run once per side
+    // (three corpus passes where the contract documents two)
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = pairsP.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c12"))
+    val scored = pairsP
       .join(big, Seq("u", "v"), "left") // no hint: AQE picks broadcast/shuffle
       .join(broadcast(c1), Seq("u"))    // ≤ topVocab+1 rows: always broadcast
       .crossJoin(broadcast(stats.select((col("nv") + 1).as("s_den"))))
@@ -158,8 +172,11 @@ object TrainingData {
           (col("c1") + col("s_den")).cast("double")) * 10000.0).cast("long"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_pos"), sum(col("q4")).as("lm_q4_sum"))
+    // USING join on the renamed key: an expression join on col(idCol) ===
+    // col("id") is AMBIGUOUS the moment the caller's id column is named
+    // "id" (the natural name) — every sibling operator joins USING-style
     df.select(col(idCol).cast("long").as(idCol))
-      .join(scored, col(idCol) === col("id"), "left")
+      .join(scored.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         coalesce(col("lm_q4_sum"), lit(0L)).as("lm_q4_sum"))
@@ -203,8 +220,15 @@ object TrainingData {
     val bucket = pmod(
       TextHashExpressions.fingerprint64(col(idCol).cast("string")),
       lit(1000000L)).cast("long")
-    df.withColumn("bucket", bucket)
-      .join(broadcast(rates), strataCol)
+    // null-safe equality: a NULL stratum is a stratum like any other
+    // (groupBy already counts it into n_l/n_max) — a plain equi-join would
+    // silently DROP every null-stratum row while still letting its count
+    // deflate the real strata's rates
+    val withBucket = df.withColumn("bucket", bucket)
+    withBucket
+      .join(broadcast(rates.withColumnRenamed(strataCol, "_ts_strata")),
+        withBucket(strataCol) <=> col("_ts_strata"))
+      .drop("_ts_strata")
       .filter(col("bucket") < col("rate_ppm"))
   }
 
@@ -260,17 +284,40 @@ object TrainingData {
 
   /** Token-budget corpus selection (data-constrained curation): order docs
     * by a quality key, keep the prefix whose cumulative token count stays
-    * within `budgetTokens`. The running sum is a global-order window — one
-    * range-partitioned sort; rows only carry (id, weight) through it. */
+    * within `budgetTokens`.
+    *
+    * The running sum is a DISTRIBUTED two-pass prefix sum, not a global
+    * window: `Window.orderBy` with no partition key would move EVERY row to
+    * one task (Spark's AllTuples distribution — the single-partition stall
+    * this file's scale rules forbid). Pass 1 range-partitions on the order
+    * key and takes per-partition running sums; pass 2 adds the cumulative
+    * totals of the preceding partitions (a ≤numPartitions-row collect).
+    * The order key (q desc, id) is total, so the result is identical to
+    * the global window regardless of the sampled range boundaries. */
   def tokenBudget(df: DataFrame, idCol: String, weight: Column,
                   qualityDesc: Column, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("w", weight.cast("long"))
-      .withColumn("q", qualityDesc)
-      .withColumn("cum_tokens", sum(col("w")).over(
-        Window.orderBy(desc("q"), col(idCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keyed = df.withColumn("w", weight.cast("long")).withColumn("q", qualityDesc)
+    val parts = math.max(1, keyed.sparkSession.sparkContext.defaultParallelism)
+    val ranged = keyed.repartitionByRange(parts, desc("q"), col(idCol))
+      .sortWithinPartitions(desc("q"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = ranged.withColumn("_local", sum(col("w")).over(
+      Window.partitionBy(col("_pid")).orderBy(desc("q"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy(col("_pid")).agg(max(col("_local")).as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      val pids = totals.keys.toSeq.sorted
+      pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).dropRight(1)).toMap
+    }
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
+    local.withColumn("cum_tokens", col("_local") + offsetExpr)
       .filter(col("cum_tokens") <= budgetTokens)
+      .drop("_pid", "_local")
   }
 
   /** Exact greedy sequence packing: within each group (ordered by
@@ -766,6 +813,12 @@ object TrainingData {
         words = words.withColumn("w",
           org.apache.spark.sql.functions.replace(col("w"),
             lit(Us + l + Us + Us + r + Us), lit(Us + l + r + Us)))
+          // checkpoint each round: an unbroken withColumn chain would make
+          // round k REPLAY all k-1 prior replaces from the cached base
+          // (O(numMerges²) string rewrites) and grow the analyzed plan
+          // without bound — the word table is the small distinct-word set,
+          // so one materialization per round is the cheap side of that trade
+          .localCheckpoint()
         rank += 1
       }
     }
@@ -864,8 +917,11 @@ object TrainingData {
                 merges: Seq[(String, String)]): DataFrame = {
     val rep = (src: Column, search: Column, to: Column) =>
       org.apache.spark.sql.functions.replace(src, search, to)
+    // coalesce: NULL text must take the norm === "" zero-count branch, not
+    // propagate NULL counts (when(NULL === "") is NULL → otherwise-branch)
     val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " "), "\\s+", " "))
+      regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[\\x00-\\x1F]", " "), "\\s+", " "))
     val s0 = regexp_replace(norm, "(?s)(.)", Us + "$1" + Us)
     val sm = merges.foldLeft(s0) { case (acc, (l, r)) =>
       rep(acc, lit(Us + l + Us + Us + r + Us), lit(Us + l + r + Us))
@@ -1123,7 +1179,15 @@ object TrainingData {
     * weight division (`q_lm_score`'s convention — engines agree on libm ln
     * at that granularity), and the division is INTEGER (`div`/`//`), so the
     * race key `pri = (qln·10^6) div w` is a bigint both engines compute
-    * identically; ties break on (fingerprint, id). Weights must be ≥ 1
+    * identically; ties break on (weight DESC, fingerprint, id). The weight
+    * tiebreak is load-bearing, not cosmetic: quantization collapses the
+    * top ~e^(−1e-4) slice of u-space (≈1e-4 of rows) to pri = 0, where a
+    * fingerprint-only tiebreak would race WEIGHT-BLIND — at corpus scale
+    * (k ≪ n·1e-4) the whole sample would degenerate to uniform-in-band.
+    * Within a band the exact A-ES arrival qln_true/w is stochastically
+    * smaller for larger w, so weight-descending is the maximum-likelihood
+    * within-band order; the residual deviation from exact A-ES is bounded
+    * by the band width (1e-4 in −ln u). Weights must be ≥ 1
     * (rows with null/non-positive weight are dropped, documented).
     *
     * Scale shape: the sort-limit compiles to TakeOrderedAndProject — an
@@ -1141,7 +1205,7 @@ object TrainingData {
         log((col("bucket") + 1L).cast("double") / lit(1000000.0))
           * lit(-10000.0)).cast("long"))
       .withColumn("pri", expr("(qln * 1000000) div w"))
-      .orderBy(col("pri"), col("fp"), col(idCol))
+      .orderBy(col("pri"), desc("w"), col("fp"), col(idCol))
       .limit(k)
   }
 }

@@ -170,8 +170,8 @@ class TrainingDataSpec extends AnyFunSuite {
       val fp = fps(id)
       val bucket = ((fp % 1000000L) + 1000000L) % 1000000L
       val qln = math.floor(math.log((bucket + 1).toDouble / 1000000.0) * -10000.0).toLong
-      (qln * 1000000L / w, fp, id)
-    }.sorted.take(60).map { case (pri, _, id) => (id, pri) }
+      (qln * 1000000L / w, -w, fp, id)
+    }.sorted.take(60).map { case (pri, _, _, id) => (id, pri) }
     assert(got.sortBy(_._2).map(_._1).toSeq == naive.map(_._1).toSeq)
     assert(got.toMap == naive.toMap)
     // partition invariance
@@ -185,8 +185,8 @@ class TrainingDataSpec extends AnyFunSuite {
       val fp = fps(id)
       val bucket = ((fp % 1000000L) + 1000000L) % 1000000L
       val qln = math.floor(math.log((bucket + 1).toDouble / 1000000.0) * -10000.0).toLong
-      (qln * 1000000L / 7L, fp, id)
-    }.sorted.take(40).map(_._3).toSet
+      (qln * 1000000L / 7L, -7L, fp, id)
+    }.sorted.take(40).map(_._4).toSet
     assert(eq.map(_._1).toSet == eqNaive)
     assert(eq.map(_._2).min > 800000L) // winners are all large-u rows
     // heavier rows win more often: duplicate the race with weight 1 vs 500
@@ -268,6 +268,32 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("temperatureSample: NULL strata sample like any other stratum (null-safe join)") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i < 200) null.asInstanceOf[String] else "en"))
+    val out = TrainingData.temperatureSample(rows.toDF("doc_id", "lang"),
+      "doc_id", "lang", topRatePpm = 500000L)
+      .select("doc_id", "lang").as[(Long, Option[String])].collect()
+    // the (larger) null stratum must appear in the output, at the top rate's
+    // scaled-down share, not silently vanish
+    val nullKept = out.count(_._2.isEmpty)
+    assert(nullKept > 0, "null-stratum rows dropped")
+    // rates: null stratum is n_max (200) → rate 0.5; en gets 0.5*sqrt(200/100)
+    assert(out.count(_._2.contains("en")) > 0)
+  }
+
+  test("ngramLmScore: idCol named 'id' and NULL text both work") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, null.asInstanceOf[String]), (3L, "a b"))
+      .toDF("id", "text")
+    val out = TrainingData.ngramLmScore(df, "id", "text", topVocab = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 3)
+    assert(out(2L) == ((0L, 0L))) // null text: zero positions, zero sum
+    assert(out(1L)._1 == 2L) // "a b a": two bigram positions
   }
 
   test("ngramJaccardPairs == brute force at boundary thresholds (t·|s| integral, t = 1.0)") {
