@@ -14,21 +14,36 @@ import graft.expressions.VectorExpressions.{centroid_argmax, float_cosine, hyper
   *
   * Scale path: IVF-style LSH bucketing — corpus pre-bucketed by random
   * hyperplane signs; queries probe only matching buckets (optionally with
-  * multi-probe by flipping bits). Recall/latency traded via `bits`. */
+  * multi-probe by flipping bits). Recall/latency traded via `bits`.
+  *
+  * Null hygiene (uniform across all four operators): rows with a null id or
+  * null vector are dropped on BOTH sides at entry — a null vector carries no
+  * geometry, and emitting k null-scored "neighbors" for it (or silently
+  * dropping it from one operator but not another) would poison downstream
+  * ppm scoring. */
 object SimilaritySearch {
 
-  /** Brute-force exact top-k per query. `queries`/`corpus`: (id, vec). */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
-    val scored = broadcast(q).crossJoin(c)
-      .withColumn("score", float_cosine(col("qv"), col("cv")))
-      .filter(col("query_id") =!= col("corpus_id"))
+  /** Entry hygiene shared by every operator: (id, vec) with nulls dropped. */
+  private def valid(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    df.filter(col("id").isNotNull && col("vec").isNotNull)
+      .select(col("id").as(idAs), col("vec").as(vecAs))
+
+  /** Shared exact-cosine re-rank tail: per-query top-k with the
+    * (score desc, corpus_id) tie order every oracle replays. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(desc("score"), col("corpus_id"))))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+
+  /** Brute-force exact top-k per query. `queries`/`corpus`: (id, vec). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = valid(queries, "query_id", "qv")
+    val c = valid(corpus, "corpus_id", "cv")
+    topKByScore(broadcast(q).crossJoin(c)
+      .withColumn("score", float_cosine(col("qv"), col("cv")))
+      .filter(col("query_id") =!= col("corpus_id")), k)
   }
 
   /** LSH-bucketed ANN with MULTI-PROBE: the corpus is bucketed once; each
@@ -40,24 +55,24 @@ object SimilaritySearch {
     * measured in DedupRecallSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bits: Int = 6, probeHamming: Int = 1): DataFrame = {
+    // the mask enumeration below is 2^bits driver-side work, and past ~20
+    // bits the buckets are so fine that recall collapses anyway — fail loud
+    // rather than hang the driver (or, at bits = 64, silently lose
+    // multi-probe to the 1L << 64 == 1 shift wraparound)
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
     // all bit masks with popcount <= probeHamming (identity mask included)
     val masks: Seq[Long] = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val q = valid(queries, "query_id", "qv")
       .withColumn("bucket0", hyperplane_bucket(col("qv"), bits, dim))
       .withColumn("bucket", explode(array(masks.map(m =>
         col("bucket0").bitwiseXOR(lit(m))): _*)))
       .drop("bucket0")
-    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+    val c = valid(corpus, "corpus_id", "cv")
       .withColumn("bucket", hyperplane_bucket(col("cv"), bits, dim))
-    broadcast(q).join(c, "bucket")
+    topKByScore(broadcast(q).join(c, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", float_cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(desc("score"), col("corpus_id"))))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+      .withColumn("score", float_cosine(col("qv"), col("cv"))), k)
   }
 
   /** Int8-quantized brute-force top-k: both sides symmetric-quantized
@@ -68,18 +83,13 @@ object SimilaritySearch {
     * float path is bounded and measured in DedupRecallSpec. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import graft.expressions.VectorExpressions.{byte_cosine, quantize_int8}
-    val q = queries.select(col("id").as("query_id"),
-      quantize_int8(col("vec")).as("qq"))
-    val c = corpus.select(col("id").as("corpus_id"),
-      quantize_int8(col("vec")).as("cq"))
-    broadcast(q).crossJoin(c)
+    val q = valid(queries, "query_id", "qv")
+      .select(col("query_id"), quantize_int8(col("qv")).as("qq"))
+    val c = valid(corpus, "corpus_id", "cv")
+      .select(col("corpus_id"), quantize_int8(col("cv")).as("cq"))
+    topKByScore(broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", byte_cosine(col("qq"), col("cq")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(desc("score"), col("corpus_id"))))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+      .withColumn("score", byte_cosine(col("qq"), col("cq"))), k)
   }
 
   /** Deterministic IVF centroid training. Seeds = the `nlist` corpus vectors
@@ -90,52 +100,80 @@ object SimilaritySearch {
     * per-partition partial (sum, count) accumulators are merged on the
     * driver (nlist × dim doubles — the classic tiny-model combiner pattern,
     * exactly how Spark ML's KMeans iterates at scale). Empty lists keep
-    * their previous centroid. */
+    * their previous centroid. The filtered corpus is persisted for the
+    * duration (seed scan + one scan per Lloyd round would otherwise
+    * re-evaluate the input lineage each time).
+    *
+    * Known limitation (documented, recall-gated): seeds are NOT deduplicated
+    * by vector, so exact-duplicate embeddings can seed identical centroids
+    * whose lists stay empty (argmax ties keep the lowest index) — on a
+    * dup-heavy corpus that wastes probe slots. The recall gates in
+    * DedupRecallSpec measure the net effect; dedup the corpus first
+    * ([[Dedup.exact]]) when duplicates dominate. */
   def trainIvfCentroids(corpus: DataFrame, nlist: Int,
                         lloydIters: Int = 0): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.filter(col("vec").isNotNull) // null vectors carry no geometry
-    var centroids: Array[Array[Float]] = vecs
-      .withColumn("fp", fingerprint64(col("id").cast("string")))
-      .orderBy(col("fp"), col("id")).limit(nlist)
-      .select(col("vec")).as[Array[Float]].collect()
-    require(centroids.nonEmpty, "corpus smaller than nlist")
-    val dim = centroids.head.length
-    var iter = 0
-    while (iter < lloydIters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val partials = vecs.select(col("vec")).as[Array[Float]]
-        .mapPartitions { it =>
-          val cents = bc.value
-          val sums = Array.ofDim[Double](cents.length, dim)
-          val counts = new Array[Long](cents.length)
-          it.foreach { v =>
-            val c = graft.expressions.VectorExpressions.CentroidArgmax.compute(
-              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), cents)
+    // null ids would SORT FIRST under the fp ranking (fingerprint of null is
+    // null), hijacking the seed sample with rows that can never be results
+    val vecs = corpus.filter(col("id").isNotNull && col("vec").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Float]] = vecs
+        .withColumn("fp", fingerprint64(col("id").cast("string")))
+        .orderBy(col("fp"), col("id")).limit(nlist)
+        .select(col("vec")).as[Array[Float]].collect()
+      require(centroids.nonEmpty,
+        "corpus has no rows with non-null (id, vec) — nothing to seed from")
+      val dim = centroids.head.length
+      var iter = 0
+      while (iter < lloydIters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val partials = vecs.select(col("vec")).as[Array[Float]]
+          .mapPartitions { it =>
+            val cents = bc.value
+            val sums = Array.ofDim[Double](cents.length, dim)
+            val counts = new Array[Long](cents.length)
+            it.foreach { v =>
+              val c = graft.expressions.VectorExpressions.CentroidArgmax.compute(
+                org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), cents)
+              var i = 0
+              while (i < math.min(v.length, dim)) { sums(c)(i) += v(i); i += 1 }
+              counts(c) += 1
+            }
+            Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+          }.collect()
+        // single accumulation pass over the partials: per-(centroid, dim)
+        // collection traversals would churn P·nlist·dim boxed doubles
+        val accSums = Array.ofDim[Double](centroids.length, dim)
+        val accCounts = new Array[Long](centroids.length)
+        partials.foreach { case (ps, pc) =>
+          var c = 0
+          while (c < centroids.length) {
+            accCounts(c) += pc(c)
+            val row = ps(c)
             var i = 0
-            while (i < math.min(v.length, dim)) { sums(c)(i) += v(i); i += 1 }
-            counts(c) += 1
+            while (i < dim) { accSums(c)(i) += row(i); i += 1 }
+            c += 1
           }
-          Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
-        }.collect()
-      centroids = Array.tabulate(centroids.length) { c =>
-        val total = partials.map(_._2(c)).sum
-        if (total == 0) centroids(c)
-        else {
-          val merged = new Array[Float](dim)
-          var i = 0
-          while (i < dim) {
-            merged(i) = (partials.map(_._1(c)(i)).sum / total).toFloat
-            i += 1
-          }
-          merged
         }
+        centroids = Array.tabulate(centroids.length) { c =>
+          if (accCounts(c) == 0) centroids(c)
+          else {
+            val merged = new Array[Float](dim)
+            var i = 0
+            while (i < dim) {
+              merged(i) = (accSums(c)(i) / accCounts(c)).toFloat
+              i += 1
+            }
+            merged
+          }
+        }
+        bc.destroy()
+        iter += 1
       }
-      bc.destroy()
-      iter += 1
-    }
-    centroids
+      centroids
+    } finally { vecs.unpersist(); () }
   }
 
   /** IVF ANN: corpus assigned once to its max-cosine centroid in a single
@@ -152,22 +190,17 @@ object SimilaritySearch {
     val centDf = spark.createDataFrame(
       centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     ).toDF("cluster", "centv")
-    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+    val c = valid(corpus, "corpus_id", "cv")
       .withColumn("cluster", centroid_argmax(col("cv"), centroids))
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val q = valid(queries, "query_id", "qv")
       .crossJoin(broadcast(centDf))
       .withColumn("cscore", float_cosine(col("qv"), col("centv")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cscore"), col("cluster"))))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster"))
-    broadcast(q).join(c, "cluster")
+    topKByScore(broadcast(q).join(c, "cluster")
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", float_cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(desc("score"), col("corpus_id"))))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("score"), col("rn"))
+      .withColumn("score", float_cosine(col("qv"), col("cv"))), k)
   }
 }

@@ -375,6 +375,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("ANN operators drop null-id/null-vec rows uniformly (no null-scored neighbors)") {
+    import spark.implicits._
+    val S = graft.operators.SimilaritySearch
+    def vec(seed: Int): Array[Float] = Array.tabulate(8)(i => (seed * 31 + i).toFloat)
+    val corpus = ((0L until 20L).map(i => (i, vec(i.toInt))) ++
+      Seq((90L, null.asInstanceOf[Array[Float]]))).toDF("id", "vec")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], vec(7)))
+        .toDF("id", "vec"))
+    val queries = Seq((100L, vec(3)), (101L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    val results = Seq(
+      S.bruteForceTopK(queries, corpus, 3),
+      S.quantizedTopK(queries, corpus, 3),
+      S.lshTopK(queries, corpus, 3, dim = 8, bits = 2, probeHamming = 2),
+      S.ivfTopK(queries, corpus, 3, nlist = 4, nprobe = 4))
+    results.foreach { r =>
+      val rows = r.collect()
+      assert(rows.forall(_.getLong(0) == 100L), "null-vec query leaked")
+      assert(rows.forall(!_.isNullAt(2)), "null score leaked")
+      assert(rows.forall(_.getLong(1) < 90L), "null-vec/null-id corpus row leaked")
+    }
+    intercept[IllegalArgumentException] {
+      S.lshTopK(queries, corpus, 3, dim = 8, bits = 32)
+    }
+  }
+
   test("topic matchers tolerate null-text docs (≡ empty doc, no NPE)") {
     import spark.implicits._
     val left = Seq((0L, "pasta sauce tomato"), (1L, null.asInstanceOf[String]))
