@@ -3486,7 +3486,9 @@ FROM e$BpeMerges""",
       s"""WITH wf0 AS (
             SELECT conv_id, turn_idx, role, tool, ts,
               (text IS NULL) AS tnull,
-              (text IS NULL OR trim(text) = '') AS is_empty,
+              (text IS NULL OR trim(text, ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)) = '') AS is_empty,
+              (ts IS NULL) AS ts_null,
+              (turn_idx IS NULL) AS idx_null,
               list_reduce(list_prepend(0::HUGEINT,
                 list_transform(regexp_extract_all(coalesce(text, ''), '(?s).'),
                   c -> ord(c)::HUGEINT)),
@@ -3494,7 +3496,7 @@ FROM e$BpeMerges""",
             FROM read_parquet('$FixtureDir/messy60/*.parquet')),
           ${Osql.mixCtes("wf", "x")},
           st AS (
-            SELECT conv_id, turn_idx, role, tool, ts, is_empty,
+            SELECT conv_id, turn_idx, role, tool, ts, is_empty, ts_null, idx_null,
               lag(role) OVER w AS prev_role,
               lag(tool) OVER w AS prev_tool,
               lag(ts) OVER w AS prev_ts
@@ -3517,11 +3519,13 @@ FROM e$BpeMerges""",
                 THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions,
               CAST(SUM(CASE WHEN role = 'tool'
                 AND (prev_tool IS NULL OR prev_tool = '')
-                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool_turns
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool_turns,
+              CAST(SUM(CASE WHEN ts_null THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+              CAST(SUM(CASE WHEN idx_null THEN 1 ELSE 0 END) AS BIGINT) AS null_idx
             FROM st GROUP BY conv_id)
           SELECT *, (dup_idx = 0 AND idx_gaps = 0 AND min_idx = 0
             AND empty_turns = 0 AND role_repeats = 0 AND ts_regressions = 0
-            AND orphan_tool_turns = 0) AS well_formed
+            AND orphan_tool_turns = 0 AND null_ts = 0 AND null_idx = 0) AS well_formed
           FROM agg""",
 
     // repair replica: same keep-min struct dedup (field-lexicographic,
@@ -3533,7 +3537,8 @@ FROM e$BpeMerges""",
                 ORDER BY ts NULLS FIRST, text NULLS FIRST, role NULLS FIRST,
                   tool NULLS FIRST) AS dup_rn
             FROM read_parquet('$FixtureDir/messy60/*.parquet')
-            WHERE text IS NOT NULL AND trim(text) <> ''),
+            WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)) <> ''
+              AND turn_idx IS NOT NULL),
           rs AS (SELECT conv_id, orig_turn_idx, role, text, ts,
               row_number() OVER (PARTITION BY conv_id
                 ORDER BY orig_turn_idx, ts NULLS FIRST, text) - 1 AS turn_idx

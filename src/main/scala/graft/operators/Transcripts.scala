@@ -30,6 +30,10 @@ object Transcripts {
     *  - `ts_regressions` adjacent turns with a backwards timestamp
     *  - `orphan_tool_turns` role='tool' turns not preceded by a tool call
     *    (previous turn's `tool` column null/empty)
+    *  - `null_ts` / `null_idx` null timestamps / turn indexes — counted as
+    *    their own violations because nulls MASK the adjacent-pair checks
+    *    (a regression straddling a null ts compares to null → uncounted)
+    *    and a null idx would otherwise misreport as a duplicate index
     *
     * Adjacent-pair checks order by (turn_idx, fingerprint64(text),
     * text-is-null, role, tool, ts) so duplicate indexes still compare
@@ -52,7 +56,10 @@ object Transcripts {
         graft.expressions.TextHashExpressions.fingerprint64(
           coalesce(col("text"), lit(""))).as("fp"),
         col("text").isNull.as("tnull"),
-        (col("text").isNull || trim(col("text")) === "").as("is_empty"))
+        (col("text").isNull ||
+          trim(col("text"), " \t\r\n\u000B\f") === "").as("is_empty"),
+        col("ts").isNull.as("ts_null"),
+        col("turn_idx").isNull.as("idx_null"))
       .withColumn("prev_role", lag(col("role"), 1).over(w))
       .withColumn("prev_tool", lag(col("tool"), 1).over(w))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -70,16 +77,22 @@ object Transcripts {
         .as("ts_regressions"),
       cnt(col("role") === "tool" &&
           (col("prev_tool").isNull || col("prev_tool") === ""))
-        .as("orphan_tool_turns"))
+        .as("orphan_tool_turns"),
+      cnt(col("ts_null")).as("null_ts"),
+      cnt(col("idx_null")).as("null_idx"))
       .withColumn("well_formed",
         col("dup_idx") === 0L && col("idx_gaps") === 0L &&
           col("min_idx") === 0L && col("empty_turns") === 0L &&
           col("role_repeats") === 0L && col("ts_regressions") === 0L &&
-          col("orphan_tool_turns") === 0L)
+          col("orphan_tool_turns") === 0L &&
+          col("null_ts") === 0L && col("null_idx") === 0L)
   }
 
-  /** The repair side of [[wellFormed]]: normalize a messy transcript table
-    * into the shape the extraction pipeline assumes —
+  /** The repair side of [[wellFormed]] — repairs the INDEX/BLANK/NULL-IDX
+    * violation classes (dropping blank turns can itself surface adjacent
+    * same-role turns, and keep-min dedup can surface ts regressions the
+    * duplicate was hiding: re-run [[wellFormed]] on the output when the
+    * role/ts classes matter) —
     *  1. drop null/blank turns,
     *  2. resolve duplicate (conv_id, turn_idx) pairs deterministically
     *     (keep the struct-min by (ts, text, role) — a partial-aggregatable
@@ -91,7 +104,11 @@ object Transcripts {
     * for lineage. */
   def repair(df: DataFrame): DataFrame = {
     val kept = df
-      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .filter(col("text").isNotNull &&
+        trim(col("text"), " \t\r\n\u000B\f") =!= "")
+      // a null turn_idx is an unknowable position: dropping it is the only
+      // repair that cannot invent an ordering (and wellFormed counts it)
+      .filter(col("turn_idx").isNotNull)
       .groupBy(col("conv_id"), col("turn_idx"))
       .agg(min(struct(col("ts"), col("text"), col("role"), col("tool"))).as("t"))
       .select(col("conv_id"), col("turn_idx").as("orig_turn_idx"),
@@ -121,6 +138,8 @@ object Transcripts {
     * scan. Family keys are (depth, chain-hash), so the candidate space never
     * pairs conversations — no quadratic blocking anywhere. */
   def branchPrefixes(df: DataFrame, minSiblings: Int = 2): DataFrame = {
+    require(minSiblings >= 2,
+      s"minSiblings must be >= 2 (1 would flag every conversation as its own full-depth family), got $minSiblings")
     val turnHash = TextHashExpressions.fingerprint64(
       concat(coalesce(col("role"), lit("")), lit("\u001F"),
         coalesce(col("text"), lit(""))))
@@ -137,6 +156,7 @@ object Transcripts {
     // in the physical plan). Disk-backed: chain rows are ~24 B + conv_id,
     // far smaller than re-scanning the text table at 10^12 turns.
     chains.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // family sizes as a partial-combining hash-agg, NOT a count-over-window:
     // a window would buffer each (depth, pref) partition whole, and depth-1
     // families are skew magnets (every conversation opening with the same
@@ -163,7 +183,7 @@ object Transcripts {
     // checkpointed blocks are reclaimed by the ContextCleaner once the
     // caller drops the returned frame.
     val outCp = out.localCheckpoint()
-    chains.unpersist()
     outCp
+    } finally { chains.unpersist(); () }
   }
 }

@@ -30,11 +30,39 @@ class TranscriptsSpec extends AnyFunSuite {
       Turn("bad", 5, "tool", "orphan", null, ts(13))  // prev turn has no tool
     )
     val got = Transcripts.wellFormed(rows.toDF())
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
       .collect().map(r => r._1 -> r).toMap
-    assert(got("ok") == (("ok", 4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, true)))
-    //                 conv  n  dup gap min empty rr  tsr orph  wf
-    assert(got("bad") == (("bad", 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, false)))
+    assert(got("ok") == (("ok", 4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, true)))
+    //                 conv  n  dup gap min empty rr  tsr orph nts nidx wf
+    assert(got("bad") == (("bad", 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, false)))
+  }
+
+  test("wellFormed: null ts and null turn_idx are their own violations, not masked") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    // a ts regression STRADDLING a null ts would count 0 regressions —
+    // the null_ts counter is what keeps the conversation flagged
+    val rows = Seq(
+      Row("nt", 0, "user", "a", null, ts(10)),
+      Row("nt", 1, "assistant", "b", null, null),
+      Row("nt", 2, "user", "c", null, ts(5)),
+      Row("ni", null, "user", "x", null, ts(0)),
+      Row("ni", 0, "assistant", "y", null, ts(1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Transcripts.wellFormed(df)
+      .select("conv_id", "null_ts", "null_idx", "well_formed")
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("nt") == (("nt", 1L, 0L, false)))
+    assert(got("ni")._3 == 1L && !got("ni")._4)
+    // repair drops the unknowable-position null-idx turn
+    val rep = Transcripts.repair(df.filter(org.apache.spark.sql.functions.col("conv_id") === "ni"))
+      .select("text").as[String].collect().toSet
+    assert(rep == Set("y"))
   }
 
   test("wellFormed: NULL-text vs ''-text duplicates order deterministically (total tie key)") {
@@ -46,13 +74,13 @@ class TranscriptsSpec extends AnyFunSuite {
       Turn("nn", 1, "assistant", null, null, ts(5)),
       Turn("nn", 1, "assistant", "", null, ts(3)))
     def run(parts: Int) = Transcripts.wellFormed(rows.toDF().repartition(parts))
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
       .collect().head
     val one = run(1)
     assert(one == run(7)) // partition invariance
     // pinned order is ('' ts3) then (NULL ts5): monotone → 0 regressions;
     // the flipped order would count 1
-    assert(one == (("nn", 3L, 1L, 0L, 0L, 2L, 1L, 0L, 0L, false)))
+    assert(one == (("nn", 3L, 1L, 0L, 0L, 2L, 1L, 0L, 0L, 0L, 0L, false)))
   }
 
   test("repair: blanks dropped, dup idx resolved keep-min, contiguous re-sequencing") {
