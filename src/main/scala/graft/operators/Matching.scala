@@ -24,13 +24,16 @@ object Matching {
     left.crossJoin(broadcast(right)).withColumn("score", score)
 
   /** J2: best match per left row (argmax); ties broken by `tieBreak` so the
-    * result is deterministic across engines and partitionings. Threshold
-    * below → null-match left-outer flavor (Sequence matcher.py:30-43). */
+    * result is deterministic across engines and partitionings. A threshold
+    * FILTERS below-threshold winners out of the result entirely; for the
+    * reference's left-outer flavor — every left row kept, match columns
+    * nulled below threshold (Sequence matcher.py:30-43) — use
+    * [[bestMatchNullBelow]]. `pairs` must not already carry an `rn` column
+    * (it is this operator's rank scratch — e.g. [[topKPerKey]] output keeps
+    * one; drop it first). */
   def bestMatch(pairs: DataFrame, leftKey: Column, tieBreak: Column,
                 threshold: Option[Double] = None): DataFrame = {
-    val w = Window.partitionBy(leftKey).orderBy(desc("score"), tieBreak)
-    val best = pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val best = topKPerKey(pairs, leftKey, 1, tieBreak).drop("rn")
     threshold match {
       case Some(t) => best.filter(col("score") > t)
       case None => best
@@ -38,13 +41,18 @@ object Matching {
   }
 
   /** J4/J5: top-k per key (Top2_Matches.py:42, Top5_Albert.py:64). */
-  def topKPerKey(pairs: DataFrame, key: Column, k: Int, tieBreak: Column): DataFrame =
+  def topKPerKey(pairs: DataFrame, key: Column, k: Int, tieBreak: Column): DataFrame = {
+    require(!pairs.columns.contains("rn"),
+      "input already carries an 'rn' column (a prior topKPerKey rank?) — it would be silently clobbered; drop or rename it first")
     pairs.withColumn("rn",
         row_number().over(Window.partitionBy(key).orderBy(desc("score"), tieBreak)))
       .filter(col("rn") <= k)
+  }
 
-  /** J2 null-below-threshold flavor (bestmatch.py:19-44): EVERY left row is
-    * emitted; the argmax match columns are nulled when the best score fails
+  /** J2 null-below-threshold flavor (bestmatch.py:19-44): every left row
+    * PRESENT IN `pairs` is emitted (a left key with zero candidate pairs has
+    * nothing to rank — build `pairs` with a left-outer cross if absent lefts
+    * must surface); the argmax match columns are nulled when the best score fails
     * the strict `score > threshold` test — the reference's
     * `if best_match and max_similarity > 0.8 ... else (rule, None, None)`
     * shape. Ties keep the first control in file order (`tieBreak` asc),
@@ -59,9 +67,12 @@ object Matching {
     }.withColumn("score", when(col("score") > threshold, col("score")))
   }
 
-  /** J8: scalar-query scored scan — broadcast literal vs every row. */
-  def queryScan(df: DataFrame, score: Column): DataFrame =
-    df.withColumn("score", score).orderBy(desc("score"))
+  /** J8: scalar-query scored scan — broadcast literal vs every row.
+    * `tieBreak` pins the order among equal scores (quantized scorers tie
+    * often); default preserves the historical score-only sort. */
+  def queryScan(df: DataFrame, score: Column,
+                tieBreak: Seq[Column] = Nil): DataFrame =
+    df.withColumn("score", score).orderBy(desc("score") +: tieBreak: _*)
 
   /** Salted equi-join for skewed keys — the remedy `Diagnostics.keySkewProfile`
     * decides on. A plain shuffle join on a hot key (one monster conversation,
@@ -78,6 +89,10 @@ object Matching {
     * side's shuffle bytes. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, uniqueCol: Column): DataFrame = {
+    require(saltFactor >= 1,
+      s"saltFactor must be >= 1, got $saltFactor (0 is an ANSI DIVIDE_BY_ZERO mid-job; negatives replicate with unreachable salts)")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "'_salt' is this operator's scratch column — rename the caller's column")
     // coalesce: a null uniqueCol (fingerprint64(null) → null salt) would
     // silently DROP the row from the equi-join, breaking the plain-join
     // output contract; salt 0 keeps it (merely unsalted)
