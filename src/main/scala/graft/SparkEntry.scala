@@ -2682,14 +2682,14 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
       s"""WITH t AS (
             SELECT conv_id, turn_idx, role, text,
               CAST(COALESCE(SUM(LENGTH(text) + 1) OVER (
-                PARTITION BY conv_id ORDER BY turn_idx
+                PARTITION BY conv_id ORDER BY turn_idx, text
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                 AS start_off
             FROM read_parquet('$FixtureDir/fsmrec60/*.parquet')
             WHERE text IS NOT NULL)
           SELECT conv_id, turn_idx, start_off,
             start_off + LENGTH(text) AS end_off,
-            role = 'assistant' AS loss
+            COALESCE(role = 'assistant', FALSE) AS loss
           FROM t""",
     "q_conv_neardup" ->
       s"""WITH t AS (

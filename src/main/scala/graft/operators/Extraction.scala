@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Dataset, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -13,9 +12,10 @@ import graft.core._
   * `Dataset[TurnResult]`.
   *
   * Scale design:
-  *  - ONE shuffle total; the sort rides the shuffle (sortWithinPartitions on
-  *    the DF plane, repartitionAndSortWithinPartitions on the skew-aware
-  *    plane) — no extra exchange for ordering.
+  *  - ONE data shuffle total; the sort rides the shuffle
+  *    (sortWithinPartitions after the repartition) — no extra exchange for
+  *    ordering. The skew-aware plane adds a count pre-pass and a broadcast
+  *    of the monster-id table, neither of which moves turn text.
   *  - A conversation NEVER splits across tasks (FSM state is sequential);
   *    skew from heavy-tail conversation lengths is handled by routing each
   *    "monster" conversation to its own dedicated partition while normal
@@ -61,11 +61,14 @@ object Extraction {
   private def parsePartition(cfg: Config)(it: Iterator[TurnSlim]): Iterator[TurnResult] =
     groupedByConv(it).flatMap { case (cid, ts) =>
       // null text ≡ empty page (defined degradation: real transcript tables
-      // carry NULL cells; the FSM must not NPE mid-job on one of them)
-      val nonNull = ts.map(t => if (t.text == null) t.copy(text = "") else t)
-      val cleaned =
-        if (cfg.stripHtml) nonNull.map(t => t.copy(text = Boilerplate.stripHtml(t.text)))
-        else nonNull
+      // carry NULL cells; the FSM must not NPE mid-job on one of them).
+      // ONE fused copy: a monster conversation must never hold 2-3 transient
+      // copies of itself (the per-task memory bound is the largest conv)
+      val cleaned = ts.map { t =>
+        val raw = if (t.text == null) "" else t.text
+        val txt = if (cfg.stripHtml) Boilerplate.stripHtml(raw) else raw
+        if (txt eq t.text) t else t.copy(text = txt)
+      }
       ConvParser.parse(cid, cleaned)
     }
 
@@ -75,8 +78,10 @@ object Extraction {
   def groupedForProfiling(it: Iterator[TurnSlim]): Iterator[(String, IndexedSeq[TurnSlim])] =
     groupedByConv(it)
 
-  /** Default path: declarative exchange — Catalyst plans the shuffle, AQE can
-    * coalesce; the FSM is the single non-codegen stage in the middle. */
+  /** Default path: declarative exchange on conv_id; the FSM is the single
+    * non-codegen stage in the middle. The partition count is EXPLICIT
+    * (cfg.numPartitions) — AQE does not coalesce a user-specified
+    * repartition, so size it for the target scale. */
   def extract(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -93,14 +98,19 @@ object Extraction {
     * conversation), then ONE range exchange routes turns: every monster
     * conversation gets its own partition id at the top of the key space,
     * normal conversations hash into the remainder. `repartitionByRange` on
-    * the dense integer key gives identity placement while staying on the
-    * DataFrame plane (Tungsten UnsafeRow shuffle — no Java serialization),
-    * and the within-partition sort rides `sortWithinPartitions`. */
+    * the dense integer key stays on the DataFrame plane (Tungsten UnsafeRow
+    * shuffle — no Java serialization), and the within-partition sort rides
+    * `sortWithinPartitions`. Honest caveats of the range exchange: Spark
+    * SAMPLES the child to pick bounds (one extra evaluation of the pruned
+    * projection), and sampled bounds may co-locate two adjacent monster
+    * keys in one task — equal keys always stay together (correctness
+    * holds), but isolation is best-effort, not identity placement. */
   def extractSkewAware(turns: Dataset[Turn], cfg: Config = Config()): Dataset[TurnResult] = {
     val spark = turns.sparkSession
     import spark.implicits._
 
     val monsterIds: Array[String] = turns
+      .filter(col("conv_id").isNotNull) // null convs hash normally (a null map key would NPE the driver sort)
       .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > cfg.monsterThreshold)
       .orderBy(col("n").desc, col("conv_id"))   // TakeOrderedAndProject: ≤ maxMonsters rows reach the driver
@@ -109,13 +119,19 @@ object Extraction {
 
     if (monsterIds.isEmpty) return extract(turns, cfg)
 
-    val monsterIdx = typedLit(monsterIds.zipWithIndex.toMap)
+    // monster lookup via BROADCAST HASH JOIN, not a typedLit map:
+    // GetMapValue walks the literal's key array per row (O(maxMonsters)
+    // string compares on every input row of a 10^12-turn scan)
     val normal = cfg.numPartitions
     val total = normal + monsterIds.length
-    val pkey = coalesce(monsterIdx(col("conv_id")) + normal,
+    val midx = spark.createDataFrame(
+      monsterIds.zipWithIndex.toSeq).toDF("conv_id", "_midx")
+    val pkey = coalesce(col("_midx") + normal,
       pmod(xxhash64(col("conv_id")), lit(normal)).cast("int"))
 
     turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(broadcast(midx), Seq("conv_id"), "left")
       .select(col("conv_id"), col("turn_idx"), col("text"), pkey.as("_pkey"))
       .repartitionByRange(total, col("_pkey"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
@@ -148,6 +164,8 @@ object Extraction {
   def writeBucketed(turns: Dataset[Turn], tableName: String, path: String,
                     buckets: Int): Unit = {
     val spark = turns.sparkSession
+    require(tableName.matches("[A-Za-z0-9_]+"),
+      s"tableName must be a plain identifier, got '$tableName' (it is interpolated into DDL)")
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     turns
       .repartition(buckets, col("conv_id"))
@@ -198,7 +216,10 @@ object Extraction {
     * ExtractionSpec (substring(doc, start, len) == turn text). */
   def lossMaskSpans(turns: Dataset[Turn]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    // (turn_idx, text) matches conversationDocs' array_sort struct order, so
+    // duplicate turn_idx rows accumulate offsets in the SAME peer order the
+    // doc view concatenates them in
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("text"))
       .rowsBetween(Window.unboundedPreceding, -1)
     turns.toDF
       .filter(col("text").isNotNull)
@@ -206,10 +227,9 @@ object Extraction {
         coalesce(sum(length(col("text")) + 1).over(w), lit(0L)))
       .select(col("conv_id"), col("turn_idx"), col("start_off"),
         (col("start_off") + length(col("text"))).as("end_off"),
-        (col("role") === "assistant").as("loss"))
+        coalesce(col("role") === "assistant", lit(false)).as("loss")) // null role: not a loss turn, never a null flag
   }
 
-  /** Flattened assembled-records view (the reference's CSV row table). */
   /** Batch-incremental commit: extract ONLY the newly arrived conversations
     * and delta-append their per-turn results to the snapshot table
     * (`Snapshot.append` hard-links every existing data file — metadata-only
