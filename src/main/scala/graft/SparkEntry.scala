@@ -2884,6 +2884,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
                 WHEN starts_with(magic24, '595556344D50454732') THEN 'video/x-y4m'
                 WHEN starts_with(magic24, '255044462D') THEN 'application/pdf'
                 WHEN starts_with(magic24, '3C21444F43')
+                  OR starts_with(magic24, '3C21646F63')
                   OR starts_with(magic24, '3C68746D6C')
                   OR starts_with(magic24, '3C48544D4C') THEN 'text/html'
                 ELSE 'application/octet-stream' END AS mime
@@ -4363,8 +4364,10 @@ sc AS (SELECT *, CASE WHEN width IS NULL OR height IS NULL THEN NULL
        WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
        ELSE 256::DOUBLE / greatest(width, height)::DOUBLE END AS scale FROM u)
 SELECT media_id, mime, byte_len, width, height, n_frames, sample_rate,
-  CAST(FLOOR(width::DOUBLE * scale) AS BIGINT) AS out_width,
-  CAST(FLOOR(height::DOUBLE * scale) AS BIGINT) AS out_height
+  CASE WHEN scale IS NULL THEN NULL
+    ELSE GREATEST(1, CAST(ROUND(width::DOUBLE * scale) AS BIGINT)) END AS out_width,
+  CASE WHEN scale IS NULL THEN NULL
+    ELSE GREATEST(1, CAST(ROUND(height::DOUBLE * scale) AS BIGINT)) END AS out_height
 FROM sc""",
 
     // full PNG re-decode in SQL (stored-deflate blobs): dims + exact pixel

