@@ -18,7 +18,22 @@ import graft.core.{ConvParser, TurnResult, TurnSlim}
   *
   * The reference semantics (P8 gate = LAST "Recommendations 1 " hit) are
   * prefix-dependent: results for a conversation legitimately change as later
-  * turns arrive — hence re-emit-on-update rather than append-once. */
+  * turns arrive — hence re-emit-on-update rather than append-once.
+  *
+  * State lifetime: per-conversation buffers live until evicted. The default
+  * (no timeout) matches the batch plane bit-for-bit but grows state with
+  * every conversation EVER seen — on an unbounded firehose pass
+  * `idleTimeout = Some("2 hours")` (processing-time) so conversations idle
+  * longer than that are evicted; a turn arriving after eviction restarts
+  * its conversation from empty (prefix-dependent results then reflect only
+  * the post-eviction suffix — the documented trade for bounded state).
+  *
+  * Source-duplicate rows (an upstream producer retry delivering the same
+  * turn twice) are kept, not deduplicated: the batch plane parses
+  * duplicates as-is, and stream == batch parity is the contract —
+  * dedup belongs upstream or in `Transcripts.repair`. (Spark's own
+  * checkpointed replays are NOT duplicates: a replayed micro-batch
+  * re-applies against the pre-batch state snapshot.) */
 object StreamingExtract {
 
   case class ConvBuffer(turns: List[TurnSlim])
@@ -26,22 +41,30 @@ object StreamingExtract {
   private def update(
       convId: String,
       rows: Iterator[TurnSlim],
-      state: GroupState[ConvBuffer]): Iterator[TurnResult] = {
+      state: GroupState[ConvBuffer],
+      idleTimeout: Option[String]): Iterator[TurnResult] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     // null text ≡ empty page, matching the batch planes' degradation
     val incoming = rows.map(t => if (t.text == null) t.copy(text = "") else t).toList
     val buffered = state.getOption.map(_.turns).getOrElse(Nil) ++ incoming
     state.update(ConvBuffer(buffered))
+    idleTimeout.foreach(state.setTimeoutDuration)
     ConvParser.parse(convId, buffered.sortBy(_.turn_idx).toIndexedSeq)
   }
 
   /** streamingTurns must be a streaming Dataset[TurnSlim] (e.g. from
     * readStream.parquet or MemoryStream). */
-  def extract(streamingTurns: Dataset[TurnSlim]): Dataset[TurnResult] = {
+  def extract(streamingTurns: Dataset[TurnSlim],
+              idleTimeout: Option[String] = None): Dataset[TurnResult] = {
     implicit val te: org.apache.spark.sql.Encoder[TurnResult] = Encoders.product[TurnResult]
     implicit val se: org.apache.spark.sql.Encoder[ConvBuffer] = Encoders.product[ConvBuffer]
     implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     streamingTurns
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        update(_, _, _, idleTimeout))
   }
 }

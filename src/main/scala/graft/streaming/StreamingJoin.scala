@@ -20,11 +20,19 @@ object StreamingJoin {
     * `rightTs ∈ [leftTs, leftTs + maxDelaySec]`. */
   def intervalJoin(left: DataFrame, leftTs: String, leftWm: String,
                    right: DataFrame, rightTs: String, rightWm: String,
-                   keyCond: Column, maxDelaySec: Int): DataFrame =
+                   keyCond: Column, maxDelaySec: Int): DataFrame = {
+    require(maxDelaySec >= 0,
+      s"maxDelaySec must be >= 0, got $maxDelaySec (a negative interval is unsatisfiable: the join silently emits nothing)")
+    // bare col() refs in the interval condition resolve by NAME: any shared
+    // column name across the two sides is ambiguous (or silently wrong) —
+    // pre-rename one side, as turnToolEvents does with e_conv_id/ets
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      s"left/right share column names ${left.columns.toSet.intersect(right.columns.toSet).mkString(", ")} — rename one side before the interval join")
     left.withWatermark(leftTs, leftWm)
       .join(right.withWatermark(rightTs, rightWm),
         keyCond && col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS"))
+  }
 
   /** Transcript flavor: each turn joined to the tool events of its
     * conversation arriving within `maxDelaySec` of the turn. `events` must

@@ -27,7 +27,8 @@ object StreamingMetrics {
     turns.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("role"))
       .agg(count(lit(1)).as("n_turns"),
-        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        coalesce(sum(TextFunctions.tokenCount(col("text"))), lit(0L))
+          .as("n_tokens")) // all-null-text window: 0 tokens, never a NULL metric
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("role"), col("n_turns"), col("n_tokens"))
 }

@@ -18,6 +18,19 @@ import graft.sources.Snapshot
   * idempotent-commit contract Iceberg's `commitStagedChanges` gives a
   * streaming writer.
   *
+  * Operational contract (documented, matching `Snapshot.claimManifest`'s
+  * single-writer stance):
+  *  - ONE live query per (table, tagPrefix). Batch ids are only unique
+  *    within one checkpoint lineage — resetting the checkpoint dir (or
+  *    pointing a second query at the same table) restarts ids at 0, and
+  *    the replay guard would silently discard the early batches as
+  *    "already committed". Give each checkpoint lineage its own
+  *    `tagPrefix` and the tag spaces cannot collide.
+  *  - Zombie fencing is out of scope: a stalled old driver and its
+  *    replacement can both pass the tag check before either commits (the
+  *    classic two-live-writers race). True fencing needs a coordination
+  *    service CAS on the tag, exactly as Iceberg requires of its catalog.
+  *
   * Reference grounding: the reference pipeline re-runs whole scripts and
   * overwrites its committed CSVs (`Mutiple_CIS_Pdfs.py:77-79`); this is
   * that snapshotting habit made incremental, resumable, and duplicate-free
@@ -27,8 +40,9 @@ object StreamingSnapshot {
   /** Commit one micro-batch; returns false when the batch id was already
     * committed (crash replay) and nothing was written. */
   def appendBatch(batch: DataFrame, tablePath: String, batchId: Long,
-                  chunkKey: String, numChunks: Int): Boolean = {
-    val tag = s"batch-$batchId"
+                  chunkKey: String, numChunks: Int,
+                  tagPrefix: String = "batch"): Boolean = {
+    val tag = s"$tagPrefix-$batchId"
     if (Snapshot.committedTags(tablePath).contains(tag)) false
     else {
       Snapshot.append(batch, tablePath, chunkKey, numChunks, tag = tag)
@@ -36,15 +50,36 @@ object StreamingSnapshot {
     }
   }
 
-  /** Start the sink: stream → one tagged delta snapshot per micro-batch. */
+  /** Start the sink: stream → one tagged delta snapshot per micro-batch.
+    *
+    * `outputMode` must match the upstream plan ("append" for stateless /
+    * watermark-finalized streams; "update" for `StreamingExtract`'s
+    * re-emitting flatMapGroupsWithState — note update-mode batches contain
+    * RE-EMITTED rows for updated keys, so pair them with a keyed
+    * reconciliation read, not a blind row count). Empty micro-batches are
+    * skipped — an idle 1 s-trigger stream must not mint 86k junk versions
+    * a day. The committed-tag set is loaded from the manifests ONCE and
+    * maintained in memory across batches (foreachBatch is serial within a
+    * query), so per-commit cost stays O(1) in stream age instead of
+    * re-listing every manifest per trigger. */
   def sink(stream: DataFrame, tablePath: String, checkpointDir: String,
-           chunkKey: String, numChunks: Int): StreamingQuery =
+           chunkKey: String, numChunks: Int,
+           outputMode: String = "append",
+           tagPrefix: String = "batch"): StreamingQuery = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    var loaded = false
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, tablePath, batchId, chunkKey, numChunks)
+        if (!loaded) { seen ++= Snapshot.committedTags(tablePath); loaded = true }
+        val tag = s"$tagPrefix-$batchId"
+        if (!seen.contains(tag) && !batch.isEmpty) {
+          Snapshot.append(batch, tablePath, chunkKey, numChunks, tag = tag)
+          seen += tag
+        }
         ()
       }
       .start()
+  }
 }
