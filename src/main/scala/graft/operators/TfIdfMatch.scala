@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * window group-limit for the reduction. */
 object TfIdfMatch {
 
-  private val cosineUdf = udf { (a: SparseVector, b: SparseVector) =>
+  private val dotUdf = udf { (a: SparseVector, b: SparseVector) =>
     var i = 0; var j = 0
     var dot = 0.0
     val ai = a.indices; val av = a.values
@@ -26,13 +26,21 @@ object TfIdfMatch {
       else if (ai(i) < bi(j)) i += 1
       else j += 1
     }
-    val na = math.sqrt(av.map(x => x * x).sum)
-    val nb = math.sqrt(bv.map(x => x * x).sum)
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    dot
+  }
+  private val normUdf = udf { (a: SparseVector) =>
+    var s = 0.0
+    var i = 0
+    while (i < a.values.length) { s += a.values(i) * a.values(i); i += 1 }
+    math.sqrt(s)
   }
 
   /** Exact-vocabulary TF-IDF best match — the reference's TfidfVectorizer
-    * semantics (cosine_similarity.py:19-27: token_pattern `\w\w+` lowercased,
+    * semantics (cosine_similarity.py:19-27: token_pattern `\w\w+` lowercased;
+    * NOTE the `\w` here is ASCII on both engines while sklearn's is
+    * Unicode-aware — "café" tokenizes to "caf" in this plane, a documented
+    * divergence the cross-engine oracle cannot observe because both engines
+    * share it —
     * raw tf, smooth idf ln((1+n)/(1+df))+1 fitted on the UNION of both sides,
     * l2-normalized cosine, argmax per left). Two deliberate differences from
     * the HashingTF variant below:
@@ -61,19 +69,28 @@ object TfIdfMatch {
       .groupBy(col(idc), col("term")).agg(count(lit(1)).as("tf"))
     val lt = terms(left, "left_id")
     val rt = terms(right, "right_id")
-    val n = left.count() + right.count()
+    // corpus size as a LAZY 1-row frame: two eager count() jobs would scan
+    // both (possibly expensive, uncached) inputs once more each
+    val nDf = left.agg(count(lit(1)).as("nl"))
+      .crossJoin(right.agg(count(lit(1)).as("nr")))
+      .select((col("nl") + col("nr")).as("n"))
     val idf = lt.select(col("term")).unionAll(rt.select(col("term")))
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .select(col("term"), (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+      .crossJoin(broadcast(nDf))
+      .select(col("term"), (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
     def weigh(t: DataFrame, idc: String): DataFrame = t.join(idf, "term")
       .select(col(idc), col("term"),
         floor(col("tf") * col("idf") * 10000).cast("long").as("w"))
     val lw = weigh(lt, "left_id")
     val rw = weigh(rt, "right_id")
-    val nl = lw.groupBy("left_id").agg(sum(col("w") * col("w")).as("sl"))
-    val nr = rw.groupBy("right_id").agg(sum(col("w") * col("w")).as("sr"))
+    // DECIMAL(38,0) accumulation: the oracle sums BIGINT into HUGEINT, and a
+    // long-wrapped w*w (one term repeated ~400k times) would silently turn
+    // the "exact integer" norms negative on the Spark side only
+    val wd = col("w").cast("decimal(38,0)")
+    val nl = lw.groupBy("left_id").agg(sum(wd * col("w")).as("sl"))
+    val nr = rw.groupBy("right_id").agg(sum(wd * col("w")).as("sr"))
     val dot = lw.join(rw.withColumnRenamed("w", "rw"), "term")
-      .groupBy("left_id", "right_id").agg(sum(col("w") * col("rw")).as("dot"))
+      .groupBy("left_id", "right_id").agg(sum(wd * col("rw")).as("dot"))
     val scored = dot.join(nl, "left_id").join(nr, "right_id")
       .select(col("left_id"), col("right_id"),
         floor(col("dot").cast("double") /
@@ -87,6 +104,7 @@ object TfIdfMatch {
     val fallback = left.select(col("id").as("left_id"))
       .join(best.select(col("left_id")), Seq("left_id"), "left_anti")
       .crossJoin(broadcast(right.agg(min(col("id")).as("right_id"))))
+      .filter(col("right_id").isNotNull) // empty right: emit nothing, not (left, NULL, 0)
       .withColumn("score_ppm", lit(0L))
     best.unionByName(fallback)
   }
@@ -102,20 +120,32 @@ object TfIdfMatch {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
       .setNumFeatures(numFeatures)
+    // Tokenizer splits on \s, and "".split / " x".split mint "" tokens —
+    // an all-null/empty doc would carry a REAL one-token vector and score
+    // cosine 1.0 against every other empty doc; drop empty tokens so empty
+    // docs are zero vectors (score 0, the sklearn all-zero-row behavior)
+    def toksOf(df: DataFrame): DataFrame =
+      tok.transform(df).withColumn("words",
+        filter(col("words"), w => length(w) > 0))
     // J9: vocabulary statistics fitted on the union of both sides
-    val corpus = tf.transform(tok.transform(
+    val corpus = tf.transform(toksOf(
       l.select(col("left_text").as("text")).unionByName(
         r.select(col("right_text").as("text")))))
     val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(corpus)
 
     def vectorize(df: DataFrame, textCol: String, out: String): DataFrame =
-      idf.transform(tf.transform(tok.transform(df.withColumn("text", col(textCol)))))
+      idf.transform(tf.transform(toksOf(df.withColumn("text", col(textCol)))))
         .withColumnRenamed("tfidf", out).drop("text", "words", "tf")
+        // per-row norm ONCE: recomputing both norms inside the pair UDF
+        // costs O(|L|·|R|·nnz) pure waste on the cross-join hot path
+        .withColumn(out + "_n", normUdf(col(out)))
 
     val lv = vectorize(l, "left_text", "lv")
     val rv = vectorize(r, "right_text", "rv")
     val scored = lv.crossJoin(broadcast(rv))
-      .withColumn("score", cosineUdf(col("lv"), col("rv")))
+      .withColumn("score",
+        when(col("lv_n") === 0.0 || col("rv_n") === 0.0, 0.0)
+          .otherwise(dotUdf(col("lv"), col("rv")) / (col("lv_n") * col("rv_n"))))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("left_id")).orderBy(desc("score"), col("right_id"))))
       .filter(col("rn") === 1)
@@ -147,11 +177,22 @@ object TfIdfMatch {
     * sum (the [[TrainingData.ngramLmScore]] pattern), with the float
     * operation order pinned — dl/avgdl written as (dl·N)/Σdl — so the
     * DuckDB replica lands on identical integers. */
+  /** Query terms pass through the SAME normalization as document tokens
+    * (lowercase, control chars to spaces, whitespace split, empties
+    * dropped): an un-normalized "Hash" would match nothing against the
+    * lowercased token stream and silently zero the whole ranking. */
+  private def normQueryTerms(queryTerms: Seq[String]): Seq[String] =
+    queryTerms.flatMap(t =>
+      t.toLowerCase.replaceAll("[\\x00-\\x1F]", " ").split("\\s+"))
+      .filter(_.nonEmpty)
+
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
-                 queryTerms: Seq[String],
+                 queryTerms0: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val queryTerms = normQueryTerms(queryTerms0)
     require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
-    val base = df.select(col(idCol), bm25Tokens(col(textCol)).as("toks"))
+    val base = df.filter(col(idCol).isNotNull) // null ids cannot survive the rerank join-back
+      .select(col(idCol), bm25Tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val aggs = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
@@ -187,10 +228,11 @@ object TfIdfMatch {
     * non-candidates, which is the entire point of the rerank pattern at
     * corpus scale. Final top-m touches k rows. */
   def bm25Rerank(df: DataFrame, idCol: String, textCol: String,
-                 queryTerms: Seq[String], k: Int = 50, m: Int = 10,
+                 queryTerms0: Seq[String], k: Int = 50, m: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(queryTerms.nonEmpty, "bm25Rerank needs at least one query term")
+    require(normQueryTerms(queryTerms0).nonEmpty,
+      "bm25Rerank needs at least one query term")
+    val queryTerms = normQueryTerms(queryTerms0)
     val candidates = bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25_q4").desc, col(idCol).asc).limit(k)
     val cand = df
@@ -204,7 +246,7 @@ object TfIdfMatch {
     // its successor (zip_with right-pads with null, which no term equals)
     val shifted =
       slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))
-    val bigrams = queryTerms.sliding(2).filter(_.size == 2).toSeq
+    val bigrams = queryTerms.sliding(2).filter(_.size == 2).toSeq.distinct // dedup like distinctTerms — repeated query bigrams must not double-weight
     val adjacency =
       if (bigrams.isEmpty) lit(0L)
       else bigrams.map { bg =>
