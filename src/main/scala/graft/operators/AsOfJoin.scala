@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * This implementation is the scale-shape one: tag the two inputs, UNION
   * them, and take a running `last(right_payload, ignoreNulls)` over ONE
   * window ordered by (ts, side) within each key. Cost = one shuffle of
-  * left+right on the key and one in-partition sort — the same price as a
-  * plain equi-join, with NO pair blowup regardless of how many right rows
-  * precede a left row. Skewed keys shard exactly like any window (the
-  * running state is O(1): just the latest right struct).
+  * left on the key plus TWO of the (deduped, usually smaller) right side —
+  * the (key, ts) hash-agg exchange cannot satisfy the window's (key)
+  * requirement, so the deduped right rows re-exchange with the union —
+  * with NO pair blowup regardless of how many right rows precede a left
+  * row. Skewed keys shard exactly like any window (the running state is
+  * O(1): just the latest right struct). Payload columns must be ORDERABLE
+  * types (they ride a struct-max): MapType payloads are rejected by
+  * Spark's analyzer — project maps to orderable fields first.
   *
   * Determinism contract (both engines replay it bit-for-bit):
   *  - INCLUSIVE match (`right.ts <= left.ts`): right rows order BEFORE left
@@ -38,8 +42,23 @@ object AsOfJoin {
   /** `left` and `right` must both carry `keyCol` and `tsCol`; `seqCol` is a
     * unique-per-right-row tiebreaker (an id). Right payload columns arrive
     * prefixed `asof_` in the output, plus `asof_ts` (match timestamp). */
-  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+  def asOf(left: DataFrame, right: DataFrame, keyCol0: String, tsCol0: String,
            seqCol: String, payloadCols: Seq[String]): DataFrame = {
+    // resolve key/ts against the actual column names case-insensitively:
+    // Spark resolves "USER_ID" == "user_id" everywhere EXCEPT our literal
+    // string comparison in the right-branch select, which would silently
+    // null the key and lose every match
+    def resolve(name: String): String =
+      left.columns.find(_.equalsIgnoreCase(name)).getOrElse(name)
+    val keyCol = resolve(keyCol0)
+    val tsCol = resolve(tsCol0)
+    require(!payloadCols.contains(tsCol) && seqCol != tsCol,
+      s"'$tsCol' in the payload would collide with the asof_ts output column")
+    require(!payloadCols.contains(seqCol),
+      s"seqCol '$seqCol' is already emitted as asof_$seqCol — do not repeat it in payloadCols")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("_asof_"))
+    require(reserved.isEmpty,
+      s"_asof_* is this operator's scratch namespace — rename ${reserved.mkString(", ")}")
     // null-ts right rows can never satisfy right.ts <= left.ts — drop them
     // BEFORE the union: Spark sorts null ASC as NULLS FIRST, so an unfiltered
     // null-ts right row would otherwise act as a -infinity match. (A null-ts
