@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.LDA
 import org.apache.spark.ml.feature.{CountVectorizer, Tokenizer}
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,14 +11,6 @@ import org.apache.spark.sql.functions._
   * each side into topic space, score pairs by topic-distribution cosine, keep
   * per-left argmax. k=10 topics per the reference (Topic_Modelling.py:30). */
 object TopicModel {
-
-  private val cosUdf = udf { (a: Vector, b: Vector) =>
-    val x = a.toArray; val y = b.toArray
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < x.length) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
 
   /** Deterministic PLSA-EM topic matcher — the cross-engine-verifiable
     * sibling of [[bestMatch]]. Same union-fit idiom and k=10 topic space as
@@ -52,13 +43,18 @@ object TopicModel {
     * is the bounded query side). */
   def plsaBestMatch(left: DataFrame, right: DataFrame, k: Int = 10,
                     iters: Int = 5, fitSampleLimit: Int = 1 << 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(fitSampleLimit >= 1, s"fitSampleLimit must be >= 1, got $fitSampleLimit")
     val spark = left.sparkSession
     import spark.implicits._
     // null text ≡ empty doc (real corpora carry NULL cells; the fit and the
-    // fold-in kernel must not NPE on one)
-    val lDs = left.select(col("id").cast("long"),
+    // fold-in kernel must not NPE on one); null ids cannot survive the typed
+    // (Long, String) decode, so they are dropped up front — the TfIdfMatch
+    // convention
+    val lDs = left.filter(col("id").isNotNull).select(col("id").cast("long"),
       coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
-    val rDs = right.select(col("id").cast("long"),
+    val rDs = right.filter(col("id").isNotNull).select(col("id").cast("long"),
       coalesce(col("text"), lit("")).as("text")).as[(Long, String)]
     // ONE side-tagged bounded collect decides over/under-cap AND, under the
     // cap, IS the corpus — the inputs are never evaluated a probe-only
@@ -69,25 +65,29 @@ object TopicModel {
       .as[(Long, String, Boolean)].collect()
     if (probe.length > fitSampleLimit)
       return plsaFoldInMatch(lDs, rDs, k, iters, fitSampleLimit)
-    val l = probe.filter(_._3).map(p => (p._1, p._2))
-    val r = probe.filterNot(_._3).map(p => (p._1, p._2))
-    val docs = (l ++ r).sortBy(_._1)
-    val ids = docs.map(_._1)
-    val (_, theta, _) = fitPlsa(docs, k, iters)
-    val thetaDf = spark.createDataFrame(
-      ids.zip(theta).map { case (id, row) => (id, row.toSeq) }.toSeq
-    ).toDF("id", "tv")
-    val leftIds = l.map(_._1).toSet
-    val lv = thetaDf.filter(col("id").isin(leftIds.toSeq: _*))
-      .select(col("id").as("left_id"), col("tv").as("lv"))
-    val rv = thetaDf.filter(!col("id").isin(leftIds.toSeq: _*))
-      .select(col("id").as("right_id"), col("tv").as("rv"))
+    // Side-tagged stable sort: the fit's doc order is id-ascending with left
+    // docs before right docs on an id collision (the two sides may share an
+    // id space), and each side's thetas are recovered BY POSITION — never by
+    // id membership, which would leak a colliding right doc's vector into
+    // the left side and drop it from the candidate pool.
+    val tagged = (probe.filter(_._3) ++ probe.filterNot(_._3)).sortBy(_._1)
+    val (_, theta, _) = fitPlsa(tagged.map(p => (p._1, p._2)), k, iters)
+    val withTheta = tagged.zip(theta)
+    val lv = spark.createDataFrame(
+      withTheta.collect { case ((id, _, true), th) => (id, th.toSeq) }.toSeq
+    ).toDF("left_id", "lv")
+    val rv = spark.createDataFrame(
+      withTheta.collect { case ((id, _, false), th) => (id, th.toSeq) }.toSeq
+    ).toDF("right_id", "rv")
     bestTopicCosine(lv, rv)
   }
 
   private val tokRe = java.util.regex.Pattern.compile("\\w\\w+")
   private def toks(s: String): Seq[String] = {
-    val m = tokRe.matcher(s.toLowerCase)
+    // Locale.ROOT: default-locale toLowerCase diverges per JVM (tr-TR maps
+    // I to dotless ı, which \w\w+ then splits), breaking both the DuckDB
+    // oracle replay and driver/executor consistency in the fold-in plane
+    val m = tokRe.matcher(s.toLowerCase(java.util.Locale.ROOT))
     val b = Seq.newBuilder[String]
     while (m.find()) b += m.group()
     b.result()
@@ -104,9 +104,22 @@ object TopicModel {
     val vocab = docs.flatMap(d => toks(d._2)).distinct.sorted
     val widx = vocab.zipWithIndex.toMap
     val dN = docs.length; val v = vocab.length
-    val n = Array.ofDim[Double](dN, v)
+    // Sparse doc-term counts: per doc, ascending word indices + counts. A
+    // zero-count term contributes an exact +0.0 to every ascending-order
+    // fold below (all inputs are >= 0 and den > 0, so no -0.0 arises and
+    // s + 0.0 == s bitwise), so skipping zeros is bit-identical to the
+    // contract's dense D×V folds while keeping memory O(nnz + D·k + k·V)
+    // instead of a driver-OOM dense n + per-iteration den at the doc cap.
+    val docW = new Array[Array[Int]](dN)
+    val docC = new Array[Array[Double]](dN)
     docs.zipWithIndex.foreach { case ((_, t), di) =>
-      toks(t).foreach(w => n(di)(widx(w)) += 1.0)
+      val cnt = scala.collection.mutable.HashMap.empty[Int, Double]
+      toks(t).foreach { w =>
+        val i = widx(w); cnt.update(i, cnt.getOrElse(i, 0.0) + 1.0)
+      }
+      val ws = cnt.keys.toArray.sorted
+      docW(di) = ws
+      docC(di) = ws.map(cnt)
     }
     // modular-pattern init, rows normalized by ascending-order sums
     var theta = Array.tabulate(dN, k) { (di, z) =>
@@ -119,20 +132,37 @@ object TopicModel {
     phi = phi.map { row => val s = row.sum; row.map(_ / s) }
     var it = 0
     while (it < iters) {
-      val den = Array.tabulate(dN, v) { (d, w) =>
-        var s = 0.0; var z = 0
-        while (z < k) { s += theta(d)(z) * phi(z)(w); z += 1 }
-        s
-      }
-      val tN = Array.tabulate(dN, k) { (d, z) =>
-        var s = 0.0; var w = 0
-        while (w < v) { s += n(d)(w) * theta(d)(z) * phi(z)(w) / den(d)(w); w += 1 }
-        s
-      }
-      val pN = Array.tabulate(k, v) { (z, w) =>
-        var s = 0.0; var d = 0
-        while (d < dN) { s += n(d)(w) * theta(d)(z) * phi(z)(w) / den(d)(w); d += 1 }
-        s
+      val tN = Array.ofDim[Double](dN, k)
+      val pN = Array.ofDim[Double](k, v)
+      var d = 0
+      while (d < dN) {
+        val ws = docW(d); val cs = docC(d)
+        // den(d,w) for this doc's nonzero terms, z ascending — the same
+        // fold order as the contract's dense den
+        val den = new Array[Double](ws.length)
+        var i = 0
+        while (i < ws.length) {
+          var s = 0.0; var z = 0
+          while (z < k) { s += theta(d)(z) * phi(z)(ws(i)); z += 1 }
+          den(i) = s; i += 1
+        }
+        // tN(d,z): fold w ascending over the nonzero terms
+        var z = 0
+        while (z < k) {
+          var s = 0.0; i = 0
+          while (i < ws.length) { s += cs(i) * theta(d)(z) * phi(z)(ws(i)) / den(i); i += 1 }
+          tN(d)(z) = s; z += 1
+        }
+        // pN(z,w) accumulates in d-ascending order — the outer loop IS d,
+        // and each doc touches a given (z,w) cell at most once
+        i = 0
+        while (i < ws.length) {
+          val w = ws(i); val nw = cs(i); val dn = den(i)
+          z = 0
+          while (z < k) { pN(z)(w) += nw * theta(d)(z) * phi(z)(w) / dn; z += 1 }
+          i += 1
+        }
+        d += 1
       }
       // a zero row (doc with no tokens / dead topic) keeps its previous
       // distribution instead of producing 0/0 — mirrored in the SQL oracle
@@ -224,26 +254,30 @@ object TopicModel {
   /** Best topic-space match per left row. `left`/`right`: (id, text). */
   def bestMatch(left: DataFrame, right: DataFrame, k: Int = 10,
                 vocabSize: Int = 1 << 14, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val union = left.select(coalesce(col("text"), lit("")).as("text"))
       .unionByName(right.select(coalesce(col("text"), lit("")).as("text")))
+    // the union may be an expensive derived pipeline and LDA's online
+    // optimizer re-samples its input across its iterations — cache the
+    // tokenized/vectorized features for the two fits, release right after
+    val tokenized = tok.transform(union).cache()
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("tf")
-      .setVocabSize(vocabSize).fit(tok.transform(union))
+      .setVocabSize(vocabSize).fit(tokenized)
+    val feats = cv.transform(tokenized).cache()
     val lda = new LDA().setK(k).setMaxIter(10).setSeed(seed).setFeaturesCol("tf")
-      .fit(cv.transform(tok.transform(union)))
+      .fit(feats)
+    tokenized.unpersist()
+    feats.unpersist()
 
+    // vector_to_array makes the embeds share bestTopicCosine's scoring tail
+    // (one cosine kernel, one argmax/tie-break contract for both matchers)
     def embed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       lda.transform(cv.transform(tok.transform(
           df.withColumn("text", coalesce(col("text"), lit(""))))))
-        .select(col("id").as(idAs), col("topicDistribution").as(vecAs))
+        .select(col("id").as(idAs),
+          vector_to_array(col("topicDistribution")).as(vecAs))
 
-    val l = embed(left, "left_id", "lv")
-    val r = embed(right, "right_id", "rv")
-    l.crossJoin(broadcast(r))
-      .withColumn("score", cosUdf(col("lv"), col("rv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("left_id")).orderBy(desc("score"), col("right_id"))))
-      .filter(col("rn") === 1)
-      .select(col("left_id"), col("right_id"), col("score"))
+    bestTopicCosine(embed(left, "left_id", "lv"), embed(right, "right_id", "rv"))
   }
 }

@@ -375,6 +375,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("plsaBestMatch: overlapping left/right id spaces stay side-separated; null ids dropped") {
+    import spark.implicits._
+    // id 1 exists on BOTH sides with different text: the right doc must stay
+    // a reachable candidate and must not leak its vector into the left side
+    // (the under-cap path once split thetas by id-set membership)
+    val left = Seq((1L, "pasta sauce tomato basil olive")).toDF("id", "text")
+    val right = Seq((1L, "rocket orbit launch booster stage"),
+      (2L, "tomato pasta olive garlic basil")).toDF("id", "text")
+    val got = graft.operators.TopicModel.plsaBestMatch(left, right, k = 4, iters = 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)), s"food doc must match the food doc: ${got.toSeq}")
+    // a null right id is dropped, not a crash (TfIdfMatch convention)
+    val withNull = right.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "olive basil pasta")).toDF("id", "text"))
+    val got2 = graft.operators.TopicModel.plsaBestMatch(left, withNull, k = 4, iters = 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    assert(got2.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TopicModel.plsaBestMatch(left, right, k = 0)
+    }
+  }
+
   test("ANN operators drop null-id/null-vec rows uniformly (no null-scored neighbors)") {
     import spark.implicits._
     val S = graft.operators.SimilaritySearch
