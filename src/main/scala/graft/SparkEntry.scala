@@ -2588,10 +2588,12 @@ WHERE rn = 1"""
   private def qlearnOracleSql: String = {
     val qUpd = "t.q[t.act] + 0.1*(t.rewards[t.act] + 0.9*t.mq - t.q[t.act])"
     s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
-g AS (SELECT vec_id AS gid, embedding AS gv FROM emb WHERE vec_id < 20),
+g AS (SELECT vec_id AS gid, embedding AS gv FROM emb
+  WHERE vec_id < 20 AND embedding IS NOT NULL),
 c AS (SELECT vec_id AS cid, embedding AS cv,
     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS ci
-  FROM emb WHERE vec_id >= 100 AND vec_id < 130),
+  FROM emb WHERE vec_id >= 100 AND vec_id < 130 AND embedding IS NOT NULL),
+nc AS (SELECT COUNT(*)::HUGEINT AS n, COUNT(*)::INTEGER AS ni FROM c),
 gn AS (SELECT gid, list_reduce(list_transform(generate_series(1, 64), i -> gv[i]::DOUBLE * gv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM g),
 cn AS (SELECT cid, list_reduce(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b) AS nn FROM c),
 rw AS MATERIALIZED (SELECT g.gid, list(${cosExpr("g.gv", "c.cv", "gn.nn", "cn.nn", 64)} ORDER BY c.ci) AS rewards
@@ -2604,13 +2606,14 @@ r0 AS (SELECT gid, e, kind,
 ${Osql.mixCtes("r", "x")},
 rnd AS MATERIALIZED (SELECT gid, e,
     MAX(CASE WHEN kind = 0 THEN (x // 2048::HUGEINT)::DOUBLE / 9007199254740992.0 END) AS u,
-    MAX(CASE WHEN kind = 1 THEN CAST(x % 30::HUGEINT AS INTEGER) END) AS ra
+    MAX(CASE WHEN kind = 1 THEN CAST(x % (SELECT n FROM nc) AS INTEGER) END) AS ra
   FROM rd GROUP BY gid, e),
 rec AS (
-  SELECT gid, 0 AS e, list_transform(generate_series(1, 30), i -> 0.0::DOUBLE) AS q FROM g
+  SELECT gid, 0 AS e,
+    list_transform(generate_series(1, (SELECT ni FROM nc)), i -> 0.0::DOUBLE) AS q FROM g
   UNION ALL
   SELECT t.gid, t.e + 1,
-    list_transform(generate_series(1, 30), i ->
+    list_transform(generate_series(1, (SELECT ni FROM nc)), i ->
       CASE WHEN i = t.act THEN $qUpd ELSE t.q[i] END) AS q
   FROM (
     SELECT rec.gid, rec.e, rec.q, w.rewards, list_max(rec.q) AS mq,

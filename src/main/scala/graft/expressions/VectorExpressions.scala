@@ -51,7 +51,25 @@ object VectorExpressions {
   }
 
   object FloatCosine {
-    /** Called from generated code — keep signature stable. */
+    /** The same kernel over plain arrays — the canonical
+      * `sqrt(na)*sqrt(nb)` tail shared by driver/executor Scala callers
+      * (QLearning) and the codegen path below. NOT interchangeable with
+      * `TextStats.cosine`, whose `sqrt(na*nb)` tail is a different bit
+      * contract pinned by its own oracles. */
+    def compute(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    /** Called from generated code — keep signature stable. Must stay
+      * bit-identical to the Array[Float] overload above. */
     def compute(a: ArrayData, b: ArrayData): Double = {
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0

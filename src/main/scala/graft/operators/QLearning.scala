@@ -38,17 +38,10 @@ object QLearning {
   case class Params(episodes: Int = 200, lr: Double = 0.1, gamma: Double = 0.9,
                     epsilon: Double = 0.1, seed: Long = 0x51ABL)
 
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  // one shared kernel: the canonical sqrt(na)*sqrt(nb) tail lives in
+  // FloatCosine (bit-identical to the codegen expression path)
+  private def cosine(a: Array[Float], b: Array[Float]): Double =
+    graft.expressions.VectorExpressions.FloatCosine.compute(a, b)
 
   /** Top 53 bits of a mixed draw as a uniform double in [0, 1) — exactly
     * `(x >>> 11) / 2^53`, integer-exact in both engines. */
@@ -66,40 +59,63 @@ object QLearning {
     * and cosine score. */
   def bestMatches(guidelines: DataFrame, controls: DataFrame,
                   p: Params = Params()): DataFrame = {
+    require(p.episodes >= 1, s"episodes must be >= 1, got ${p.episodes}")
+    require(p.lr.isFinite && p.gamma.isFinite,
+      s"lr/gamma must be finite, got lr=${p.lr} gamma=${p.gamma}")
+    require(p.epsilon >= 0.0 && p.epsilon <= 1.0, // NaN fails both bounds
+      s"epsilon must be in [0,1], got ${p.epsilon}")
     val spark: SparkSession = guidelines.sparkSession
     import spark.implicits._
     val ctl: Array[(Long, Array[Float])] = controls
-      .filter(col("vec").isNotNull) // null vectors carry no geometry
+      // null vectors carry no geometry; null/uncastable ids cannot survive
+      // the typed (Long, _) decode — drop both (the sibling convention)
+      .filter(col("vec").isNotNull && col("id").cast("long").isNotNull)
       .select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(ctl.nonEmpty, "empty control side")
+    // action index = rank of the control id ascending; a duplicate id would
+    // make that rank depend on partition layout (and diverge from the
+    // oracle's independent tie-break), so fail loud instead
+    require(ctl.map(_._1).distinct.length == ctl.length,
+      "duplicate control ids: action indexing would be nondeterministic")
     val bc = spark.sparkContext.broadcast(ctl)
-    guidelines.filter(col("vec").isNotNull)
+    guidelines
+      .filter(col("vec").isNotNull && col("id").cast("long").isNotNull)
       .select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val controls = bc.value
         val nC = controls.length
         it.map { case (gid, gv) =>
-          val rewards = Array.tabulate(nC)(c => cosine(gv, controls(c)._2))
+          // rewards are memoized lazily: at most episodes+1 distinct actions
+          // are ever read, far fewer than nC at the reference's 820-control
+          // workload
+          val rewards = new Array[Double](nC)
+          val haveReward = new Array[Boolean](nC)
+          def rewardOf(c: Int): Double = {
+            if (!haveReward(c)) { rewards(c) = cosine(gv, controls(c)._2); haveReward(c) = true }
+            rewards(c)
+          }
           val q = new Array[Double](nC)
+          val base = p.seed ^ (gid * 2654435761L) // loop-invariant
           var e = 0
           while (e < p.episodes) {
-            val base = p.seed ^ (gid * 2654435761L)
+            // one pass yields both the first-max index (exploit action) and
+            // the pre-update row max — maxq == q(argmaxFirst(q)) exactly
+            var bestIdx = 0; var maxq = q(0); var i = 1
+            while (i < nC) { if (q(i) > maxq) { maxq = q(i); bestIdx = i }; i += 1 }
             val u = unit(TextStats.mix64(base ^ (2L * e)))
             val action =
               if (u < p.epsilon)
                 java.lang.Long.remainderUnsigned(
                   TextStats.mix64(base ^ (2L * e + 1L)), nC.toLong).toInt
-              else argmaxFirst(q)
-            val reward = rewards(action)
-            var maxq = q(0); var i = 1
-            while (i < nC) { if (q(i) > maxq) maxq = q(i); i += 1 }
+              else bestIdx
+            val reward = rewardOf(action)
             q(action) = q(action) + p.lr * (reward + p.gamma * maxq - q(action))
             e += 1
           }
           val best = argmaxFirst(q)
-          (gid, controls(best)._1, q(best), rewards(best))
+          (gid, controls(best)._1, q(best), rewardOf(best))
         }
       }.toDF("guideline_id", "control_id", "q_value", "best_score")
   }
