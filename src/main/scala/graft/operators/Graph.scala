@@ -46,16 +46,16 @@ object Graph {
     val urls = df.select(col(idCol).as("id"),
         posexplode(regexp_extract_all(col(textCol),
           lit(TrainingData.UrlRe), lit(0))).as(Seq("pos", "url")))
-      .withColumn("host", regexp_replace(
-        lower(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)),
-        "^www\\.", ""))
+      .withColumn("host", TrainingData.canonicalHost(col("url")))
       .filter(col("host") =!= "")
-    val firstHost = urls.groupBy("id")
-      .agg(min(struct(col("pos"), col("host"))).as("fh"))
-      .select(col("id"), col("fh.host").as("src"))
-    urls.join(firstHost, "id")
-      .filter(col("host") =!= col("src"))
-      .select(col("src"), col("host").as("dst"))
+    // ONE pass over the regex-extracted subtree: the per-doc first host and
+    // the distinct host set come out of the same hash-agg (a self-join here
+    // would plan — and run — the dominant regex extraction twice)
+    urls.groupBy("id")
+      .agg(min(struct(col("pos"), col("host"))).as("fh"),
+        collect_set(col("host")).as("hosts"))
+      .select(col("fh.host").as("src"), explode(col("hosts")).as("dst"))
+      .filter(col("dst") =!= col("src"))
       .distinct()
   }
 
@@ -65,11 +65,17 @@ object Graph {
                iters: Int, dampingPct: Int = 85,
                checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 0 && dampingPct > 0 && dampingPct < 100)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // a null endpoint carries no edge: null keys never equi-match in the
+    // iteration joins, so keeping them would inflate N (diluting teleport
+    // mass) while silently dropping their edges and inflow
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    if (n == 0) { nodes.unpersist(); return nodes.withColumn("rank", lit(0L)) }
 
     val total = 1000000000000L
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("od"))

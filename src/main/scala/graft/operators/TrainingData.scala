@@ -401,6 +401,13 @@ object TrainingData {
   private val HostRe = "https?://([A-Za-z0-9.-]+)"
   private val PathRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(/[^ \\t\\n\"'<>]*)?"
 
+  /** Canonical host of an absolute URL column: lowercase, strip one leading
+    * `www.`. The SINGLE definition shared by urlHostStats, urlHostFilter and
+    * Graph.hostEdges; the q_url_hosts / q_pagerank_hosts DuckDB oracles
+    * embed the same two regexes — change them together. */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
+
   /** Web-corpus URL lineage: extract absolute URLs from document text,
     * canonicalize (lowercase host, strip a leading `www.`, drop the
     * `#fragment`, empty path → `/`), and aggregate per host — the
@@ -411,8 +418,7 @@ object TrainingData {
   def urlHostStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
         explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
-      .withColumn("host",
-        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+      .withColumn("host", canonicalHost(col("url")))
       .withColumn("path",
         regexp_replace(coalesce(regexp_extract(col("url"), PathRe, 1), lit("")),
           "#.*$", ""))
@@ -590,8 +596,7 @@ object TrainingData {
   def urlHostFilter(df: DataFrame, idCol: String, textCol: String,
                     blockedHosts: Seq[String]): DataFrame = {
     val urls = regexp_extract_all(col(textCol), lit(UrlRe), lit(0))
-    val hostOf = (u: Column) =>
-      regexp_replace(lower(regexp_extract(u, HostRe, 1)), "^www\\.", "")
+    val hostOf = (u: Column) => canonicalHost(u)
     val blockedArr = array(blockedHosts.map(lit): _*)
     df.select(col(idCol),
       size(urls).cast("long").as("n_urls"),
