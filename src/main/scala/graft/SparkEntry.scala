@@ -1834,13 +1834,16 @@ ro AS (SELECT p.pid, COALESCE(m.m, 0) AS m, p.la, p.lb,
          ELSE (2.0 * COALESCE(m.m, 0)) / (p.la + p.lb) END AS ratio
   FROM pos p LEFT JOIN msum m ON p.pid = m.pid)"""
 
-  /** fuzzywuzzy full_process + token sort as one SQL expression — the
-    * RE2 class `[^\p{L}\p{N}_]` is Python's unicode `\W` here (verified
-    * against CPython `re` on mixed-script fixtures; Java's
-    * isLetterOrDigit-based kernel mirrors the same categories). */
+  /** fuzzywuzzy asciidammit + full_process + token sort as one SQL
+    * expression — first delete U+0080–U+00FF (force_ascii=True default),
+    * then the RE2 class `[^\p{L}\p{N}_]` is Python's unicode `\W`
+    * (verified against CPython `re` on mixed-script fixtures; the kernel
+    * mirrors the same categories). DuckDB's binary-UTF-8 list_sort is
+    * code-point order, matching Python sorted() and the kernel. */
   private def tokenSortSql(x: String): String =
     s"""array_to_string(list_sort(list_filter(string_split_regex(
-      trim(lower(regexp_replace($x, '[^\\p{L}\\p{N}_]', ' ', 'g'))), ' +'),
+      trim(lower(regexp_replace(regexp_replace($x, '[\\x{0080}-\\x{00FF}]', '', 'g'),
+        '[^\\p{L}\\p{N}_]', ' ', 'g'))), ' +'),
       t -> t <> '')), ' ')"""
 
   /** fuzzywuzzy utils.intr = Python3 round-half-EVEN (DuckDB round() is
@@ -3980,7 +3983,11 @@ FROM lstats""",
 ${roOracleCtes(pairsSql)},
 scx AS (SELECT pid, 100 * ((2.0 * m) / (la + lb)) AS x FROM ro WHERE la > 0 AND lb > 0),
 sc AS (SELECT pid, $intrScoreSql AS score FROM scx),
-allsc AS (SELECT r.pid, COALESCE(sc.score, 0) AS score FROM ro r LEFT JOIN sc ON r.pid = sc.pid)
+-- fuzz.ratio decorator order: equal processed strings (incl. BOTH empty)
+-- hit check_for_equivalence -> 100 before the empty guard -> 0
+allsc AS (SELECT r.pid,
+  CASE WHEN r.la = 0 AND r.lb = 0 THEN 100 ELSE COALESCE(sc.score, 0) END AS score
+  FROM ro r LEFT JOIN sc ON r.pid = sc.pid)
 SELECT n.cis AS cis_index, n.mas AS master_index,
   n.score AS name_sim, ty.score AS type_sim
 FROM (SELECT (pid % 1000000) // 1000 AS cis, pid % 1000 AS mas, score

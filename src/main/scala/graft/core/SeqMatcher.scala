@@ -1,6 +1,6 @@
 package graft.core
 
-import java.util.{ArrayList, HashMap, HashSet}
+import java.util.{ArrayList, HashMap}
 
 /** Faithful JVM transcription of CPython `difflib.SequenceMatcher(None, a,
   * b)` restricted to what `.ratio()` needs, plus fuzzywuzzy's
@@ -19,19 +19,28 @@ import java.util.{ArrayList, HashMap, HashSet}
   *    supplementary-plane text Java's UTF-16 would otherwise diverge.
   *  - `autojunk=True` is modeled: when len(b) >= 200, characters occupying
   *    more than 1% of b are "popular" and excluded from match SEEDING
-  *    (b2j), while the two junk extension loops can still absorb them —
-  *    exactly difflib's `__chain_b` / `find_longest_match` behavior.
+  *    (b2j). CPython's extension loops test `isbjunk`, which reads the
+  *    `bjunk` set — EMPTY when isjunk=None — never `bpopular`: so the
+  *    non-junk extension loops walk straight through popular characters
+  *    and the junk loops never fire. (An earlier transcription treated
+  *    popular as junk in the extension loops and diverged from difflib on
+  *    ~8% of structured ≥200-char pairs.)
   *  - `ratio()` returns 1.0 when both strings are empty (difflib
   *    `_calculate_ratio`).
   *  - tie-breaking: `find_longest_match` keeps the FIRST maximal block in
   *    (i, j) scan order — the earliest-in-a, then earliest-in-b block.
+  *  - fuzzywuzzy decorator chain on `fuzz.ratio` (0.18.0): equal PROCESSED
+  *    strings → 100 (`@check_for_equivalence`, fires before the
+  *    empty-string guard, so two empty/punctuation-only inputs score 100);
+  *    then either empty → 0; `force_ascii=True` runs `asciidammit`, which
+  *    on Python 3 DELETES code points U+0080–U+00FF (and keeps >= U+0100).
+  *  - token sort compares CODE POINTS (Python `sorted()`), not UTF-16
+  *    units — differs from `String#compareTo` beyond the BMP.
   *
   * Divergences (documented, not observable on the ASCII oracle fixtures):
   * Python `str.lower()` vs `String.toLowerCase(ROOT)` on a few locale-ful
   * code points; Python `\w` includes No/Nl number categories that
-  * `Character.isLetterOrDigit` excludes; Python `sorted()` compares code
-  * points while `String#compareTo` compares UTF-16 units (differs only
-  * beyond the BMP).
+  * `Character.isLetterOrDigit` excludes.
   *
   * Complexity: O(|a|·|b|) worst case per pair — cap operand length at the
   * call site for adversarial corpora (the expression wrappers score what
@@ -48,38 +57,67 @@ object SeqMatcher {
     2.0 * matchingTotal(a, b) / t
   }
 
-  /** fuzzywuzzy `fuzz.token_sort_ratio(s1, s2)` (full_process=True, difflib
-    * backend): \W→space + lower + strip, whitespace-split, sort, re-join,
-    * then `intr(100 * ratio)`. The `@check_empty_string` decorator returns 0
-    * when either PROCESSED string is empty. */
+  /** fuzzywuzzy `fuzz.token_sort_ratio(s1, s2)` (defaults force_ascii=True,
+    * full_process=True; difflib backend): asciidammit + \W→space + lower +
+    * strip, whitespace-split, code-point sort, re-join, then `fuzz.ratio` on
+    * the sorted strings. `fuzz.ratio`'s decorator chain applies OUTSIDE-IN:
+    * `@check_for_equivalence` (equal → 100, INCLUDING two empties) before
+    * `@check_empty_string` (either empty → 0), then `intr(100 * ratio)`. */
   def tokenSortRatio(s1: String, s2: String): Int = {
     val t1 = tokenSort(s1)
     val t2 = tokenSort(s2)
-    if (t1.isEmpty || t2.isEmpty) 0
+    if (t1 == t2) 100
+    else if (t1.isEmpty || t2.isEmpty) 0
     else intr(100.0 * ratio(t1, t2))
   }
 
-  /** fuzzywuzzy utils.full_process + token sort: the canonicalized compare
-    * key. Exposed for tests and for the SQL oracle's replica.
+  /** fuzzywuzzy asciidammit + utils.full_process + token sort: the
+    * canonicalized compare key. Exposed for tests and for the SQL oracle's
+    * replica.
+    *
+    * asciidammit (force_ascii=True default) on a Python 3 `str` DELETES
+    * code points U+0080–U+00FF and keeps everything >= U+0100 — quirky but
+    * exactly `s.translate({128..255: None})`.
     *
     * Word characters = `[\p{L}\p{N}_]` (letters, ALL number categories
     * incl. Nl/No, underscore) — Python's unicode `\w` and RE2's
     * `[\p{L}\p{N}_]` agree here, while `Character.isLetterOrDigit` would
-    * drop Nl/No; verified against CPython difflib+re on mixed-script pairs. */
+    * drop Nl/No; verified against CPython difflib+re on mixed-script pairs.
+    *
+    * Tokens sort in CODE-POINT order (Python `sorted()`; DuckDB's binary
+    * UTF-8 `list_sort` agrees), not UTF-16 unit order. */
   def tokenSort(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      val t = Character.getType(cp)
-      val isWord = Character.isLetter(cp) || cp == '_' ||
-        t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
-        t == Character.OTHER_NUMBER
-      if (isWord) sb.appendCodePoint(cp) else sb.append(' ')
+      if (cp < 0x80 || cp > 0xFF) { // asciidammit: U+0080–U+00FF deleted
+        val t = Character.getType(cp)
+        val isWord = Character.isLetter(cp) || cp == '_' ||
+          t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER
+        if (isWord) sb.appendCodePoint(cp) else sb.append(' ')
+      }
       i += Character.charCount(cp)
     }
     sb.toString.toLowerCase(java.util.Locale.ROOT).trim
-      .split(" +").filter(_.nonEmpty).sorted.mkString(" ")
+      .split(" +").filter(_.nonEmpty).sorted(cpOrdering).mkString(" ")
+  }
+
+  /** Code-point lexicographic string order == Python `sorted()` == UTF-8
+    * byte order. Differs from String#compareTo only when one side has a
+    * supplementary-plane char (surrogates 0xD800+ sort below 0xE000+ BMP
+    * chars in UTF-16 order but above them in code-point order). */
+  private val cpOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
   }
 
   /** Python3 `int(round(x))` — round half to EVEN (fuzzywuzzy utils.intr).
@@ -111,21 +149,19 @@ object SeqMatcher {
       l.add(j)
       j += 1
     }
-    val popular = new HashSet[Int]()
+    // autojunk: popular chars leave b2j (no seeding) but need no set of
+    // their own — extension never consults popularity (see above)
     if (b.length >= 200) {
       val ntest = b.length / 100 + 1
       val it = b2j.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue.size() > ntest) { popular.add(e.getKey); it.remove() }
-      }
+      while (it.hasNext) { if (it.next().getValue.size() > ntest) it.remove() }
     }
     var total = 0L
     val stack = new ArrayList[(Int, Int, Int, Int)]()
     stack.add((0, a.length, 0, b.length))
     while (!stack.isEmpty) {
       val (alo, ahi, blo, bhi) = stack.remove(stack.size() - 1)
-      val (bi, bj, k) = findLongestMatch(a, b, b2j, popular, alo, ahi, blo, bhi)
+      val (bi, bj, k) = findLongestMatch(a, b, b2j, alo, ahi, blo, bhi)
       if (k > 0) {
         total += k
         if (alo < bi && blo < bj) stack.add((alo, bi, blo, bj))
@@ -136,7 +172,7 @@ object SeqMatcher {
   }
 
   private def findLongestMatch(a: Array[Int], b: Array[Int],
-      b2j: HashMap[Int, ArrayList[Int]], popular: HashSet[Int],
+      b2j: HashMap[Int, ArrayList[Int]],
       alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
     var besti = alo; var bestj = blo; var bestsize = 0
     var j2len = new HashMap[Int, Int]()
@@ -162,23 +198,15 @@ object SeqMatcher {
       j2len = newj2len
       i += 1
     }
-    // extension: non-junk both sides, then junk both sides (difflib order)
-    def isJunk(cp: Int): Boolean = popular.contains(cp)
-    while (besti > alo && bestj > blo && !isJunk(b(bestj - 1)) &&
-        a(besti - 1) == b(bestj - 1)) {
+    // Extension: CPython's `isbjunk` reads the bjunk set, which is EMPTY
+    // for SequenceMatcher(None, a, b) — bpopular is never consulted here.
+    // So the non-junk loops extend through ANY equal character (popular
+    // included; popularity only suppressed SEEDING via b2j above) and the
+    // junk loops can never fire — they are omitted entirely.
+    while (besti > alo && bestj > blo && a(besti - 1) == b(bestj - 1)) {
       besti -= 1; bestj -= 1; bestsize += 1
     }
     while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        !isJunk(b(bestj + bestsize)) &&
-        a(besti + bestsize) == b(bestj + bestsize)) {
-      bestsize += 1
-    }
-    while (besti > alo && bestj > blo && isJunk(b(bestj - 1)) &&
-        a(besti - 1) == b(bestj - 1)) {
-      besti -= 1; bestj -= 1; bestsize += 1
-    }
-    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        isJunk(b(bestj + bestsize)) &&
         a(besti + bestsize) == b(bestj + bestsize)) {
       bestsize += 1
     }

@@ -9,12 +9,21 @@ import graft.expressions.StringSimilarity
 /** Pins [[graft.core.SeqMatcher]] against REAL CPython difflib/fuzzywuzzy
   * semantics three independent ways:
   *
-  *  1. `seqmatcher_golden.tsv` — 367 (a, b, ratio, token_sort_ratio) vectors
+  *  1. `seqmatcher_golden.tsv` — 920 (a, b, ratio, token_sort_ratio) vectors
   *     produced by CPython 3's actual `difflib.SequenceMatcher(None, a, b)
-  *     .ratio()` (and the fuzzywuzzy difflib-backend token_sort formula),
-  *     covering unicode scripts, empty strings, halfway rounding cases, and
-  *     the autojunk activation boundary (len(b) in {198..202} and popular
-  *     characters at 200-400 chars). Double equality is EXACT (the repr
+  *     .ratio()` and a line-faithful fuzzywuzzy-0.18.0 port (decorator
+  *     chain incl. check_for_equivalence, asciidammit U+0080–U+00FF
+  *     deletion, code-point sorted()), covering unicode scripts incl.
+  *     non-BMP sort discriminators, empty/punct-only pairs, Latin-1
+  *     accents, halfway rounding cases, the autojunk activation boundary
+  *     (len(b) in {198..202}), and 500+ structured autojunk vectors with
+  *     popular filler adjacent to rare-match boundaries (150-500 chars,
+  *     varying popular density) — the extension-loop window where a
+  *     non-faithful junk treatment could diverge. (Empirically, the prior
+  *     popular-as-junk extension alternation was total-preserving under
+  *     the recursion on 60k structured probes, but the kernel now mirrors
+  *     CPython's isbjunk-reads-bjunk structure exactly rather than relying
+  *     on that equivalence.) Double equality is EXACT (the repr
   *     round-trips to the identical IEEE value).
   *  2. A from-first-principles Ratcliff-Obershelp replica (recursive
   *     longest-common-substring by brute force, no b2j/no junk) fuzzed
@@ -40,7 +49,7 @@ class StringSimilaritySpec extends AnyFunSuite {
 
   test("kernel matches CPython difflib on all golden vectors (exact doubles)") {
     val gs = goldens
-    assert(gs.size == 367)
+    assert(gs.size == 920)
     gs.foreach { case (a, b, expRatio, expTsr) =>
       val got = SeqMatcher.ratio(a, b)
       assert(got == expRatio,
@@ -120,7 +129,12 @@ class StringSimilaritySpec extends AnyFunSuite {
     assert(SeqMatcher.tokenSortRatio(
       "fuzzy was a bear", "fuzzy fuzzy was a bear") == 84)
     assert(SeqMatcher.ratio("", "") == 1.0)   // difflib: empty == empty
-    assert(SeqMatcher.tokenSortRatio("", "") == 0) // fuzz: empty guard
-    assert(SeqMatcher.tokenSortRatio("!!!", "abc") == 0)
+    // fuzz.ratio's @check_for_equivalence fires BEFORE @check_empty_string:
+    // two inputs that process to the same (even empty) string score 100
+    assert(SeqMatcher.tokenSortRatio("", "") == 100)
+    assert(SeqMatcher.tokenSortRatio("!!!", "???") == 100)
+    assert(SeqMatcher.tokenSortRatio("!!!", "abc") == 0) // one-sided empty
+    // asciidammit (force_ascii=True default) deletes U+0080–U+00FF
+    assert(SeqMatcher.tokenSortRatio("café", "caf") == 100)
   }
 }
