@@ -11,7 +11,15 @@ package graft.core
 object TextStats {
 
   /** Whitespace tokenization (reference tokenizes with NLTK word_tokenize /
-    * `str.split`; we pin simple `\s+` splitting for the count path). */
+    * `str.split`; we pin simple `\s+` splitting for the count path).
+    *
+    * This is the KERNEL-family tokenization (full `PyStr.strip`, no empty
+    * tokens) — the minhash/shingle/DSIR DuckDB oracles replicate exactly
+    * this. `TextFunctions.wsTokens` (the column family behind
+    * q_tokens/q_quality_ratios) trims ASCII space only and keeps a
+    * trailing empty token for text ending in non-space whitespace; the two
+    * agree on all fixture corpora (none end in whitespace) but are
+    * DIFFERENT contracts — do not swap one for the other. */
   def wsTokens(s: String): Array[String] = {
     val t = PyStr.strip(s)
     if (t.isEmpty) Array.empty else t.split("\\s+")
@@ -70,10 +78,13 @@ object TextStats {
 
   /** Stopword-ratio language ID; "und" (undetermined) when nothing matches.
     * Ties broken by language code ascending (deterministic). */
+  private val SortedStopWords: Seq[(String, Set[String])] = StopWords.toSeq.sortBy(_._1)
+  private val EnStopWords: Set[String] = StopWords("en")
+
   def langId(s: String): String = {
-    val toks = wsTokens(s.toLowerCase)
+    val toks = wsTokens(s.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return "und"
-    val scores = StopWords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+    val scores = SortedStopWords.map { case (lang, sw) =>
       lang -> toks.count(sw.contains)
     }
     val maxHits = scores.map(_._2).max
@@ -89,7 +100,8 @@ object TextStats {
     val alpha = s.count(_.isLetter).toDouble / n
     val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / n
     val sw = if (toks.isEmpty) 0.0
-      else toks.count(t => StopWords("en").contains(t.toLowerCase)).toDouble / toks.length
+      else toks.count(t => EnStopWords.contains(
+        t.toLowerCase(java.util.Locale.ROOT))).toDouble / toks.length
     val meanWord = if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length
     val lenBand = math.min(1.0, n / 200.0)
     val wordBand = if (meanWord >= 3 && meanWord <= 10) 1.0 else 0.5
@@ -102,7 +114,7 @@ object TextStats {
     * reference's WordNet lemmatizer (Text_preprocessing.py:35; NLTK is not a
     * dependency we can ship). Porter-style first-rule-wins suffix stripping. */
   def lemma(w: String): String = {
-    val s = w.toLowerCase
+    val s = w.toLowerCase(java.util.Locale.ROOT)
     if (s.length <= 3) s
     else if (s.endsWith("ies")) s.dropRight(3) + "y"
     else if (s.endsWith("sses")) s.dropRight(2)
@@ -133,8 +145,13 @@ object TextStats {
       while (b > a && s.charAt(b - 1) == ' ') b -= 1
       s.substring(a, b)
     }
-    val lt = sparkTrim(text.toLowerCase)
-    val toks: Array[String] = if (lt.isEmpty) Array.empty else lt.split("\\s+")
+    // Locale.ROOT matches Spark lower() / DuckDB lower() on every JVM locale;
+    // split limit -1 keeps a trailing empty token (Spark split and DuckDB
+    // string_split_regex both do) — sparkTrim strips ' ' only, so text
+    // ending in '\n'/'\t' yields that trailing empty exactly like the
+    // column trees and the q_repetition oracle
+    val lt = sparkTrim(text.toLowerCase(java.util.Locale.ROOT))
+    val toks: Array[String] = if (lt.isEmpty) Array.empty else lt.split("\\s+", -1)
     def dupPpm(n: Int): Long =
       if (toks.length < n) 0L
       else {
@@ -153,13 +170,15 @@ object TextStats {
       }
     val lines = text.split("\n", -1).map(sparkTrim).filter(_.nonEmpty)
     val counts = new java.util.HashMap[String, Integer]
+    // char counts are CODE POINTS — Spark length() and DuckDB length()
+    // both count code points, not UTF-16 units
     var totalChars = 0L
     lines.foreach { l =>
-      totalChars += l.length
+      totalChars += l.codePointCount(0, l.length)
       counts.merge(l, 1, (a, b) => Integer.valueOf(a + b))
     }
     var dupChars = 0L
-    lines.foreach { l => if (counts.get(l) > 1) dupChars += l.length }
+    lines.foreach { l => if (counts.get(l) > 1) dupChars += l.codePointCount(0, l.length) }
     val dupline =
       if (totalChars == 0) 0L
       else math.floor(dupChars.toDouble / totalChars.toDouble * 1000000d).toLong
@@ -191,6 +210,7 @@ object TextStats {
     * a per-position `substr` plan whose char-offset seeks made the gram
     * pass O(len²) per document. */
   def charGramHashes(s: String, k: Int): Array[Long] = {
+    require(k >= 1, s"char-gram k must be >= 1, got $k")
     val cps = s.codePoints().toArray
     val n = cps.length
     if (n < k) return Array.empty
@@ -238,7 +258,8 @@ object TextStats {
     * compiled pass per row (the HOF formulation interprets the custom
     * fingerprint expression per element — measured minutes at sf0.1). */
   def bigramBuckets(s: String, numBuckets: Int): Array[Long] = {
-    val tk = wsTokens(s.toLowerCase)
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val tk = wsTokens(s.toLowerCase(java.util.Locale.ROOT))
     if (tk.length < 2) return Array.emptyLongArray
     val out = new Array[Long](tk.length - 1)
     var i = 0
@@ -260,7 +281,8 @@ object TextStats {
     * the bigram numerator and the unigram-context denominator of
     * P(v|u) = (c(u,v)+1) / (c(u)+V). One compiled pass per row. */
   def bigramPairKeys(s: String, numBuckets: Int): Array[Long] = {
-    val tk = wsTokens(s.toLowerCase)
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val tk = wsTokens(s.toLowerCase(java.util.Locale.ROOT))
     if (tk.length < 2) return Array.emptyLongArray
     val b = new Array[Long](tk.length)
     var i = 0
@@ -338,11 +360,13 @@ object TextStats {
   }
 
   /** Word k-shingles. */
-  def shingles(s: String, k: Int): Array[String] =
-    wsTokens(s.toLowerCase) match {
+  def shingles(s: String, k: Int): Array[String] = {
+    require(k >= 1, s"shingle k must be >= 1, got $k")
+    wsTokens(s.toLowerCase(java.util.Locale.ROOT)) match {
       case toks if toks.length < k => if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
       case toks => toks.sliding(k).map(_.mkString(" ")).toArray
     }
+  }
 
   /** MinHash signature: `numHashes` independent minima over the shingle set.
     * Each shingle is byte-hashed ONCE (`hash64`) and the i-th hash function is
@@ -398,7 +422,8 @@ object TextStats {
     * set) — the same set MinHash signatures are built from, so LSH candidate
     * generation and exact verify use ONE similarity measure. */
   def shingleHashes(s: String, k: Int): Array[Long] = {
-    val sh = if (k == 1) wsTokens(s.toLowerCase) else shingles(s, k)
+    require(k >= 1, s"shingle k must be >= 1, got $k")
+    val sh = if (k == 1) wsTokens(s.toLowerCase(java.util.Locale.ROOT)) else shingles(s, k)
     if (sh.isEmpty) return Array.empty
     val hs = new Array[Long](sh.length)
     var i = 0

@@ -88,7 +88,9 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(texty) { s =>
       def trimSp(x: String) = x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
       val lt = trimSp(s.toLowerCase)
-      val toks = if (lt.isEmpty) Array.empty[String] else lt.split("\\s+")
+      // limit -1: Spark split / DuckDB string_split_regex keep the trailing
+      // empty token after non-space whitespace — the kernel mirrors them
+      val toks = if (lt.isEmpty) Array.empty[String] else lt.split("\\s+", -1)
       def dup(n: Int): Long =
         if (toks.length < n) 0L
         else {

@@ -244,7 +244,12 @@ class TrainingDataSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
     val crafted = Seq((9001L, "a b a b a b"), (9002L, ""), (9003L, "  x  "),
-      (9004L, "l1\nl1\n l1 \nl2\n\nl3"), (9005L, "one two three two one two"))
+      (9004L, "l1\nl1\n l1 \nl2\n\nl3"), (9005L, "one two three two one two"),
+      // trailing non-space whitespace: split(-1) keeps an empty token (the
+      // kernel once dropped it and diverged from the column trees here)
+      (9006L, "a a a\n"), (9007L, "x y\tx y\t"),
+      // astral chars: char accounting is code points, not UTF-16 units
+      (9008L, "😀😀\na\na\n😀😀"))
       .toDF("doc_id", "text")
     val all = docs.unionAll(crafted)
     val hof = all.select(col("doc_id"),
