@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -21,9 +22,39 @@ import graft.core.TextStats
   * the ScalaTest oracles pin them. */
 object TextHashExpressions {
 
+  /** Analysis-time input type check for the string-child kernels: without
+    * this, `simhash64(42)` fails at task runtime (or in Janino) instead of
+    * with a clean AnalysisException. */
+  private[expressions] trait StringInput { self: UnaryExpression =>
+    override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires a string argument, got ${other.catalogString}")
+    }
+  }
+
+  /** Analysis-time check for array<bigint> children — anything else would be
+    * read through ArrayData.getLong as silent garbage (e.g. array<int>
+    * elements span half a long slot each). */
+  private[expressions] trait LongArrayInput { self: UnaryExpression =>
+    override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<bigint>, got ${other.catalogString}")
+    }
+  }
+
   /** text → array<long> of LSH band keys (MinHash signature banded+hashed). */
   case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int, bands: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with StringInput {
+    require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
+    require(numHashes >= 1 && bands >= 1,
+      s"numHashes/bands must be >= 1, got $numHashes/$bands")
+    // non-divisible bands would silently ignore the numHashes % bands
+    // trailing signature rows (skewing the S-curve); bands > numHashes
+    // would give rowsPerBand = 0 — every doc the same constant band keys
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(MinHashBands.compute(
@@ -52,7 +83,7 @@ object TextHashExpressions {
   }
 
   /** text → 64-bit SimHash over whitespace tokens (lowercased). */
-  case class SimHash(child: Expression) extends UnaryExpression {
+  case class SimHash(child: Expression) extends UnaryExpression with StringInput {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       SimHash.compute(v.asInstanceOf[UTF8String].toString)
@@ -65,15 +96,15 @@ object TextHashExpressions {
 
   object SimHash {
     def compute(text: String): Long =
-      TextStats.simHash(TextStats.wsTokens(text.toLowerCase))
+      TextStats.simHash(TextStats.wsTokens(
+        text.toLowerCase(java.util.Locale.ROOT))) // JVM-locale-independent
   }
 
-  /** text → 64-bit rolling document fingerprint (TextStats.fingerprint). */
   /** text → [dup2gram_ppm, dup3gram_ppm, dupline_char_ppm] in ONE compiled
     * pass (TextStats.repetitionStats; the HOF column trees in TextFunctions
     * are CodegenFallback with per-element re-evaluation — 40s → sub-second
     * for the sf0.1 repetition sweep). */
-  case class RepetitionStats(child: Expression) extends UnaryExpression {
+  case class RepetitionStats(child: Expression) extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.repetitionStats(
@@ -86,7 +117,8 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
-  case class Fingerprint(child: Expression) extends UnaryExpression {
+  /** text → 64-bit rolling document fingerprint (TextStats.fingerprint). */
+  case class Fingerprint(child: Expression) extends UnaryExpression with StringInput {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextStats.fingerprint(v.asInstanceOf[UTF8String].toString)
@@ -101,7 +133,7 @@ object TextHashExpressions {
     * (TextStats.shingleHashes; k=1 ≡ the token set) — computed ONCE per row
     * on the scan side of the candidate join so the per-pair similarity work
     * is a plain merge loop. */
-  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.shingleHashes(v.asInstanceOf[UTF8String].toString, k))
@@ -117,7 +149,7 @@ object TextHashExpressions {
     * gram starting at code point i), one pass per row. The scan-side kernel
     * of substring dedup: emits 8 bytes per position instead of a k-char
     * substring, and avoids per-position substring seeks. */
-  case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.charGramHashes(v.asInstanceOf[UTF8String].toString, k))
@@ -132,7 +164,7 @@ object TextHashExpressions {
   /** text → [n_codepoints, quantized entropy sum] in one compiled pass
     * (TextStats.charEntropyTerms) — the per-row histogram lives entirely
     * inside the kernel, so no explode/groupBy shuffle per (doc, char). */
-  case class CharEntropy(child: Expression) extends UnaryExpression {
+  case class CharEntropy(child: Expression) extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.charEntropyTerms(
@@ -149,7 +181,7 @@ object TextHashExpressions {
     * (TextStats.bigramBuckets) — the DSIR feature extractor as one compiled
     * pass. */
   case class BigramBuckets(child: Expression, numBuckets: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.bigramBuckets(
@@ -167,7 +199,7 @@ object TextHashExpressions {
     * filter: token buckets u,v packed as u*V+v per adjacent pair, document
     * order preserved (unlike the sorted-set ShingleHashes). */
   case class BigramPairKeys(child: Expression, numBuckets: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.bigramPairKeys(
@@ -183,7 +215,7 @@ object TextHashExpressions {
   /** value-string → [hll bucket, hll rank] (TextStats.hllBucketRank) in one
     * compiled pass — the map side of the approx-distinct sketch; the whole
     * sketch is then one 2^p-row hash aggregation. */
-  case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
+  case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.hllBucketRank(
@@ -200,7 +232,7 @@ object TextHashExpressions {
     * in one compiled pass — the map side of the CMS frequency sketch; the
     * whole sketch is then one depth×width-row hash aggregation. */
   case class CmsBuckets(child: Expression, depth: Int, width: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with StringInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(TextStats.cmsBuckets(
@@ -220,15 +252,21 @@ object TextHashExpressions {
     * tokens whose estimate clears the threshold reach the exact-count
     * shuffle, and the estimate is an upper bound, so the gate never drops a
     * true heavy hitter. */
-  case class CmsEstimate(child: Expression, state: Array[Long],
-                         depth: Int, width: Int) extends UnaryExpression {
+  // state is a Seq (not Array) so case-class equality is STRUCTURAL: two
+  // expressions built from the same collected sketch compare semanticEquals
+  // and canonicalize together (subexpression elimination, cached-plan reuse);
+  // an Array field would compare by reference and always miss.
+  case class CmsEstimate(child: Expression, state: Seq[Long],
+                         depth: Int, width: Int)
+      extends UnaryExpression with StringInput {
     require(state.length == depth * width, "cms state shape mismatch")
+    @transient private lazy val stateArr: Array[Long] = state.toArray
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextStats.cmsEstimateFromState(
-        v.asInstanceOf[UTF8String].toString, state, depth, width)
+        v.asInstanceOf[UTF8String].toString, stateArr, depth, width)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("cmsState", state, "long[]")
+      val ref = ctx.addReferenceObj("cmsState", stateArr, "long[]")
       nullSafeCodeGen(ctx, ev, v =>
         s"${ev.value} = graft.core.TextStats.cmsEstimateFromState(" +
           s"$v.toString(), $ref, $depth, $width);")
@@ -242,6 +280,14 @@ object TextHashExpressions {
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
   case class SortedLongJaccard(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"sorted_jaccard requires two array<bigint> arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       SortedLongJaccard.compute(
@@ -262,6 +308,11 @@ object TextHashExpressions {
       val na = a.numElements(); val nb = b.numElements()
       var i = 0; var j = 0; var inter = 0
       while (i < na && j < nb) {
+        // getLong on a null slot silently reads 0 — fail loud instead of
+        // letting two phantom zeros count as an intersection hit
+        if (a.isNullAt(i) || b.isNullAt(j))
+          throw new IllegalArgumentException(
+            "sorted_jaccard: null element in input array")
         val x = a.getLong(i); val y = b.getLong(j)
         if (x == y) { inter += 1; i += 1; j += 1 }
         else if (x < y) i += 1
@@ -281,7 +332,7 @@ object TextHashExpressions {
     * i+1 elements, which is what shared-prefix (branch/regeneration)
     * detection over conversation turns needs. Cross-engine replayable with
     * the split-multiply HUGEINT arithmetic the other hash oracles use. */
-  case class PrefixChain(child: Expression) extends UnaryExpression {
+  case class PrefixChain(child: Expression) extends UnaryExpression with LongArrayInput {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(PrefixChain.compute(
@@ -302,6 +353,11 @@ object TextHashExpressions {
       var acc = 0L
       var i = 0
       while (i < n) {
+        // a null slot would read as hash 0, emitting a valid-looking chain
+        // for a sequence with a hole — fail loud
+        if (hs.isNullAt(i))
+          throw new IllegalArgumentException(
+            "prefix_chain: null element in input array")
         acc = acc * Prime + hs.getLong(i)
         out(i) = acc
         i += 1
@@ -347,5 +403,5 @@ object TextHashExpressions {
     column(CmsBuckets(expression(value), depth, width))
 
   def cms_estimate(value: Column, state: Array[Long], depth: Int, width: Int): Column =
-    column(CmsEstimate(expression(value), state, depth, width))
+    column(CmsEstimate(expression(value), state.toIndexedSeq, depth, width))
 }
