@@ -33,8 +33,9 @@ object Kernels {
   def repetitionStats(text: String): Array[Long] =
     graft.core.TextStats.repetitionStats(text)
 
-  def centroidArgmax(v: ArrayData, centroids: Array[Array[Float]]): Int =
-    VectorExpressions.CentroidArgmax.compute(v, centroids)
+  def centroidArgmax(v: ArrayData, centroids: Array[Array[Float]],
+                     centNorms: Array[Double]): Int =
+    VectorExpressions.CentroidArgmax.compute(v, centroids, centNorms)
 
   def quantizeInt8(v: ArrayData): ArrayData =
     VectorExpressions.QuantizeInt8.compute(v)

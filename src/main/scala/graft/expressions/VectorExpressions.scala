@@ -19,8 +19,30 @@ import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   *
   * Float-math contract: accumulate dot/norms in double, element order
   * left-to-right, cosine = dot/(sqrt(na)*sqrt(nb)) — bit-identical to the
-  * HOF formulation in `VectorFunctions` and to the DuckDB oracle SQL. */
+  * HOF formulation in `VectorFunctions` and to the DuckDB oracle SQL on
+  * EQUAL-DIMENSION, NULL-FREE vectors (the only shape the engine produces).
+  * Divergence notes for malformed inputs: mismatched dimensions truncate to
+  * the shorter vector (pinned — QLearning's oracle replays exactly this),
+  * where the HOF/SQL forms would NULL-propagate; a null ARRAY ELEMENT fails
+  * loud (ArrayData would silently read it as 0.0 — the sorted_jaccard
+  * convention). */
 object VectorExpressions {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** Analysis-time check: array<float> child (wrong-typed arrays would be
+    * read through ArrayData.getFloat as silent garbage). */
+  private[expressions] trait FloatArrayInput { self: UnaryExpression =>
+    override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<float>, got ${other.catalogString}")
+    }
+  }
+
+  private def requireNoNull(a: ArrayData, i: Int, who: String): Unit =
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(s"$who: null element in input array")
 
   /** One-pass cosine similarity of two array<float> columns → double. */
   case class FloatCosine(left: Expression, right: Expression)
@@ -75,6 +97,7 @@ object VectorExpressions {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        requireNoNull(a, i, "float_cosine"); requireNoNull(b, i, "float_cosine")
         val x = a.getFloat(i).toDouble
         val y = b.getFloat(i).toDouble
         dot += x * y; na += x * x; nb += y * y
@@ -88,28 +111,20 @@ object VectorExpressions {
     * `bits` sign bits. Planes are deterministic from (seed, plane, dim) via
     * splitmix64, materialized once per executor (lazy, not per row). */
   case class HyperplaneBucket(child: Expression, bits: Int, dim: Int, seed: Long)
-      extends UnaryExpression {
+      extends UnaryExpression with FloatArrayInput {
+    // 63-bit cap: 1L << 64 wraps to 1L, silently aliasing bucket bits
+    // (recall degrades with no error); callers may cap tighter (lshTopK's
+    // bits <= 20 bounds its probe-expansion cost)
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
 
     override def dataType: DataType = LongType
 
     @transient private lazy val planes: Array[Array[Double]] =
       HyperplaneBucket.planes(bits, dim, seed)
 
-    override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), dim)
-      var bucket = 0L
-      var p = 0
-      while (p < bits) {
-        val plane = planes(p)
-        var d = 0.0
-        var i = 0
-        while (i < n) { d += a.getFloat(i).toDouble * plane(i); i += 1 }
-        if (d >= 0.0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(v: Any): Any =
+      HyperplaneBucket.compute(v.asInstanceOf[ArrayData], planes, bits, dim)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
@@ -131,12 +146,14 @@ object VectorExpressions {
 
     def compute(a: ArrayData, planes: Array[Array[Double]], bits: Int, dim: Int): Long = {
       val n = math.min(a.numElements(), dim)
+      var i = 0
+      while (i < n) { requireNoNull(a, i, "hyperplane_bucket"); i += 1 }
       var bucket = 0L
       var p = 0
       while (p < bits) {
         val plane = planes(p)
         var d = 0.0
-        var i = 0
+        i = 0
         while (i < n) { d += a.getFloat(i).toDouble * plane(i); i += 1 }
         if (d >= 0.0) bucket |= (1L << p)
         p += 1
@@ -153,17 +170,28 @@ object VectorExpressions {
     * centroid is bit-identical to [[FloatCosine]] (double accumulate in
     * element order); ties keep the lowest index. */
   case class CentroidArgmax(child: Expression, centroids: Array[Array[Float]])
-      extends UnaryExpression {
+      extends UnaryExpression with FloatArrayInput {
+    require(centroids.nonEmpty,
+      "centroid_argmax: empty centroid set (index 0 would be a phantom cluster)")
+    require(centroids.forall(_.length == centroids(0).length),
+      "centroid_argmax: centroids must share one dimension")
 
     override def dataType: DataType = IntegerType
 
+    // centroid norms are row-invariant: precompute once at plan build (the
+    // oracle's 'cn' CTE does the same), ascending-i accumulation so the
+    // doubles match the fused loop bit-for-bit on equal-dim inputs
+    @transient private lazy val centNorms: Array[Double] =
+      CentroidArgmax.norms(centroids)
+
     override def nullSafeEval(v: Any): Any =
-      CentroidArgmax.compute(v.asInstanceOf[ArrayData], centroids)
+      CentroidArgmax.compute(v.asInstanceOf[ArrayData], centroids, centNorms)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val centRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val normRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graft.expressions.Kernels.centroidArgmax($v, $centRef);")
+        s"${ev.value} = graft.expressions.Kernels.centroidArgmax($v, $centRef, $normRef);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -171,21 +199,34 @@ object VectorExpressions {
   }
 
   object CentroidArgmax {
-    def compute(a: ArrayData, centroids: Array[Array[Float]]): Int = {
+    def norms(centroids: Array[Array[Float]]): Array[Double] =
+      centroids.map { cent =>
+        var nb = 0.0; var i = 0
+        while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
+        nb
+      }
+
+    /** Query norm hoisted out of the centroid loop (one pass per row instead
+      * of nlist) and centroid norms precomputed — ~3× fewer flops in the IVF
+      * assignment / Lloyd hot loop, bit-identical on equal-dim inputs. */
+    def compute(a: ArrayData, centroids: Array[Array[Float]],
+                centNorms: Array[Double]): Int = {
+      val n = math.min(a.numElements(), centroids(0).length)
+      var na = 0.0
+      var i = 0
+      while (i < n) {
+        requireNoNull(a, i, "centroid_argmax")
+        val x = a.getFloat(i).toDouble; na += x * x; i += 1
+      }
       var best = 0
       var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < centroids.length) {
         val cent = centroids(c)
-        val n = math.min(a.numElements(), cent.length)
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val x = a.getFloat(i).toDouble
-          val y = cent(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += a.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        val nb = centNorms(c)
         val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
         if (s > bestScore) { bestScore = s; best = c }
         c += 1
@@ -199,7 +240,8 @@ object VectorExpressions {
     * floor(x + 0.5) (not round()) so half-value behavior is identical in
     * both engines. 4× memory reduction for the 100 TB ANN corpus; scales
     * cancel in cosine, so scoring needs only the int8 payload. */
-  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression with FloatArrayInput {
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
     override def nullSafeEval(v: Any): Any =
@@ -219,7 +261,14 @@ object VectorExpressions {
       var max = 0.0
       var i = 0
       while (i < n) {
+        requireNoNull(a, i, "quantize_int8")
         val m = math.abs(a.getFloat(i).toDouble)
+        // a NaN/Inf component would silently quantize the WHOLE vector to
+        // zeros (scale = Inf) or skip the max scan (NaN compares false) —
+        // its byte_cosine would then be 0.0 against everything
+        if (m.isNaN || m.isInfinite)
+          throw new IllegalArgumentException(
+            "quantize_int8: non-finite vector component")
         if (m > max) max = m
         i += 1
       }
@@ -241,6 +290,14 @@ object VectorExpressions {
     * long (exact), one double division at the end. */
   case class ByteCosine(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"byte_cosine requires two array<tinyint> arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+      }
     override def dataType: DataType = DoubleType
 
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -261,6 +318,7 @@ object VectorExpressions {
       var dot = 0L; var na = 0L; var nb = 0L
       var i = 0
       while (i < n) {
+        requireNoNull(a, i, "byte_cosine"); requireNoNull(b, i, "byte_cosine")
         val x = a.getByte(i).toLong
         val y = b.getByte(i).toLong
         dot += x * y; na += x * x; nb += y * y

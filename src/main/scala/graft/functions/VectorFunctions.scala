@@ -35,20 +35,9 @@ object VectorFunctions {
         / n.cast("decimal(28,10)")).cast("double"))
   }
 
-  /** Random-hyperplane LSH bucket: `bits` sign-bits of dot products against
-    * deterministic pseudo-random planes derived from (planeSeed, dim index).
-    * Plane component for (p, i) = splitmix-ish hash mapped to [-0.5, 0.5);
-    * built as an expression over the vector, no UDF. */
-  def hyperplaneBucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes: Seq[Column] = (0 until bits).map { p =>
-      val comps = transform(sequence(lit(0), lit(dim - 1)), i => {
-        val h = xxhash64(lit(seed), lit(p), i)
-        (h.cast("double") / lit(Long.MaxValue.toDouble)) / 2.0
-      })
-      dot(v, comps)
-    }
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, p)) =>
-      acc.bitwiseOR(when(d >= 0.0, shiftleft(lit(1L), p)).otherwise(0L))
-    }
-  }
+  // NOTE: LSH bucketing lives ONLY in VectorExpressions.HyperplaneBucket
+  // (splitmix64 planes, pinned by the bucket oracles). A HOF lookalike that
+  // derived planes from xxhash64 under the same name/signature used to sit
+  // here — removed: it produced entirely different buckets and no operator
+  // called it.
 }

@@ -128,15 +128,16 @@ object SimilaritySearch {
       val dim = centroids.head.length
       var iter = 0
       while (iter < lloydIters) {
-        val bc = spark.sparkContext.broadcast(centroids)
+        val bc = spark.sparkContext.broadcast(
+          (centroids, graft.expressions.VectorExpressions.CentroidArgmax.norms(centroids)))
         val partials = vecs.select(col("vec")).as[Array[Float]]
           .mapPartitions { it =>
-            val cents = bc.value
+            val (cents, cnorms) = bc.value
             val sums = Array.ofDim[Double](cents.length, dim)
             val counts = new Array[Long](cents.length)
             it.foreach { v =>
               val c = graft.expressions.VectorExpressions.CentroidArgmax.compute(
-                org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), cents)
+                org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), cents, cnorms)
               var i = 0
               while (i < math.min(v.length, dim)) { sums(c)(i) += v(i); i += 1 }
               counts(c) += 1
