@@ -38,9 +38,30 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Expected argument count per function — enforced by a named error
+    * before the builder indexes `args(i)` (a missing argument would
+    * otherwise surface as a bare IndexOutOfBoundsException with no mention
+    * of the function or its signature). */
+  private val arities: Map[String, Int] = Map(
+    "float_cosine" -> 2, "hyperplane_bucket" -> 3, "minhash_bands" -> 4,
+    "simhash64" -> 1, "fingerprint64" -> 1, "prefix_chain" -> 1,
+    "hll_bucket_rank" -> 2, "cms_buckets" -> 3, "bigram_pair_keys" -> 2,
+    "zorder2" -> 2, "kmv_agg" -> 2, "topk_agg" -> 3, "seq_ratio" -> 2,
+    "token_sort_ratio" -> 2, "bottomk_agg" -> 3)
+
   /** (identifier, info, builder) triples shared by the builder-time injection
     * and the existing-session registration path. */
-  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    rawFunctions.map { case (id, fi, b) =>
+      val n = arities(id.funcName)
+      (id, fi, (args: Seq[Expression]) => {
+        if (args.length != n) throw new IllegalArgumentException(
+          s"${id.funcName} requires $n arguments (${fi.getUsage}), got ${args.length}")
+        b(args)
+      })
+    }
+
+  private def rawFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_cosine"),
       info("float_cosine", "_FUNC_(a, b) - one-pass cosine of two array<float>"),
       (args: Seq[Expression]) => FloatCosine(args(0), args(1))),

@@ -84,6 +84,28 @@ object RankAggregates {
         Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
       Seq(LongType, StringType)
 
+    // the implicit numeric->long coercion above would silently TRUNCATE a
+    // fractional rank (0.91 -> 0), degrading "top-k by score" to garbage
+    // with no error — reject fractional ranks loudly; callers quantize
+    // scores to an integer rank first (the repo-wide ppm convention)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      def isFractional(t: DataType): Boolean = t match {
+        case DoubleType | FloatType | _: DecimalType => true
+        case _ => false
+      }
+      val fractionalRank = left match {
+        case Cast(c, LongType, _, _) => isFractional(c.dataType)
+        case _ => isFractional(left.dataType)
+      }
+      if (fractionalRank)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName rank must be integral — quantize fractional scores " +
+            "to a long rank (e.g. ppm) first; an implicit cast would truncate")
+      else super.checkInputDataTypes()
+    }
+
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("rank", LongType, nullable = false),
       StructField("id", StringType, nullable = false))), containsNull = false)
@@ -91,7 +113,10 @@ object RankAggregates {
     override def prettyName: String =
       if (descending) "topk_agg" else "bottomk_agg"
 
-    private def comparator: Comparator[Entry] = new Comparator[Entry] {
+    // transient lazy: one Comparator per operator instance (not per group
+    // buffer / per deserialized partial); Comparator is not Serializable so
+    // it must not ride the Java-serialized expression tree
+    @transient private lazy val comparator: Comparator[Entry] = new Comparator[Entry] {
       override def compare(a: Entry, b: Entry): Int = {
         val byRank = if (descending) java.lang.Long.compare(b.rank, a.rank)
                      else java.lang.Long.compare(a.rank, b.rank)
@@ -107,8 +132,17 @@ object RankAggregates {
       val r = left.eval(input)
       val id = right.eval(input)
       if (r != null && id != null) {
-        buf.add(Entry(r.asInstanceOf[Long], id.asInstanceOf[UTF8String].clone()))
-        if (buf.size > k) { buf.pollLast(); () }
+        val rank = r.asInstanceOf[Long]
+        val idU = id.asInstanceOf[UTF8String]
+        // fast reject on a full buffer: probe with the UNCLONED id (the
+        // comparator only reads bytes during compare) — a candidate at or
+        // after the current worst either loses or duplicates it, so the
+        // clone + Entry + TreeSet insert/rebalance are skipped for the vast
+        // majority of rows in a large group
+        if (buf.size < k || comparator.compare(Entry(rank, idU), buf.last()) < 0) {
+          buf.add(Entry(rank, idU.clone()))
+          if (buf.size > k) { buf.pollLast(); () }
+        }
       }
       buf
     }

@@ -110,6 +110,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(cmpZ(z(-1L, 0L), z(0L, 0L)) < 0)  // signed order preserved
       val zr = spark.sql("SELECT zorder2(3L, 9L)").collect().head
       assert(java.util.Arrays.equals(zr.getAs[Array[Byte]](0), z(3L, 9L)))
+      // fractional rank would silently truncate to 0 under the implicit
+      // numeric->long coercion — must be a loud analysis error instead
+      val fracErr = intercept[Exception] {
+        spark.sql(
+          "SELECT topk_agg(score, id, 2) FROM (SELECT 0.91d AS score, 'a' AS id)"
+        ).collect()
+      }
+      assert(fracErr.getMessage.contains("integral"), fracErr.getMessage)
+
+      // wrong argument count: named error, not a bare IndexOutOfBounds
+      val arityErr = intercept[Exception] {
+        spark.sql("SELECT topk_agg(1L, 'a') FROM (SELECT 1)").collect()
+      }
+      assert(arityErr.getMessage.contains("topk_agg") &&
+        arityErr.getMessage.contains("3"), arityErr.getMessage)
     } finally {
       // do not stop: the underlying SparkContext is shared with TestSpark's
       // session in this JVM; stopping would kill other suites' session.
