@@ -52,7 +52,34 @@ object SketchAggregates {
     override def inputTypes:
         Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
       Seq(org.apache.spark.sql.types.LongType)
-    require(k >= 2, s"kmv_agg needs k >= 2, got $k")
+    // 2^24 ceiling: the sketch exists to be a TINY mergeable state (~40+
+    // bytes/entry boxed); beyond that the premise is wrong and serialize's
+    // 4 + 8*size Int arithmetic eventually overflows
+    require(k >= 2 && k <= (1 << 24), s"kmv_agg needs k in [2, 2^24], got $k")
+
+    // the implicit numeric->long coercion would silently TRUNCATE a
+    // fractional "fingerprint" (collapsing distinct values) and a string
+    // child would coerce to mostly-NULLs (silently empty sketch) — reject
+    // both loudly, mirroring TopKAgg's rank guard
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types._
+      def isLossy(t: DataType): Boolean = t match {
+        case DoubleType | FloatType | _: DecimalType | _: StringType => true
+        case _ => false
+      }
+      val lossy = child match {
+        case Cast(c, LongType, _, _) => isLossy(c.dataType)
+        case _ => isLossy(child.dataType)
+      }
+      if (lossy)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "kmv_agg fingerprint must be an integral column — hash raw values " +
+            "first (e.g. fingerprint64(text)); an implicit cast would " +
+            "truncate or null them out")
+      else super.checkInputDataTypes()
+    }
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
@@ -67,8 +94,14 @@ object SketchAggregates {
       // null fingerprints (null inputs) never enter the sketch — the
       // bottomK contract shared with TrainingData.kmvSketch
       if (v != null) {
-        buf.add(v.asInstanceOf[Long] ^ Long.MinValue)
-        if (buf.size > k) { buf.pollLast(); () }
+        val flipped = v.asInstanceOf[Long] ^ Long.MinValue
+        // fast reject on a full buffer: a fingerprint at or above the
+        // current k-th minimum can never enter — skip the boxed-Long
+        // allocation and the two O(log k) rebalances (add + pollLast)
+        if (buf.size < k || flipped < buf.last()) {
+          buf.add(flipped)
+          if (buf.size > k) { buf.pollLast(); () }
+        }
       }
       buf
     }
