@@ -23,31 +23,47 @@ object BinaryPayloads {
 
   case class LexedLine(doc: String, page_idx: Int, line_idx: Int, line: String)
 
+  /** GZIPInputStream exposing the inflater's unconsumed-input count, for
+    * trailing-junk detection after a (possibly silently truncated) EOF. */
+  private final class PeekGzip(in: java.io.InputStream)
+      extends java.util.zip.GZIPInputStream(in) {
+    def unread: Int = inf.getRemaining
+  }
+
   /** Raw binaryFile frame: (path, modificationTime, length, content). */
   def read(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
 
+  /** conv_id = filename stem — the reference's own convention (F9/X14 stem
+    * lineage). CONTRACT: stems must be unique across the glob; two distinct
+    * files with equal stems (a/doc.txt + b/doc.txt) would merge into one
+    * "conversation" with duplicate turn indices, and map-side code cannot
+    * detect the cross-task collision. Callers with ambiguous layouts should
+    * pre-rename or partition the glob. */
   private def stem(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')
     if (dot > 0) base.substring(0, dot) else base
   }
 
-  /** Split a byte payload on `sep` without copying the whole array per page. */
-  private[sources] def splitBytes(bytes: Array[Byte], sep: Byte): IndexedSeq[String] = {
-    val out = IndexedSeq.newBuilder[String]
-    var start = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == sep) {
-        out += new String(bytes, start, i - start, StandardCharsets.UTF_8)
-        start = i + 1
+  /** Split a byte payload on `sep` LAZILY: one page String materialized at a
+    * time (the raw byte array is the only whole-file resident; an eager
+    * splitter would hold every page's UTF-16 chars alongside it — a ~3×
+    * heap spike at the 2 GB binaryFile cap). */
+  private[sources] def splitBytes(bytes: Array[Byte], sep: Byte): Iterator[String] =
+    new Iterator[String] {
+      private var start = 0
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): String = {
+        if (done) throw new NoSuchElementException
+        var i = start
+        while (i < bytes.length && bytes(i) != sep) i += 1
+        val s = new String(bytes, start, i - start, StandardCharsets.UTF_8)
+        if (i >= bytes.length) done = true else start = i + 1
+        s
       }
-      i += 1
     }
-    out += new String(bytes, start, bytes.length - start, StandardCharsets.UTF_8)
-    out.result()
-  }
 
   /** Payload files → per-page turns: conv_id = file stem, turn_idx = page
     * ordinal (form-feed-separated). Feed straight into Extraction.extract. */
@@ -71,7 +87,7 @@ object BinaryPayloads {
       .mapPartitions(_.flatMap { case (path, bytes) =>
         val doc = stem(path)
         splitBytes(bytes, 0x0C.toByte).zipWithIndex.flatMap { case (page, p) =>
-          page.split("\n", -1).zipWithIndex.map { case (l, i) =>
+          page.split("\n", -1).iterator.zipWithIndex.map { case (l, i) =>
             LexedLine(doc, p, i, if (l.endsWith("\r")) l.dropRight(1) else l)
           }
         }
@@ -86,9 +102,15 @@ object BinaryPayloads {
     * can re-extract the bytes arithmetically. */
   def gunzipTexts(df: DataFrame, idCol: String, payloadCol: String,
                   maxBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    require(idCol != "text" && idCol != "n_bytes",
+      s"idCol '$idCol' collides with an output column (text, n_bytes)")
     val spark = df.sparkSession
     import spark.implicits._
+    // null/uncastable ids cannot survive the typed (Long, _) decode — the
+    // encoder would throw OUTSIDE the per-row try below and kill the task;
+    // drop them up front (the repo-wide null-id convention)
     df.select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(idCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, gz) =>
         // corrupt-member contract (web-scale shards WILL contain bad magic /
@@ -96,9 +118,10 @@ object BinaryPayloads {
         // survives with NULL text and n_bytes = -1 instead of failing the
         // task. The bomb cap matters because an OutOfMemoryError from an
         // unbounded inflate is fatal and would escape any catch.
+        val bis = new java.io.ByteArrayInputStream(gz)
+        var in: PeekGzip = null
         try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(gz))
+          in = new PeekGzip(bis)
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var total = 0L
@@ -109,14 +132,29 @@ object BinaryPayloads {
             if (total > maxBytes) bomb = true
             else { out.write(buf, 0, n); n = in.read(buf) }
           }
-          in.close()
-          if (bomb) (id, null: String, -1L)
+          // the JDK inflater SILENTLY truncates at a corrupt non-first
+          // member (readTrailer swallows a malformed next header and
+          // reports clean EOF — verified empirically): leftover unconsumed
+          // input at EOF means exactly that, so the row degrades to the
+          // corrupt contract instead of passing partial text off as the
+          // whole document. At a CLEAN final EOF the un-drained count is
+          // exactly the 8-byte trailer (readTrailer reads it via a side
+          // SequenceInputStream without decrementing the inflater's
+          // remaining), so the junk threshold is > 8. (Junk of <= 8 bytes
+          // can still evade detection — an accepted residual.)
+          val leftover = !bomb && (in.unread + bis.available()) > 8
+          if (bomb || leftover) (id, null: String, -1L)
           else {
             val b = out.toByteArray
             (id, new String(b, StandardCharsets.UTF_8), b.length.toLong)
           }
         } catch { case scala.util.control.NonFatal(_) =>
           (id, null: String, -1L)
+        } finally {
+          // releases the Inflater's native zlib memory NOW, not at GC —
+          // millions of corrupt rows would otherwise accumulate native
+          // allocations invisible to the heap
+          if (in != null) in.close()
         }
       })
       .toDF(idCol, "text", "n_bytes")

@@ -808,6 +808,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2.size == 6)
     Seq(10L, 11L, 12L).foreach(id => assert(got2(id) == ((null, -1L)), s"id $id"))
     texts.foreach { case (id, t) => assert(got2(id)._1 == t) } // valid rows intact
+    // a corrupt SECOND member must not silently truncate to the first
+    // member's text (the JDK swallows a malformed next header as clean EOF);
+    // a VALID concatenated pair must decode both members
+    val junk = Array.fill[Byte](32)(0x55)
+    val twoValid = stored.head._2 ++ BinaryPayloads.gzipStored(" tail")
+    val mixed2 = Seq((20L, stored.head._2 ++ junk), (21L, twoValid))
+      .toDF("doc_id", "payload")
+    val got3 = BinaryPayloads.gunzipTexts(mixed2, "doc_id", "payload")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got3(20L) == ((null, -1L)), s"trailing junk must corrupt the row: ${got3(20L)}")
+    assert(got3(21L)._1 == texts.head._2 + " tail")
+    // null ids are dropped, not a task crash; id-name collision fails loud
+    val withNullId = Seq((java.lang.Long.valueOf(30L), stored.head._2),
+      (null.asInstanceOf[java.lang.Long], stored.head._2)).toDF("doc_id", "payload")
+    assert(BinaryPayloads.gunzipTexts(withNullId, "doc_id", "payload").count() == 1)
+    intercept[IllegalArgumentException] {
+      BinaryPayloads.gunzipTexts(mixed2, "text", "payload")
+    }
   }
 
   test("gzipStoredBlocks: multi-block framing walks and decodes; edge sizes") {
