@@ -1198,6 +1198,14 @@ object SparkEntry {
       graft.operators.TableBlocks.extract(
         fixtureTable(s, 200).as[graft.core.TurnSlim]).toDF
     }),
+    // S3 with the reference's capture gate: tables only from the first
+    // 'CIS Controls:' page onward, stopping after the first captured page
+    // whose next page is blank (Mutiple_CIS_Pdfs.py:20-47)
+    "q_table_blocks_gated" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.TableBlocks.extractGated(
+        fixtureTable(s, 200).as[graft.core.TurnSlim]).toDF
+    }),
     // J9/A4: union-fit TF-IDF best match — exact-vocabulary variant (the
     // reference's TfidfVectorizer has no hashing either), DuckDB-oracled;
     // the HashingTF variant stays unit-tested as the dense-vector path
@@ -1883,6 +1891,53 @@ ro AS (SELECT p.pid, COALESCE(m.m, 0) AS m, p.la, p.lb,
 
   /** X4 line-FSM replica (groups + occ re-derivation), parameterized by
     * fixture path — same sharing. */
+  /** Long-form pipe-table cell replica, parameterized by the page CTE so the
+    * plain and capture-gated variants share one block/uniquify/arity chain.
+    * `pagesCte` must define CTE `t(conv_id, turn_idx, text)`. */
+  private def tableBlocksCellsSql(pagesCte: String): String =
+    s"""WITH $pagesCte,
+pl AS (SELECT conv_id, turn_idx,
+         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
+         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
+       FROM t),
+tl AS (SELECT conv_id, turn_idx, line, li,
+         li - ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY li) AS grp
+       FROM pl WHERE line LIKE '%|%'),
+blocks AS (SELECT conv_id, turn_idx, grp, MIN(li) AS hdr_li, COUNT(*) AS n
+           FROM tl GROUP BY conv_id, turn_idx, grp HAVING COUNT(*) >= 2),
+bidx AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY hdr_li) - 1 AS INT) AS table_idx
+         FROM blocks),
+hdr AS (SELECT b.conv_id, b.turn_idx, b.grp, b.table_idx,
+          list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS rawnames
+        FROM bidx b JOIN tl l ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.li = b.hdr_li),
+hcells AS (SELECT conv_id, turn_idx, grp, table_idx,
+             unnest(rawnames) AS rawname,
+             unnest(generate_series(0, len(rawnames)-1)) AS pos,
+             len(rawnames) AS arity
+           FROM hdr),
+uniq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp, rawname ORDER BY pos) - 1 AS INT) AS occ
+         FROM hcells),
+hnames AS (SELECT conv_id, turn_idx, grp, table_idx, pos, arity,
+             CASE WHEN occ = 0 THEN rawname ELSE rawname || '_' || occ END AS column
+           FROM uniq),
+drows AS (SELECT l.conv_id, l.turn_idx, l.grp, b.table_idx,
+            list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS cells, l.li
+          FROM tl l JOIN bidx b ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.grp = b.grp
+          WHERE l.li > b.hdr_li),
+dkept AS (SELECT d.*, h.arity FROM drows d
+          JOIN (SELECT DISTINCT conv_id, turn_idx, grp, arity FROM hnames) h
+            ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp
+          WHERE len(d.cells) = h.arity),
+dnum AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp ORDER BY li) - 1 AS INT) AS row_idx
+         FROM dkept),
+dcells AS (SELECT conv_id, turn_idx, grp, table_idx, row_idx,
+             unnest(cells) AS value,
+             unnest(generate_series(0, len(cells)-1)) AS pos
+           FROM dnum)
+SELECT d.conv_id, d.turn_idx, d.table_idx, d.row_idx, h.column, d.value
+FROM dcells d JOIN hnames h
+  ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp AND d.pos = h.pos"""
+
   private def lineFsmOracleSql(path: String): String =
     s"""WITH t AS (SELECT * FROM read_parquet('$path')),
 pl AS (SELECT conv_id, turn_idx,
@@ -1911,7 +1966,9 @@ numbered AS (
   FROM sec),
 maxlen AS (SELECT conv_id, MAX(cnt) AS maxlen FROM
   (SELECT conv_id, name, COUNT(*) cnt FROM numbered GROUP BY conv_id, name) GROUP BY conv_id),
-names AS (SELECT DISTINCT conv_id, name FROM numbered),
+-- the synthesized Title REPLACES any FSM-opened 'Title' section (the
+-- reference overwrites parsed_data['Title']); its rows still counted in maxlen
+names AS (SELECT DISTINCT conv_id, name FROM numbered WHERE name <> 'Title'),
 expanded AS (
   SELECT n.conv_id, n.name AS section, unnest(generate_series(0, m.maxlen - 1)) AS row
   FROM names n JOIN maxlen m ON n.conv_id = m.conv_id),
@@ -3734,22 +3791,24 @@ FROM lstats""",
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
            FROM events) WHERE rn = 1""",
     "q_sessionize" ->
+      // exact-microsecond gap arithmetic, mirroring byGap (a floored
+      // whole-second replica under-splits sub-second streams)
       """WITH o AS (
-           SELECT user_id, event_id, ts, epoch_us(ts)//1000000 AS sec,
-                  lag(epoch_us(ts)//1000000) OVER
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events),
-         b AS (SELECT user_id, event_id, ts, sec,
-                      CASE WHEN prev IS NOT NULL AND sec - prev > 1800
+         b AS (SELECT user_id, event_id, ts, us,
+                      CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
                            THEN 1 ELSE 0 END AS brk FROM o),
-         s AS (SELECT user_id, sec,
+         s AS (SELECT user_id, us,
                       sum(brk) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
                FROM b)
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                 COUNT(*) AS n_events,
-                CAST(min(sec) AS BIGINT) AS start_epoch,
-                CAST(max(sec) AS BIGINT) AS end_epoch
+                CAST(min(us)//1000000 AS BIGINT) AS start_epoch,
+                CAST(max(us)//1000000 AS BIGINT) AS end_epoch
          FROM s GROUP BY user_id, session_idx""",
     "q_session_window" ->
       """WITH o AS (
@@ -4082,75 +4141,58 @@ JOIN part rp ON rp.p_partkey = b.control_id"""
            FROM read_parquet('$FixtureDir/slim100/*.parquet'))
          WHERE LENGTH(anchored) > 0""",
     "q_paragraph_bounded" ->
+      // leading \b only (anchor ends in ':'); per-match strip mirrors the
+      // reference's .strip() on every span
       s"""SELECT conv_id, turn_idx, LEN(paras) AS n, LENGTH(paras[1]) AS first_len
          FROM (SELECT conv_id, turn_idx,
-                 regexp_extract_all(text, '(?s)(\\bCIS Controls:.*?)(?:\\n\\n|$$)', 1) AS paras
+                 list_transform(
+                   regexp_extract_all(text, '(?s)(\\bCIS Controls:.*?)(?:\\n\\n|$$)', 1),
+                   p -> regexp_replace(p, '^\\s+|\\s+$$', '', 'g')) AS paras
                FROM read_parquet('$FixtureDir/slim120/*.parquet'))
          WHERE LEN(paras) > 0""",
     "q_anchored_rows" ->
+      // tail = text AFTER the greedy anchor match (text[match.end():]); each
+      // line stripped and matched START-anchored — the reference's
+      // table_pattern.match(line.strip())
       s"""WITH t AS (
            SELECT conv_id, turn_idx,
              CASE WHEN regexp_matches(text, 'CIS Controls[:\\s]*')
-                  THEN regexp_extract(text, '(?s)(CIS Controls[:\\s]*.*)', 1)
+                  THEN regexp_extract(text, '(?s)CIS Controls[:\\s]*(.*)', 1)
                   ELSE '' END AS tail
            FROM read_parquet('$FixtureDir/slim120/*.parquet')),
          lines AS (
            SELECT conv_id, turn_idx,
              unnest(generate_series(0, LEN(string_split(tail, chr(10))) - 1)) AS line_idx,
              unnest(string_split(tail, chr(10))) AS line
-           FROM t)
+           FROM t),
+         stripped AS (
+           SELECT conv_id, turn_idx, line_idx,
+             regexp_replace(line, '^\\s+|\\s+$$', '', 'g') AS line
+           FROM lines)
          SELECT conv_id, turn_idx, line_idx,
-           regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 1) AS g1,
-           regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 2) AS g2,
-           SUBSTRING(regexp_extract(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)', 3), 1, 30) AS g3
-         FROM lines WHERE regexp_matches(line, '(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*)')""",
+           regexp_extract(line, '^(?:(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*))', 1) AS g1,
+           regexp_extract(line, '^(?:(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*))', 2) AS g2,
+           SUBSTRING(regexp_extract(line, '^(?:(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*))', 3), 1, 30) AS g3
+         FROM stripped WHERE regexp_matches(line, '^(?:(v\\d+)\\s+(\\d+\\.\\d+)\\s+(\\w.*))')""",
     "q_keyword_windows" -> keywordWindowsOracleSql(s"$FixtureDir/slim150/*.parquet"),
     "q_keyword_windows_fuzz" -> keywordWindowsOracleSql(s"$FixtureDir/soup160/*.parquet"),
     "q_line_fsm" -> lineFsmOracleSql(s"$FixtureDir/slim150/*.parquet"),
     "q_line_fsm_fuzz" -> lineFsmOracleSql(s"$FixtureDir/soup160/*.parquet"),
-    "q_table_blocks" ->
-      s"""WITH t AS (SELECT * FROM read_parquet('$FixtureDir/slim200/*.parquet')),
-pl AS (SELECT conv_id, turn_idx,
-         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
-         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
-       FROM t),
-tl AS (SELECT conv_id, turn_idx, line, li,
-         li - ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY li) AS grp
-       FROM pl WHERE line LIKE '%|%'),
-blocks AS (SELECT conv_id, turn_idx, grp, MIN(li) AS hdr_li, COUNT(*) AS n
-           FROM tl GROUP BY conv_id, turn_idx, grp HAVING COUNT(*) >= 2),
-bidx AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY hdr_li) - 1 AS INT) AS table_idx
-         FROM blocks),
-hdr AS (SELECT b.conv_id, b.turn_idx, b.grp, b.table_idx,
-          list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS rawnames
-        FROM bidx b JOIN tl l ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.li = b.hdr_li),
-hcells AS (SELECT conv_id, turn_idx, grp, table_idx,
-             unnest(rawnames) AS rawname,
-             unnest(generate_series(0, len(rawnames)-1)) AS pos,
-             len(rawnames) AS arity
-           FROM hdr),
-uniq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp, rawname ORDER BY pos) - 1 AS INT) AS occ
-         FROM hcells),
-hnames AS (SELECT conv_id, turn_idx, grp, table_idx, pos, arity,
-             CASE WHEN occ = 0 THEN rawname ELSE rawname || '_' || occ END AS column
-           FROM uniq),
-drows AS (SELECT l.conv_id, l.turn_idx, l.grp, b.table_idx,
-            list_transform(string_split(l.line, '|'), x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS cells, l.li
-          FROM tl l JOIN bidx b ON l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx AND l.grp = b.grp
-          WHERE l.li > b.hdr_li),
-dkept AS (SELECT d.*, h.arity FROM drows d
-          JOIN (SELECT DISTINCT conv_id, turn_idx, grp, arity FROM hnames) h
-            ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp
-          WHERE len(d.cells) = h.arity),
-dnum AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp ORDER BY li) - 1 AS INT) AS row_idx
-         FROM dkept),
-dcells AS (SELECT conv_id, turn_idx, grp, table_idx, row_idx,
-             unnest(cells) AS value,
-             unnest(generate_series(0, len(cells)-1)) AS pos
-           FROM dnum)
-SELECT d.conv_id, d.turn_idx, d.table_idx, d.row_idx, h.column, d.value
-FROM dcells d JOIN hnames h
-  ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.grp = h.grp AND d.pos = h.pos""",
+    "q_table_blocks" -> tableBlocksCellsSql(
+      s"t AS (SELECT * FROM read_parquet('$FixtureDir/slim200/*.parquet'))"),
+    "q_table_blocks_gated" -> tableBlocksCellsSql(
+      s"""raw AS (SELECT conv_id, turn_idx, coalesce(text, '') AS text
+        FROM read_parquet('$FixtureDir/slim200/*.parquet')),
+g0 AS (SELECT conv_id, turn_idx, text,
+        MAX(CASE WHEN text LIKE '%CIS Controls:%' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS mk,
+        lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+       FROM raw),
+g1 AS (SELECT *, CASE WHEN mk = 1 AND nxt IS NOT NULL
+          AND regexp_matches(nxt, '^\\s*$$') THEN turn_idx END AS stop_cand FROM g0),
+g2 AS (SELECT *, MIN(stop_cand) OVER (PARTITION BY conv_id) AS stop FROM g1),
+t AS (SELECT conv_id, turn_idx, text FROM g2
+      WHERE mk = 1 AND (stop IS NULL OR turn_idx <= stop))"""),
     "q_fingerprint" ->
       """WITH h AS (
   SELECT doc_id,

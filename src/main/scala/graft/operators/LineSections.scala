@@ -32,8 +32,14 @@ object LineSections {
           val texts = ts.map(t => if (t.text == null) "" else t.text) // null ≡ empty page
           val parsed = LineFsm.parseDocument(texts)
           val title = texts.head.split('\n').headOption.getOrElse("")
+          // reference REPLACES parsed_data['Title'] with the synthesized
+          // title (mutiple_pdf_cis.py:55): an FSM-opened "Title" section (a
+          // line like "Title: Description of scope" whose text contains a
+          // keyword) must not survive alongside it — but its rows DO count
+          // toward the equalized length (equalize runs before replacement)
           val n = if (parsed.isEmpty) 0 else parsed.map(_.row).max + 1
-          parsed.map(sv => SectionRow(cid, sv.section, sv.row, sv.value)) ++
+          parsed.filterNot(_.section == "Title")
+            .map(sv => SectionRow(cid, sv.section, sv.row, sv.value)) ++
             (0 until n).map(i => SectionRow(cid, "Title", i, title))
         }
       }

@@ -28,12 +28,19 @@ object Sessionize {
   /** Per-row session index per key (0-based), ordered by (ts, tieBreak). */
   def byGap(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
             gapSeconds: Long): DataFrame = {
+    require(!df.columns.contains("session_idx"),
+      "byGap: input already has a 'session_idx' column")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
-    // NTZ-safe epoch seconds: TIMESTAMP_NTZ has no direct long cast
-    val sec = col(tsCol).cast("timestamp").cast("long")
-    val gap = sec - lag(sec, 1).over(w)
-    val brk = when(gap > gapSeconds, 1L).otherwise(0L)
-    df.withColumn("session_idx", sum(brk).over(w))
+    // exact epoch MICROSECONDS (integer, NTZ-safe): a floored whole-second
+    // cast under-splits sub-second streams (gap 1800.05s floors to 1800 and
+    // stays merged) relative to session_window's exact arithmetic; micros
+    // match both session_window and the DuckDB oracle's epoch_us exactly
+    val usec = unix_micros(col(tsCol).cast("timestamp"))
+    val gap = usec - lag(usec, 1).over(w)
+    val brk = when(gap > gapSeconds * 1000000L, 1L).otherwise(0L)
+    // null-ts rows are dropped: Spark's session_window injects an
+    // isnotnull(ts) filter, and the two formulations must agree on counts
+    df.filter(col(tsCol).isNotNull).withColumn("session_idx", sum(brk).over(w))
   }
 
   /** Session summary on top of `byGap`: one hash-agg per (key, session). */

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.core.{PyStr, TurnSlim}
 
 /** In-payload table extraction — the Spark re-expression of the reference's
@@ -46,6 +48,34 @@ object TableBlocks {
     }
     flush()
     blocks.result()
+  }
+
+  /** The reference's CAPTURE GATE applied before [[extract]]
+    * (`Mutiple_CIS_Pdfs.py:20-47`): tables are captured only from the first
+    * page containing `marker` onward, and capture STOPS after the first
+    * captured page whose NEXT page is blank (`break` out of the page loop —
+    * later marker pages are NOT re-captured). One shuffle on conv_id (two
+    * window passes share the exchange), then the stateless cell plane. */
+  def extractGated(turns: Dataset[TurnSlim],
+                   marker: String = "CIS Controls:"): Dataset[CellRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val gated = turns.toDF
+      .withColumn("text", coalesce(col("text"), lit(""))) // null ≡ empty page
+      .withColumn("_mk",
+        max(when(col("text").contains(marker), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Python: `if i+1 < len(pages) and not next_text.strip(): break` —
+      // a null lead (last page) never stops capture
+      .withColumn("_nb", lead(col("text"), 1).over(w).rlike("^\\s*$"))
+      .withColumn("_stop",
+        min(when(col("_mk") === 1 && col("_nb"), col("turn_idx")))
+          .over(Window.partitionBy("conv_id")))
+      .filter(col("_mk") === 1 &&
+        (col("_stop").isNull || col("turn_idx") <= col("_stop")))
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+    extract(gated.as[TurnSlim])
   }
 
   /** Extract all table blocks of all turns as long-form cells. Stateless per

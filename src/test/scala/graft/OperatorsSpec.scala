@@ -375,6 +375,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("RegexExtracts reference faithfulness: \\b gating, strip, end-slice, start-anchored rows") {
+    import spark.implicits._
+    import graft.operators.RegexExtracts
+    // trailing \b (word-char anchor): no match inside "ICS Controls"
+    val t1 = Seq((1L, "ICS Controls mapping\n\nICS Control 1.1 real   \n\ntail"))
+      .toDF("id", "text")
+      .select(RegexExtracts.paragraphBounded(col("text"), "ICS Control").as("p"))
+      .as[Seq[String]].head()
+    assert(t1 == Seq("ICS Control 1.1 real"), s"got $t1") // 1 span, stripped
+    // anchor ending in ':' gets no trailing \b — still matches
+    val t2 = Seq((1L, "CIS Controls: v8\n\nx")).toDF("id", "text")
+      .select(RegexExtracts.paragraphBounded(col("text"), "CIS Controls:").as("p"))
+      .as[Seq[String]].head()
+    assert(t2 == Seq("CIS Controls: v8"))
+    // anchoredRows: tail starts AFTER the greedy anchor match (the anchor
+    // line's own row-like text is consumed), and a mid-line row pattern is
+    // rejected (re.match anchors at line start)
+    val df = Seq(("c1", 0, "CIS Controls v8 5 xx\n12 good row here\nnope 34 mid line row x\n  7 stripped row ok"))
+      .toDF("conv_id", "turn_idx", "text")
+    val rows = RegexExtracts.anchoredRows(df, "text", "CIS Controls[\\s\\w]*",
+        "(\\d+)\\s+(\\w.*)", 2)
+      .select(col("g1"), col("g2")).as[(String, String)].collect().toSet
+    // the whole text is [\s\w] chars, so the reference's greedy anchor match
+    // consumes ALL of it and text[match.end():] is empty — zero rows (the
+    // old from-match-START slice emitted phantom rows here)
+    assert(rows.isEmpty, s"greedy anchor must consume its run: $rows")
+    val df2 = Seq(("c1", 0, "CIS Controls:\n12 good row here\nnope 34 mid line\n  7 stripped row ok"))
+      .toDF("conv_id", "turn_idx", "text")
+    val rows2 = RegexExtracts.anchoredRows(df2, "text", "CIS Controls:",
+        "(\\d+)\\s+(\\w.*)", 2)
+      .select(col("g1"), col("g2")).as[(String, String)].collect().toSet
+    assert(rows2 == Set(("12", "good row here"), ("7", "stripped row ok")),
+      s"got $rows2") // mid-line '34' rejected; leading-space row stripped then matched
+  }
+
+  test("TableBlocks.extractGated: capture from first marker page, stop at blank-next break") {
+    import spark.implicits._
+    import graft.core.TurnSlim
+    val conv = Seq(
+      TurnSlim("c", 0, "a|b\n1|2"),              // BEFORE marker: not captured
+      TurnSlim("c", 1, "intro CIS Controls: yes\nh1|h2\nx|y"), // captured
+      TurnSlim("c", 2, "k1|k2\np|q"),            // captured; next page blank -> break after this
+      TurnSlim("c", 3, "   \n  "),               // blank page (not captured: its own tables none)
+      TurnSlim("c", 4, "z1|z2\nm|n"))            // after break: NOT captured
+    val got = graft.operators.TableBlocks.extractGated(conv.toDS())
+      .collect().map(c => (c.turn_idx, c.column, c.value)).toSet
+    assert(got.map(_._1) == Set(1, 2), s"captured turns: ${got.map(_._1)}")
+    assert(got.contains((1, "h1", "x")) && got.contains((2, "k1", "p")))
+  }
+
   test("plsaBestMatch: overlapping left/right id spaces stay side-separated; null ids dropped") {
     import spark.implicits._
     // id 1 exists on BOTH sides with different text: the right doc must stay
