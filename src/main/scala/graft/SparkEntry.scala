@@ -1867,8 +1867,11 @@ ro AS (SELECT p.pid, COALESCE(m.m, 0) AS m, p.la, p.lb,
   private def keywordWindowsOracleSql(path: String): String =
     s"""WITH t AS (SELECT * FROM read_parquet('$path')),
          m AS (SELECT conv_id, turn_idx,
+           -- Python split(newline, maxsplit 2)[:2] keeps a trailing empty
+           -- second element (text ending in a newline gains a trailing
+           -- space in the key)
            array_to_string(list_transform(
-             (string_split(regexp_replace(text, '\\n+$$', ''), chr(10)))[1:2],
+             (string_split(text, chr(10)))[1:2],
              x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), ' ') AS key,
            regexp_extract_all(text, '(?is)description(.*?)rationale', 1) v1,
            regexp_extract_all(text, '(?is)rationale(.*?)impact', 1) v2,
@@ -1940,9 +1943,12 @@ FROM dcells d JOIN hnames h
 
   private def lineFsmOracleSql(path: String): String =
     s"""WITH t AS (SELECT * FROM read_parquet('$path')),
+-- trailing empty lines are KEPT (Python split on newline): each appends a
+-- space to the open section, so a page ending in a newline leaves a
+-- trailing space
 pl AS (SELECT conv_id, turn_idx,
-         unnest(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) AS line,
-         unnest(generate_series(0, len(string_split(regexp_replace(text, '\\n+$$', ''), chr(10))) - 1)) AS li
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(0, len(string_split(text, chr(10))) - 1)) AS li
        FROM t),
 l AS (SELECT conv_id, line,
         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, li) AS ord,
@@ -4505,14 +4511,14 @@ blk AS (SELECT conv_id, turn_idx,
 scored AS (SELECT conv_id, turn_idx, bi,
     trim(regexp_replace(
       replace(replace(replace(replace(replace(replace(
-        regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+        regexp_replace(b, '(?s)</?[A-Za-z][^>]*>|<!--.*?-->|<![^>]*>', ' ', 'g'),
         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
       '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS txt,
     length(trim(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         COALESCE(array_to_string(list_transform(
           regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
-          x -> regexp_replace(x, '(?s)<[^>]*>', ' ', 'g')), ''), ''),
+          x -> regexp_replace(x, '(?s)</?[A-Za-z][^>]*>|<!--.*?-->|<![^>]*>', ' ', 'g')), ''), ''),
         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
       '[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))) AS alen
   FROM blk),

@@ -31,7 +31,11 @@ object Boilerplate {
   private val BlockBreak = Pattern.compile(
     "(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|section|article|main|br|blockquote|pre)\\b[^>]*>")
   private val AnchorText = Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a\\s*>")
-  private val AnyTag = Pattern.compile("(?s)<[^>]*>")
+  // tag-SHAPED only: </?letter...>, comments, <!doctype...>. A bare
+  // '<[^>]*>' would classify "for (i = 0; i < n; i++) a > b" as HTML and
+  // stripTags would eat '< n; i++) a >' — plain-text corruption on the
+  // apply-to-every-turn path (Extraction stripHtml=true).
+  private val AnyTag = Pattern.compile("(?s)</?[A-Za-z][^>]*>|<!--.*?-->|<![^>]*>")
 
   def isHtml(s: String): Boolean = s.indexOf('<') >= 0 && AnyTag.matcher(s).find()
 

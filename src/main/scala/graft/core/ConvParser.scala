@@ -23,10 +23,11 @@ object ConvParser {
     if (turns.isEmpty) return Iterator.empty
     val cover = turns.head.text
     DocType.classify(cover) match {
-      case DocType.UnknownName(name) =>
-        // reference: uncaught ValueError (":79") — we flag the conversation
+      case u @ DocType.UnknownName(_) =>
+        // reference: uncaught ValueError (":79") — we flag the conversation;
+        // the label comes from ONE place (DocType.UnknownName.docType)
         turns.iterator.map(t =>
-          TurnResult(convId, t.turn_idx, valid = false, "unknown:" + name, Nil, None))
+          TurnResult(convId, t.turn_idx, valid = false, u.docType, Nil, None))
       case DocType.Classified(docType, patternStr) =>
         DocType.firstContentOrdinal(turns.iterator.map(_.text)) match {
           case None =>

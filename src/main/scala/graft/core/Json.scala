@@ -39,6 +39,8 @@ object Json {
             case 'n' => sb += '\n'
             case 'r' => sb += '\r'
             case 't' => sb += '\t'
+            case 'b' => sb += '\b' // standard writers emit \b/\f — decoding
+            case 'f' => sb += '\f' // them as literal 'b'/'f' corrupts values
             case 'u' =>
               sb += Integer.parseInt(text.substring(i + 1, i + 5), 16).toChar
               i += 4
@@ -75,6 +77,10 @@ object Json {
       skipWs()
       if (i < text.length && text(i) == ',') { i += 1; skipWs() }
     }
+    // a torn/truncated array that ends cleanly after an object's '}' must
+    // fail loudly, not parse as a shorter array
+    require(i < text.length && text(i) == ']',
+      s"unterminated array: expected ']' at $i of ${text.length}")
     out.toSeq
   }
 }

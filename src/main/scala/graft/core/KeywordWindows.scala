@@ -15,14 +15,18 @@ object KeywordWindows {
   val Keywords: Seq[String] =
     Seq("description", "rationale", "impact", "audit", "remediation", "cis control")
 
+  // UNICODE_CHARACTER_CLASS: Python 3 re gives \s Unicode semantics (NBSP
+  // U+00A0 is whitespace — common in PDF-extracted text); Java defaults to
+  // ASCII classes. The DuckDB replica's RE2 \s stays ASCII — divergent only
+  // on non-ASCII whitespace, which the ASCII fixtures never carry.
   private val pairPatterns: Seq[(String, Pattern)] =
     Keywords.sliding(2).map { case Seq(k1, k2) =>
       k1 -> Pattern.compile(k1 + "(.*?)" + k2,
-        Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+        Pattern.DOTALL | Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS)
     }.toSeq
   private val cisPattern =
     Pattern.compile("cis\\s*control\\s*\\((.*?)\\)",
-      Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+      Pattern.DOTALL | Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS)
 
   private def findAll(p: Pattern, s: String): Vector[String] = {
     val m = p.matcher(s)
@@ -32,9 +36,11 @@ object KeywordWindows {
   }
 
   /** X10: page key = first two lines, each stripped, space-joined
-    * (cis_benchmarks.py:32-33). */
+    * (cis_benchmarks.py:32-33). Python `text.split('\n', 2)[:2]` keeps a
+    * trailing EMPTY second element ('Header\n' → ['Header', ''] → key
+    * 'Header ' with a trailing space); Java limit 3 ≡ maxsplit 2. */
   def pageKey(text: String): String =
-    text.split('\n').take(2).map(PyStr.strip).mkString(" ")
+    text.split("\n", 3).take(2).map(PyStr.strip).mkString(" ")
 
   case class PageRow(key: String, row: Int, values: Map[String, String])
 

@@ -47,7 +47,10 @@ object LineFsm {
       }
     }
 
-    def feedPage(page: String): Unit = page.split('\n').foreach(feedLine)
+    // limit -1: Python's page.split('\n') KEEPS trailing empty lines, and
+    // each one appends " " + "".strip() to the open section — a page ending
+    // in '\n' leaves a trailing space the reference's values carry
+    def feedPage(page: String): Unit = page.split("\n", -1).foreach(feedLine)
 
     /** Long-form result after equalization (null-padded to max length). */
     def result(): Seq[SectionValue] = {

@@ -145,8 +145,16 @@ object RuleFsm {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
 
   /** Compile a reference doc-type pattern with Python re.DOTALL semantics.
+    * UNICODE_CHARACTER_CLASS: Python 3's \s/\d/\w are Unicode classes (\s
+    * matches NBSP U+00A0 — routine in PDF-extracted text between a rule
+    * number and '(L1)'); Java defaults them to ASCII, which would silently
+    * skip such rule headers and shift the counter alignment. The DuckDB FSM
+    * replica's RE2 classes stay ASCII — divergent only on non-ASCII
+    * whitespace, which the ASCII fixtures never carry (the Python
+    * cross-check oracle exercises the real re semantics).
     * Memoized: there are only a handful of distinct doc-type patterns but one
     * conversation each — compiling per conversation showed up in the bench. */
   def compile(pythonPattern: String): Pattern =
-    cache.computeIfAbsent(pythonPattern, p => Pattern.compile(p, Pattern.DOTALL))
+    cache.computeIfAbsent(pythonPattern, p => Pattern.compile(p,
+      Pattern.DOTALL | Pattern.UNICODE_CHARACTER_CLASS))
 }
