@@ -3732,7 +3732,8 @@ FROM t LEFT JOIN agg a ON a.id = t.id LEFT JOIN drp p ON p.id = t.id""",
     "q_repetition" ->
       """WITH base AS (SELECT doc_id,
     CASE WHEN trim(text) = '' THEN []
-         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+         ELSE list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t <> '') END AS toks,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
   FROM documents),
 grams AS (SELECT doc_id,
@@ -3930,7 +3931,8 @@ FROM lstats""",
            TRIM(regexp_replace(LOWER(text), '[^a-z\s]', '', 'g')) AS cleaned
          FROM documents)
          SELECT doc_id,
-           SUBSTRING(TRIM(string_split_regex(cleaned, '\s+')[1]), 1, 20) AS w0,
+           SUBSTRING(TRIM(list_filter(string_split_regex(cleaned, '\s+'),
+             t -> t <> '')[1]), 1, 20) AS w0,
            SUBSTRING(cleaned, 1, 40) AS cleaned40
          FROM c""",
     // ftfy-lite normalization: the messy suffix and every rule rebuilt from
@@ -3943,7 +3945,7 @@ FROM lstats""",
            chr(1) || chr(7) || 'ok' || chr(9) || 'tab  end' ||
            chr(10) || chr(10) || chr(10) || chr(10) || 'tail  ' AS t
          FROM documents)
-         SELECT doc_id, TRIM(
+         SELECT doc_id, regexp_replace(
            regexp_replace(
              regexp_replace(
                replace(
@@ -3953,11 +3955,12 @@ FROM lstats""",
                    '''''""-- '),
                  chr(8230), '...'),
                '[ \t]+', ' ', 'g'),
-             '\n{3,}', chr(10)||chr(10), 'g')) AS normalized
+             '\n{3,}', chr(10)||chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS normalized
          FROM m""",
     "q_tokens" ->
       """SELECT doc_id,
-         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+         LEN(list_filter(string_split_regex(TRIM(text), '\s+'), t -> t <> '')) AS n_tokens,
          LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
          FROM documents WHERE LENGTH(TRIM(text)) > 0""",
     "q_quality_ratios" ->
@@ -3966,7 +3969,7 @@ FROM lstats""",
              CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS alpha,
              CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct,
              LEN(regexp_extract_all(LOWER(text), '\b(a|and|for|in|is|it|of|that|the|to)\b', 1)) AS stop_en,
-             LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok,
+             LEN(list_filter(string_split_regex(TRIM(text), '\s+'), t -> t <> '')) AS n_tok,
              CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS tok_chars
            FROM documents WHERE LENGTH(text) > 0),
          q AS (
@@ -3988,7 +3991,7 @@ FROM lstats""",
              CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS alpha,
              CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct,
              LEN(regexp_extract_all(LOWER(text), '\b(a|and|for|in|is|it|of|that|the|to)\b', 1)) AS stop_en,
-             LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok,
+             LEN(list_filter(string_split_regex(TRIM(text), '\s+'), t -> t <> '')) AS n_tok,
              CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS tok_chars
            FROM documents WHERE LENGTH(text) > 0),
          q AS (
@@ -4022,7 +4025,8 @@ FROM lstats""",
          FROM h""",
     "q_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id, source,
-             list_distinct(string_split_regex(TRIM(LOWER(text)), '\s+')) AS toks
+             list_distinct(list_filter(
+               string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS toks
            FROM documents)
          SELECT l.doc_id AS left_id, r.doc_id AS right_id,
            CAST(FLOOR((CAST(LEN(list_intersect(l.toks, r.toks)) AS DOUBLE) /
@@ -4105,7 +4109,7 @@ JOIN part rp ON rp.p_partkey = b.control_id"""
         .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
       s"""SELECT doc_id, array_to_string(list_filter(
            string_split_regex(TRIM(LOWER(text)), '\\s+'),
-           t -> t NOT IN ($inList)), ' ') AS filtered
+           t -> t <> '' AND t NOT IN ($inList)), ' ') AS filtered
          FROM documents"""
     },
     "q_top5_reversed" ->

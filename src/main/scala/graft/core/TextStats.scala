@@ -79,30 +79,67 @@ object TextStats {
   /** Stopword-ratio language ID; "und" (undetermined) when nothing matches.
     * Ties broken by language code ascending (deterministic). */
   private val SortedStopWords: Seq[(String, Set[String])] = StopWords.toSeq.sortBy(_._1)
-  private val EnStopWords: Set[String] = StopWords("en")
+
+  // \b(word|word|...)\b per language — the EXACT construction of
+  // TextFunctions.stopwordHits, so kernel and column agree on every input
+  // (incl. punctuation-adjacent stopwords like "the," which a
+  // token-membership count would miss)
+  private val LangPatterns: Seq[(String, java.util.regex.Pattern)] =
+    SortedStopWords.map { case (lang, sw) =>
+      lang -> java.util.regex.Pattern.compile(
+        "\\b(" + sw.toSeq.sorted.mkString("|") + ")\\b")
+    }
+
+  private def regexHits(p: java.util.regex.Pattern, s: String): Int = {
+    val m = p.matcher(s); var c = 0
+    while (m.find()) c += 1
+    c
+  }
 
   def langId(s: String): String = {
-    val toks = wsTokens(s.toLowerCase(java.util.Locale.ROOT))
-    if (toks.isEmpty) return "und"
-    val scores = SortedStopWords.map { case (lang, sw) =>
-      lang -> toks.count(sw.contains)
-    }
+    if (s == null) return null
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val scores = LangPatterns.map { case (lang, p) => lang -> regexHits(p, lower) }
     val maxHits = scores.map(_._2).max
     if (maxHits == 0) "und" else scores.filter(_._2 == maxHits).minBy(_._1)._1
   }
 
+  private val EnStopPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "\\b(" + StopWords("en").toSeq.sorted.mkString("|") + ")\\b")
+
   /** Heuristic quality score in [0,1]: blend of length band, alpha ratio,
-    * punctuation ratio, stopword ratio, mean word length band. */
+    * punctuation ratio, stopword ratio, mean word length band.
+    *
+    * Mirrors the `TextFunctions.qualityScore` COLUMN TREES exactly — one
+    * contract, one DuckDB oracle: code-point counts, ASCII letter/digit
+    * classes, ASCII `\s`, regex `\b(stopword)\b` hits, tokens = ASCII-`\s+`
+    * split with empty tokens dropped. (An earlier kernel used Unicode
+    * isLetter and token-membership stopwords and silently diverged from the
+    * oracle-pinned columns on accented or punctuated text.) */
   def qualityScore(s: String): Double = {
-    val n = s.length
+    var alphaC = 0L; var punctC = 0L; var tokChars = 0L; var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val isAlpha = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isAlpha) alphaC += 1
+      if (!isAlpha && !isDigit && !isWs) punctC += 1
+      if (!isWs) tokChars += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
     if (n == 0) return 0.0
-    val toks = wsTokens(s)
-    val alpha = s.count(_.isLetter).toDouble / n
-    val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / n
-    val sw = if (toks.isEmpty) 0.0
-      else toks.count(t => EnStopWords.contains(
-        t.toLowerCase(java.util.Locale.ROOT))).toDouble / toks.length
-    val meanWord = if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length
+    val nTok = s.split("\\s+").count(_.nonEmpty)
+    val alpha = alphaC.toDouble / n
+    val punct = punctC.toDouble / n
+    val sw = if (nTok == 0) 0.0
+      else regexHits(EnStopPattern,
+        s.toLowerCase(java.util.Locale.ROOT)).toDouble / nTok
+    val meanWord = if (nTok == 0) 0.0 else tokChars.toDouble / nTok
     val lenBand = math.min(1.0, n / 200.0)
     val wordBand = if (meanWord >= 3 && meanWord <= 10) 1.0 else 0.5
     val p = 0.3 * lenBand + 0.25 * alpha + 0.2 * math.min(sw * 4, 1.0) +
@@ -145,13 +182,15 @@ object TextStats {
       while (b > a && s.charAt(b - 1) == ' ') b -= 1
       s.substring(a, b)
     }
-    // Locale.ROOT matches Spark lower() / DuckDB lower() on every JVM locale;
-    // split limit -1 keeps a trailing empty token (Spark split and DuckDB
-    // string_split_regex both do) — sparkTrim strips ' ' only, so text
-    // ending in '\n'/'\t' yields that trailing empty exactly like the
-    // column trees and the q_repetition oracle
+    // Locale.ROOT matches Spark lower() / DuckDB lower() on every JVM
+    // locale. Tokens follow the ONE repo-wide convention (Python
+    // str.split() semantics): split on \s+ runs, empty tokens dropped —
+    // identical to the fixed TextFunctions.wsTokens column tree and the
+    // list_filter'd oracles on every input, trailing/leading whitespace
+    // included.
     val lt = sparkTrim(text.toLowerCase(java.util.Locale.ROOT))
-    val toks: Array[String] = if (lt.isEmpty) Array.empty else lt.split("\\s+", -1)
+    val toks: Array[String] =
+      if (lt.isEmpty) Array.empty else lt.split("\\s+").filter(_.nonEmpty)
     def dupPpm(n: Int): Long =
       if (toks.length < n) 0L
       else {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's two string-similarity scorers as codegen expressions —
@@ -24,9 +25,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns for a broadcast-nested-loop pair set, not a per-token scan. */
 object StringSimilarity {
 
+  /** Analysis-time string check (both scorers are SQL-registered with
+    * arbitrary user columns; a bigint child would otherwise die at runtime
+    * in codegen/ClassCastException instead of a clear analysis error). */
+  private def checkBothStrings(name: String, left: Expression,
+                               right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires two string arguments, got ${l.catalogString} and ${r.catalogString}")
+    }
+
   /** (a, b) → difflib SequenceMatcher ratio, double in [0, 1]. */
   case class SeqRatio(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkBothStrings("seq_ratio", left, right)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       graft.core.SeqMatcher.ratio(
@@ -42,6 +56,8 @@ object StringSimilarity {
   /** (a, b) → fuzzywuzzy token_sort_ratio, int in [0, 100]. */
   case class TokenSortRatio(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkBothStrings("token_sort_ratio", left, right)
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any =
       graft.core.SeqMatcher.tokenSortRatio(

@@ -13,14 +13,27 @@ object Clean {
   def scrubProfile(c: Column): Column = regexp_replace(c, "[^a-zA-Z0-9\\n-]+", " ")
   def scrubCis(c: Column): Column = regexp_replace(c, "[^a-zA-Z0-9\\n.-]+", " ")
 
-  /** F2: lower + non-alpha strip (Text_preprocessing.py:28-30). */
+  /** F2: lower + non-alpha strip (Text_preprocessing.py:28-30). (?U): the
+    * reference's Python `\s` is Unicode (keeps NBSP — ubiquitous in
+    * PDF-extracted text — as a separator); Java's ASCII default would
+    * delete it, merging adjacent words. The DuckDB replica's RE2 stays
+    * ASCII — divergent only on non-ASCII whitespace, absent from the
+    * fixtures. */
   def lowerAlpha(c: Column): Column =
-    regexp_replace(lower(c), "[^a-z\\s]", "")
+    regexp_replace(lower(c), "(?U)[^a-z\\s]", "")
 
-  /** F2 variant: also removes page-furniture tokens
-    * (Text_preprocessing_New.py:5-15). */
+  /** F2 variant (Text_preprocessing_New.py:5-15), the reference's EXACT
+    * stage order: page-furniture removal FIRST (digits still present,
+    * case-sensitive lowercase 'page', replaced with '' not ' '), then the
+    * case-KEEPING `[^a-zA-Z\s]` strip, then lower + strip. (Running the
+    * furniture pass after lowerAlpha would be dead code — the digits it
+    * keys on are already gone.) */
   def lowerAlphaNoFurniture(c: Column): Column =
-    regexp_replace(lowerAlpha(c), "page \\d+ internal only general \\d+", " ")
+    regexp_replace(
+      lower(regexp_replace(
+        regexp_replace(c, "page \\d+ internal only general \\d+", ""),
+        "(?U)[^a-zA-Z\\s]", "")),
+      "^\\s+|\\s+$", "")
 
   /** F4: keep from the first case-insensitive 'Ensure'; else strip leading
     * number junk (Text_Preprocessing_V1.py:24-30). */
@@ -60,7 +73,12 @@ object Clean {
     * the executors. */
   def stopwordFiltered(c: Column): Column = {
     val sw = graft.core.TextStats.NltkStopWordsEn.map(lit(_))
-    array_join(filter(split(trim(lower(c)), "\\s+"), t => !t.isInCollection(sw)), " ")
+    // empty-token drop: Python str.split() keeps none, while Spark split
+    // retains leading/trailing empties for text edged with non-space
+    // whitespace — those would survive the stopword filter and leave stray
+    // spaces in the rejoined text
+    array_join(filter(split(trim(lower(c)), "\\s+"),
+      t => t =!= "" && !t.isInCollection(sw)), " ")
   }
 
   /** F3 lemmatizer: rule-based suffix stripper standing in for WordNet
@@ -90,6 +108,9 @@ object Clean {
     val ell = regexp_replace(punct, "\u2026", "...")
     val sp = regexp_replace(ell, "[ \\t]+", " ")
     val nl = regexp_replace(sp, "\\n{3,}", "\n\n")
-    trim(nl)
+    // full whitespace edge-strip: Spark trim() removes ' ' only, which
+    // would leave leading/trailing newlines and defeat the
+    // normalize-then-dedup equality this pass exists for
+    regexp_replace(nl, "^\\s+|\\s+$", "")
   }
 }

@@ -12,10 +12,18 @@ import graft.core.TextStats
   * built-in `xxhash64` so the hot dedup path stays codegen'd too. */
 object TextFunctions {
 
-  /** Whitespace tokens (empty array for blank text). */
-  def wsTokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+  /** Whitespace tokens — Python str.split() semantics: split on `\s+` runs
+    * with empty tokens DROPPED (Spark split keeps leading/trailing empties
+    * for text edged with non-space whitespace; trim() strips ' ' only).
+    * Implemented as a codegen'd regexp edge-strip + split (no HOF filter):
+    * produces the IDENTICAL token list to `TextStats.wsTokens`
+    * (PyStr.strip + split) on every input, unifying the column and kernel
+    * tokenization contracts. */
+  def wsTokens(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(length(stripped) === 0, array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   def tokenCount(c: Column): Column = size(wsTokens(c))
 
@@ -41,7 +49,9 @@ object TextFunctions {
   }
 
   /** Stopword-ratio language ID over the four supported lists; ties broken by
-    * language code ascending; zero hits → 'und'. Mirrors TextStats.langId. */
+    * language code ascending; zero hits → 'und'; null text → null (it would
+    * otherwise fall through every when() to 'und'). Exact mirror of
+    * TextStats.langId — both count `\b(word|...)\b` regex hits. */
   def langId(c: Column): Column = {
     val langs = TextStats.StopWords.keys.toSeq.sorted
     val hits = langs.map(l => stopwordHits(c, l))
@@ -49,7 +59,8 @@ object TextFunctions {
     val pick = langs.zip(hits).foldRight(lit("und")) { case ((l, h), acc) =>
       when(h === best, lit(l)).otherwise(acc)
     }
-    when(best === 0, lit("und")).otherwise(pick)
+    when(c.isNull, lit(null).cast("string"))
+      .when(best === 0, lit("und")).otherwise(pick)
   }
 
   /** Heuristic quality score in [0,1] — mirrors TextStats.qualityScore. */
@@ -71,6 +82,7 @@ object TextFunctions {
 
   /** Word k-shingles (lowercased); short texts collapse to one shingle. */
   def shingles(c: Column, k: Int): Column = {
+    require(k >= 1, s"shingle k must be >= 1, got $k")
     val toks = wsTokens(lower(c))
     val n = size(toks)
     when(n === 0, array().cast("array<string>"))
@@ -81,27 +93,34 @@ object TextFunctions {
 
   /** MinHash signature: per seed, min over xxhash64(shingle, seed-salt) —
     * pure expression tree (array ops + xxhash64), fully codegen'd. */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    // sequence(0, -1) would silently produce the DESCENDING array [0, -1]
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
       when(size(shinglesCol) === 0, lit(Long.MaxValue))
         .otherwise(array_min(transform(shinglesCol, s => xxhash64(s, seed)))))
+  }
 
   /** LSH band keys from a minhash signature: hash of each band's slice. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+  }
 
   /** 64-bit SimHash over tokens as an expression tree: per-bit vote counts via
     * aggregate over a 64-slot int array, then sign → bit. */
   def simHash(tokens: Column): Column = {
+    // hash each token ONCE via an outer transform: HOF lambdas evaluate
+    // interpreted, and an xxhash64 inside the 64-slot zip_with would be
+    // re-computed 64 times per token
     val votes = aggregate(
-      tokens,
+      transform(tokens, t => xxhash64(t)),
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
+          (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
@@ -127,6 +146,7 @@ object TextFunctions {
   /** Fraction (ppm) of duplicate word n-grams: 1 - distinct/total. Exact
     * integer inputs → the double division is engine-reproducible. */
   def dupNgramPpm(c: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram n must be >= 1, got $n")
     val g = wordGrams(c, n)
     val total = size(g)
     when(total === 0, 0L).otherwise(

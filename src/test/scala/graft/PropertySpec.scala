@@ -88,9 +88,10 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(texty) { s =>
       def trimSp(x: String) = x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
       val lt = trimSp(s.toLowerCase)
-      // limit -1: Spark split / DuckDB string_split_regex keep the trailing
-      // empty token after non-space whitespace — the kernel mirrors them
-      val toks = if (lt.isEmpty) Array.empty[String] else lt.split("\\s+", -1)
+      // ONE tokenization convention: Python str.split() semantics — split
+      // on \s+ runs, empty tokens dropped (kernel + columns + oracles)
+      val toks = if (lt.isEmpty) Array.empty[String]
+                 else lt.split("\\s+").filter(_.nonEmpty)
       def dup(n: Int): Long =
         if (toks.length < n) 0L
         else {
