@@ -141,7 +141,11 @@ object AudioCodec {
   /** Real resample-down: keep every `factor`-th frame (all channels),
     * re-encode at `rate/factor` — the integer-exact decimation (no
     * interpolation filter, so the result is still oracle-checkable). */
-  def decimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+  def decimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    // parameter bug ≠ undecodable payload: factor 0 would throw 'step
+    // cannot be 0' from inside the range (escaping the None contract) and
+    // a negative factor would silently emit empty WAVs
+    require(factor >= 1, s"decimate factor must be >= 1, got $factor")
     decode(payload).map { c =>
       val nFrames = c.samples.length / c.channels
       val kept = (0 until nFrames by factor).toArray
@@ -157,4 +161,5 @@ object AudioCodec {
       }
       encodeWavPcm16(out, math.max(1, c.sampleRate / factor), c.channels)
     }
+  }
 }

@@ -131,9 +131,19 @@ object ImageCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Exact integer area-average downsample to (w, h). */
-  private def areaAverage(img: BufferedImage, w: Int, h: Int): Array[Array[(Long, Long, Long, Long)]] = {
-    val grid = Array.fill(h, w)((0L, 0L, 0L, 0L))
+  /** Exact integer area-average downsample to (w, h): four flat long
+    * accumulator arrays indexed gy*w+gx (sumR, sumG, sumB, count) — a
+    * per-pixel boxed Tuple4 rewrite here allocated millions of objects per
+    * decode on the hot mapPartitions path. */
+  private final class AvgGrid(val w: Int, val h: Int) {
+    val sumR = new Array[Long](w * h)
+    val sumG = new Array[Long](w * h)
+    val sumB = new Array[Long](w * h)
+    val count = new Array[Long](w * h)
+  }
+
+  private def areaAverage(img: BufferedImage, w: Int, h: Int): AvgGrid = {
+    val g = new AvgGrid(w, h)
     var y = 0
     while (y < img.getHeight) {
       val gy = math.min(h - 1, y * h / img.getHeight)
@@ -141,14 +151,16 @@ object ImageCodec {
       while (x < img.getWidth) {
         val gx = math.min(w - 1, x * w / img.getWidth)
         val rgb = img.getRGB(x, y)
-        val (r, g, b, n) = grid(gy)(gx)
-        grid(gy)(gx) = (r + ((rgb >> 16) & 0xFF), g + ((rgb >> 8) & 0xFF),
-          b + (rgb & 0xFF), n + 1)
+        val i = gy * w + gx
+        g.sumR(i) += (rgb >> 16) & 0xFF
+        g.sumG(i) += (rgb >> 8) & 0xFF
+        g.sumB(i) += rgb & 0xFF
+        g.count(i) += 1
         x += 1
       }
       y += 1
     }
-    grid
+    g
   }
 
   /** 64-bit average hash: 8×8 area-averaged luma, bit = cell ≥ mean.
@@ -157,8 +169,9 @@ object ImageCodec {
   def aHash(img: BufferedImage): Long = {
     val g = areaAverage(img, 8, 8)
     val luma = Array.tabulate(64) { i =>
-      val (r, gg, b, n) = g(i / 8)(i % 8)
-      if (n == 0) 0.0 else (0.299 * r + 0.587 * gg + 0.114 * b) / n
+      val n = g.count(i)
+      if (n == 0) 0.0
+      else (0.299 * g.sumR(i) + 0.587 * g.sumG(i) + 0.114 * g.sumB(i)) / n
     }
     val mean = luma.sum / 64.0
     var bits = 0L
@@ -186,7 +199,10 @@ object ImageCodec {
         sr, sg, sb)
     }
 
-  /** Real bounded-edge resize (area average), re-encoded as PNG.
+  /** Real bounded-edge resize (area average), re-encoded via
+    * [[encodePngStored]] — the module's byte-DETERMINISTIC encoder, so
+    * resized payloads are stable across JDK builds and re-decodable by the
+    * DuckDB stored-block CTE (ImageIO.write would guarantee neither).
     * Identity (no re-encode) when already within bounds. */
   def resizeMaxEdge(payload: Array[Byte], maxEdge: Int): Option[Array[Byte]] =
     decode(payload).map { img =>
@@ -197,22 +213,17 @@ object ImageCodec {
         val w = math.max(1, math.round(img.getWidth * scale).toInt)
         val h = math.max(1, math.round(img.getHeight * scale).toInt)
         val grid = areaAverage(img, w, h)
-        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val (r, g, b, n) = grid(y)(x)
-            if (n > 0)
-              out.setRGB(x, y, (((r / n).toInt & 0xFF) << 16) |
-                (((g / n).toInt & 0xFF) << 8) | ((b / n).toInt & 0xFF))
-            x += 1
-          }
-          y += 1
+        val rgb = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val n = grid.count(i)
+          if (n > 0)
+            rgb(i) = (((grid.sumR(i) / n).toInt & 0xFF) << 16) |
+              (((grid.sumG(i) / n).toInt & 0xFF) << 8) |
+              ((grid.sumB(i) / n).toInt & 0xFF)
+          i += 1
         }
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        encodePngStored(rgb, w, h)
       }
     }
 }

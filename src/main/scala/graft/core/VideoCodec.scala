@@ -77,14 +77,17 @@ object VideoCodec {
         case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
         case 'F' => p.drop(1).split(':') match {
           case Array(a, b) =>
-            fn = a.toIntOption.getOrElse(25); fd = b.toIntOption.getOrElse(1)
-          case _ => ()
+            // malformed/non-positive rates REJECT like bad W/H (a silent
+            // 25:1 fallback would mask a corrupt header, and fd=0 would
+            // divide-by-zero any downstream duration math)
+            fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+          case _ => fn = -1; fd = -1
         }
         case 'C' => chroma = p.drop(1)
         case _ => () // I (interlace), A (aspect), X (extensions)
       }
     }
-    if (w <= 0 || h <= 0 || chroma != "444") return None
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || chroma != "444") return None
     // overflow guard: crafted W/H headers must not wrap w*h into a zero or
     // negative stride (ArithmeticException / NegativeArraySizeException)
     if (w.toLong * h > Int.MaxValue / 8) return None
@@ -92,19 +95,24 @@ object VideoCodec {
     val stride = FrameMarker.length + 3 * planeLen
     val bodyLen = payload.length - (nl + 1)
     if (bodyLen < 0 || bodyLen % stride != 0) return None
-    val frames = Array.tabulate(bodyLen / stride) { f =>
-      val base = nl + 1 + f * stride
-      Array.tabulate(3)(p => java.util.Arrays.copyOfRange(
-        payload, base + FrameMarker.length + p * planeLen,
-        base + FrameMarker.length + (p + 1) * planeLen))
-    }
-    val markersOk = frames.indices.forall { f =>
+    val nFrames = bodyLen / stride
+    // validate the cheap 6-byte FRAME markers BEFORE materializing any
+    // plane copies: garbage with a stride-multiple length must not cost
+    // payload-sized allocation just to be rejected
+    val markersOk = (0 until nFrames).forall { f =>
       val base = nl + 1 + f * stride
       java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(payload, base, base + FrameMarker.length),
         FrameMarker)
     }
-    if (!markersOk) None else Some(Video(w, h, fn, fd, frames))
+    if (!markersOk) return None
+    val frames = Array.tabulate(nFrames) { f =>
+      val base = nl + 1 + f * stride
+      Array.tabulate(3)(p => java.util.Arrays.copyOfRange(
+        payload, base + FrameMarker.length + p * planeLen,
+        base + FrameMarker.length + (p + 1) * planeLen))
+    }
+    Some(Video(w, h, fn, fd, frames))
   }
 
   def features(payload: Array[Byte]): Option[VideoFeatures] =
@@ -126,7 +134,8 @@ object VideoCodec {
 
   /** Per-frame luma sum of every `stride`-th frame — the real frame-sample
     * stage (the stub only planned indices; this touches pixels). */
-  def sampleFrameLuma(payload: Array[Byte], stride: Int): Seq[(Int, Long)] =
+  def sampleFrameLuma(payload: Array[Byte], stride: Int): Seq[(Int, Long)] = {
+    require(stride >= 1, s"frame-sample stride must be >= 1, got $stride")
     decode(payload).toSeq.flatMap { v =>
       (0 until v.frames.length by stride).map { f =>
         val y = v.frames(f)(0)
@@ -135,6 +144,7 @@ object VideoCodec {
         (f, s)
       }
     }
+  }
 
   /** Real frame extract → grayscale PNG via [[ImageCodec]]'s stored-deflate
     * encoder (thumbnail path: a video frame becomes an image-plane payload,
