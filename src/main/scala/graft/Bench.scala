@@ -107,8 +107,12 @@ object Bench {
       preSum.dim(n, h).map(_.quietPairs).getOrElse(0)
     val mode = sys.env.getOrElse("SPARK_GRAFT_FRESH_SAMPLES", "auto")
     val want28 = mode == "always" || (mode != "never" && quietPairs(2, 8) < 3)
-    val wantN4N = mode == "always" ||
-      (mode != "never" && quietPairs(lowCores, highCores) < 3)
+    // at SPARK_GRAFT_CPUS=8 the (lowCores, highCores) dimension IS (2, 8):
+    // sampling and emitting it separately would double a 5-8-minute attempt
+    // and write a duplicate "scaling_dim_2_8" JSON key (silent last-wins)
+    val n4nDistinct = (lowCores, highCores) != (2, 8)
+    val wantN4N = n4nDistinct && (mode == "always" ||
+      (mode != "never" && quietPairs(lowCores, highCores) < 3))
     // executor-shaped multi-process dimensions: (1 vs 4 procs × 2 cores) —
     // the bandwidth-scalable literal N→4N-executor shape — and the
     // (2 vs 8 procs × 4 cores) DRAM-capped control; 2 quiet pairs each do
@@ -120,21 +124,28 @@ object Bench {
 
     // --- materialize the scaling transcript table (deterministic) only if
     // a fresh attempt will actually run against it ---
-    if ((want28 || wantN4N || wantMp || wantMp2) &&
-        (!Files.exists(Paths.get(ScalingHarness.ScalingPath)) ||
-         !Files.exists(Paths.get(ScalingHarness.WarmupPath)))) {
-      val s = newSession(highCores)
-      try {
-        // 256 evenly-sized files: the map stage's effective parallelism is
-        // bounded by row-group count (one per file) — 32 files made the scan
-        // stage straggler-bound at 32 cores (stage wall == slowest file)
-        TranscriptGen.materialize(s,
-          FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
-          ScalingHarness.ScalingPath, parallelism = 256)
-        TranscriptGen.materialize(s,
-          FixtureGen.Profile(numConvs = ScalingHarness.WarmupConvs, seed = 7L),
-          ScalingHarness.WarmupPath, parallelism = 64)
-      } finally s.stop()
+    if (want28 || wantN4N || wantMp || wantMp2) {
+      val needScaling = !Files.exists(Paths.get(ScalingHarness.ScalingPath))
+      val needWarmup = !Files.exists(Paths.get(ScalingHarness.WarmupPath))
+      if (needScaling || needWarmup) ScalingHarness.withHarnessLock {
+        // under the harness lock: 32-core materialization overlapping a
+        // background sampler's timed window would disqualify (or worse,
+        // contaminate) a quiet-weather attempt. Only the MISSING table is
+        // rebuilt — regenerating the 17M-turn scaling table because the
+        // small warmup table was swept would burn minutes for nothing.
+        val s = newSession(highCores)
+        try {
+          // 256 evenly-sized files: the map stage's effective parallelism is
+          // bounded by row-group count (one per file) — 32 files made the scan
+          // stage straggler-bound at 32 cores (stage wall == slowest file)
+          if (needScaling) TranscriptGen.materialize(s,
+            FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
+            ScalingHarness.ScalingPath, parallelism = 256)
+          if (needWarmup) TranscriptGen.materialize(s,
+            FixtureGen.Profile(numConvs = ScalingHarness.WarmupConvs, seed = 7L),
+            ScalingHarness.WarmupPath, parallelism = 64)
+        } finally s.stop()
+      }
     }
 
     phase(s"scaling policy: mode=$mode fresh28=$want28 freshN4N=$wantN4N " +
@@ -149,19 +160,24 @@ object Bench {
     val dMp = mpSum.dim(8, 32)
     val dMp2 = mpSum.dim(2, 8)
     val totalTurns: Long = readMetaTurns().getOrElse {
-      val sess = newSession(highCores)
-      // the meta cache may be missing while sampling was skipped — the
-      // count fallback must not assume the /dev/shm table exists
-      if (!Files.exists(Paths.get(ScalingHarness.ScalingPath)))
-        TranscriptGen.materialize(sess,
-          FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
-          ScalingHarness.ScalingPath, parallelism = 256)
-      val n = try sess.read.parquet(ScalingHarness.ScalingPath).count()
-              finally sess.stop()
-      Files.createDirectories(Paths.get(MetaFile).getParent)
-      Files.writeString(Paths.get(MetaFile),
-        s"""{"turns":$n,"convs":${ScalingHarness.ScalingConvs}}""" + "\n")
-      n
+      // under the harness lock like every other heavy Spark phase — an
+      // unlocked 32-core count would contend with (and disqualify) a
+      // background sampler's timed window
+      ScalingHarness.withHarnessLock {
+        val sess = newSession(highCores)
+        // the meta cache may be missing while sampling was skipped — the
+        // count fallback must not assume the /dev/shm table exists
+        if (!Files.exists(Paths.get(ScalingHarness.ScalingPath)))
+          TranscriptGen.materialize(sess,
+            FixtureGen.Profile(numConvs = ScalingHarness.ScalingConvs),
+            ScalingHarness.ScalingPath, parallelism = 256)
+        val n = try sess.read.parquet(ScalingHarness.ScalingPath).count()
+                finally sess.stop()
+        Files.createDirectories(Paths.get(MetaFile).getParent)
+        Files.writeString(Paths.get(MetaFile),
+          s"""{"turns":$n,"convs":${ScalingHarness.ScalingConvs}}""" + "\n")
+        n
+      }
     }
     val d28 = sum.dim(2, 8)
     val d832 = sum.dim(lowCores, highCores)
@@ -211,6 +227,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => Json.str(k) + ":" + Json.str(e) }
       .mkString("{", ",", "}")
+    // the COMPACT stdout line must stay under the driver's 2 KB tail even
+    // when queries fail: unbounded per-error text (the errorless line is
+    // already ~1.4 KB) would push the head of the line out of the tail and
+    // lose the round's whole record — cap at 2 errors × 100 chars + a
+    // pointer; the full map is in bench/full_bench.json and BENCH.md
+    val errsCompact = {
+      val all = results.collect { case (k, _, Some(e)) => (k, e) }
+      val kept = all.take(2).map { case (k, e) => Json.str(k) + ":" + Json.str(e.take(100)) }
+      val tail = if (all.size > 2)
+        Seq(Json.str("_more") + ":" + Json.str(s"${all.size - 2} more in bench/full_bench.json"))
+      else Nil
+      (kept ++ tail).mkString("{", ",", "}")
+    }
     val sampleArr = Json.arr(sum.samples.map(_.toJson))
     def dimJson(d: Option[ScalingHarness.DimStats]): String = d.map { x =>
       Json.obj("cores_n" -> x.coresN.toString, "cores_4n" -> x.cores4N.toString,
@@ -226,7 +255,10 @@ object Bench {
       f""""turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,""" +
       f""""scaling_efficiency":${sum.headline}%.3f,""" +
       s""""scaling_dim_2_8":${dimJson(d28)},""" +
-      s""""scaling_dim_${lowCores}_$highCores":${dimJson(d832)},""" +
+      // at CPUS=8 this key would duplicate scaling_dim_2_8 (last-wins)
+      (if (n4nDistinct)
+        s""""scaling_dim_${lowCores}_$highCores":${dimJson(d832)},"""
+      else "") +
       s""""scaling_multiproc_1x2_4x2":${dimJson(dMp2)},""" +
       s""""scaling_multiproc_2x4_8x4":${dimJson(dMp)},""" +
       f""""quiet_probe_wall_sec":${ScalingHarness.QuietCpuProbeWall}}"""
@@ -318,9 +350,9 @@ object Bench {
          |${fmtDim(d832, s"$lowCores→$highCores threads (monolith-JVM control)")}
          |${fmtDim(dMp2, "**1→4 procs × 2 cores (executor-shaped — the north rule's literal shape)**")}
          |${fmtDim(dMp, "**2→8 procs × 4 cores (executor-shaped, 4× width)**")}
-         || **headline scaling efficiency (2→8)** | ${f"${sum.headline}%.3f"} |
-         || representative throughput local[$highCores] | ${f"$thr4N%.0f"} turns/s (${f"$sec4N%.2f"} s) |
-         || representative throughput local[$lowCores] | ${f"$thrN%.0f"} turns/s (${f"$secN%.2f"} s) |
+         || **headline scaling efficiency (2→8)** | ${v(sum.headline)} |
+         || representative throughput local[$highCores] | ${v(thr4N, "%.0f")} turns/s (${v(sec4N, "%.2f")} s) |
+         || representative throughput local[$lowCores] | ${v(thrN, "%.0f")} turns/s (${v(secN, "%.2f")} s) |
          |
          |The pure-CPU probe scales at ~1.0 in every quiet window (ruling out
          |starvation artifacts), and the executor-shaped dimensions — the
@@ -370,6 +402,6 @@ object Bench {
 
     // the one stdout line: compact on purpose (see scaladoc) — complete
     // per-query map lives in bench/full_bench.json and the BENCH.md table
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest_queries":$slowest,"query_errors":$errs,"extraction":$extraction,"full":"bench/full_bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest_queries":$slowest,"query_errors":$errsCompact,"extraction":$extraction,"full":"bench/full_bench.json"}""")
   }
 }

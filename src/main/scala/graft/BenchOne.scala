@@ -59,6 +59,9 @@ object BenchOne {
         Extraction.extractBucketed(spark, ensureBucketed(path),
           Extraction.Config(numPartitions = parts))
           .write.format("noop").mode("overwrite").save()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown mode '$other' — valid modes: full|shuffle|scan|fsm|bucketed")
     }
     /* Bucketed-plane table for `path`: reuses already-bucketed files across
      * JVMs via external-table DDL (the in-memory catalog forgets tables at
@@ -66,17 +69,17 @@ object BenchOne {
      * writeBucketed. Registration/build happens via the warmup call, so
      * timed samples measure ONLY the exchange-free extraction. */
     def ensureBucketed(path: String): String = {
-      val tbl = "benchone_bucketed_" + java.lang.Integer.toHexString(path.hashCode)
+      // parts is part of BOTH the table name and the directory: a different
+      // bucket count is a different physical layout, never a mismatch
+      val tbl = "benchone_bucketed_" + java.lang.Integer.toHexString(path.hashCode) + "_" + parts
       if (!spark.catalog.tableExists(tbl)) {
-        val bpath = path + "-bucketed"
+        val bpath = path + "-bucketed" + parts
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(bpath))) {
-          // the DDL's bucket count MUST match the files actually on disk
-          // (one part file per bucket from the pre-write repartition) — a
-          // mismatched registration silently mislabels the measurement
-          val existing = java.nio.file.Files.list(java.nio.file.Paths.get(bpath))
-            .filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
-          require(existing == parts,
-            s"$bpath holds $existing buckets but parts=$parts — delete it or rerun with $existing")
+          // bpath embeds `parts`, so an existing directory always matches
+          // the DDL bucket count (an empty bucket writes NO part file, so a
+          // file-count check would wrongly reject sparse-but-valid layouts,
+          // and could not tell a 64-bucket layout from a sparse 256-bucket
+          // one anyway — different parts now land in different dirs)
           spark.sql(s"""CREATE TABLE $tbl (conv_id STRING, turn_idx INT,
             role STRING, text STRING, tool STRING, ts TIMESTAMP)
             USING parquet CLUSTERED BY (conv_id)
