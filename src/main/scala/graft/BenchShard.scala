@@ -56,6 +56,11 @@ object BenchShard {
     }.min
     println(f"SHARDWALL $wall%.4f")
     System.out.flush()
+    // exit barrier: siblings may still be mid-timed-run — exiting now would
+    // free this shard's cores (uncovered by the parent's node-load spinner)
+    // and grant the survivors idle-box turbo, inflating walls.max-based
+    // efficiency; the parent releases all shards after the last report
+    scala.io.StdIn.readLine()
     spark.stop()
   }
 }

@@ -35,7 +35,13 @@ object ExtractJob {
       TranscriptGen.materialize(spark, profile, rawPath, cores.toInt)
 
     val turns = spark.read.parquet(rawPath).as[graft.core.Turn]
-    val cfg = Extraction.Config(numPartitions = cores.toInt)
+    // monsterThreshold BELOW the fixture's monster size (default
+    // monsterTurns = 1200 < Config's default 2000): with the default
+    // threshold the skew routing this job exists to demonstrate would
+    // silently never trigger and every monster would straggle a normal
+    // hash partition
+    val cfg = Extraction.Config(numPartitions = cores.toInt,
+      monsterThreshold = 1000L)
     val results = Extraction.extractSkewAware(turns, cfg)
     val (observedDf, obs) = Extraction.observed(results)
     val metrics = Snapshot.write(observedDf,

@@ -44,8 +44,10 @@ object DocType {
   def classify(coverText: String): Classification = {
     val m = CoverPattern.matcher(coverText)
     if (!m.find())
-      // quirk: pattern stays the cover regex (cis_pdf_parser.py:65 never reassigned)
-      Classified("no-cover-match", "(?<=CIS).*(?=Benchmark)")
+      // quirk: pattern stays the cover regex (cis_pdf_parser.py:65 never
+      // reassigned) — sourced from CoverPattern so the classifier and the
+      // FSM can never drift onto different spellings
+      Classified("no-cover-match", CoverPattern.pattern())
     else {
       val name = PyStr.strip(m.group(0)).replace("\n", "")
       if (name.contains("Red Hat Enterprise Linux 7")) Classified("rhel7", LinuxPattern)

@@ -183,7 +183,9 @@ object FixtureGen {
     val roles = Array("user", "assistant", "tool")
     val baseTs = 1700000000000L + convIdx * 977L
     ps.zipWithIndex.map { case (text, i) =>
-      val role = roles((convIdx + i).toInt % 3)
+      // mod BEFORE the Int narrowing: (convIdx + i).toInt wraps negative
+      // near Int.MaxValue and roles(-1) would throw; same value otherwise
+      val role = roles(((convIdx + i) % 3).toInt)
       Turn(convId, i, role,
         text,
         if (role == "tool") "pdf_reader" else null,

@@ -100,10 +100,21 @@ object PlanAudit {
       graft.core.FixtureGen.Profile(numConvs = 20), 4)
     val ext = graft.operators.Extraction.extract(turns,
       graft.operators.Extraction.Config(numPartitions = 8))
-    val plan = ext.queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    sb.append(s"\n## extraction pipeline\n\nExchange count in executed plan: " +
-      s"$exchanges (one is the synthetic generator's deterministic scramble; " +
+    // SHUFFLE exchanges only: a bare "Exchange" substring count would also
+    // pick up BroadcastExchange/ReusedExchange nodes and publish a number
+    // that contradicts the decomposition text next to it. String-counted
+    // (not plan.collect) because AQE hides the children inside
+    // AdaptiveSparkPlanExec until execution.
+    val planStr = ext.queryExecution.executedPlan.toString
+    def occurrences(sub: String) = sub.r.findAllIn(planStr).length
+    val shuffles = occurrences("Exchange") -
+      occurrences("BroadcastExchange") - occurrences("ReusedExchange")
+    require(shuffles == 2,
+      s"extraction plan decomposition changed: expected 2 shuffle exchanges " +
+        s"(generator scramble + conv_id repartition), found $shuffles — " +
+        "update the PLANS.md narrative to match the real plan")
+    sb.append(s"\n## extraction pipeline\n\nShuffle-exchange count in executed plan: " +
+      s"$shuffles (one is the synthetic generator's deterministic scramble; " +
       s"the extraction itself adds exactly ONE exchange - repartition on " +
       s"conv_id, with the sort riding it)\n\n```\n")
     sb.append(ext.queryExecution.explainString(
@@ -111,7 +122,7 @@ object PlanAudit {
     sb.append("```\n")
 
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println("wrote PLANS.md; extraction exchanges=" + exchanges)
+    println("wrote PLANS.md; extraction shuffle exchanges=" + shuffles)
     spark.stop()
   }
 }

@@ -56,8 +56,11 @@ object ScalingHarness {
     * turbo can only make narrow sides faster, which UNDERSTATES their walls
     * and hence every efficiency — the conservative direction. Contention
     * pushes the wall above the slack band and disqualifies the window. */
-  def quietFloor(threads: Int): Double = 2.31
   val QuietCpuProbeWall = 2.31
+  // ONE source of truth (Bench.scala reports QuietCpuProbeWall as "the"
+  // floor; a second literal here silently diverged on recalibration).
+  // Signature keeps the width parameter for future width-dependent floors.
+  def quietFloor(threads: Int): Double = QuietCpuProbeWall
   val QuietSlack = 1.15
 
   val AddOpens: Seq[String] = Seq(
@@ -72,15 +75,27 @@ object ScalingHarness {
 
   /** Run a child JVM confined to `cores` CPUs; return lines matching
     * `prefix`, stripped. */
-  private def child(cores: Int, heap: String, mainClass: String,
-                    prefix: String, args: Seq[String]): Seq[String] = {
-    val cpuList = s"0-${cores - 1}"
+  /** ONE child-JVM command builder for every launcher (thread-dimension
+    * children AND executor shards): a flag added to one must reach both or
+    * the dimensions stop being comparable. */
+  private def childCmd(cpuList: String, heap: String, mainClass: String,
+                       args: Seq[String]): Seq[String] = {
     // dev hook for JVM-flag experiments (e.g. GRAFT_CHILD_JVM_FLAGS=-XX:+UseParallelGC)
     val extra = sys.env.get("GRAFT_CHILD_JVM_FLAGS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
-    val cmd = Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ extra ++ Seq(
+    Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ extra ++ Seq(
       s"-Xmx$heap", s"-Xms$heap",
       "-cp", System.getProperty("java.class.path"), mainClass) ++ args
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+  }
+
+  private def child(cores: Int, heap: String, mainClass: String,
+                    prefix: String, args: Seq[String]): Seq[String] = {
+    val cmd = childCmd(s"0-${cores - 1}", heap, mainClass, args)
+    // stderr INHERITs the parent's: an unread PIPE would deadlock the child
+    // (and this parent, holding the harness lock) as soon as Spark dumps
+    // >64 KB of task-failure stack traces; the BENCHDETAIL/BENCHSTAGE
+    // diagnostics stay visible on the parent's stderr
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     val out = Seq.newBuilder[String]
@@ -98,7 +113,11 @@ object ScalingHarness {
   private def nodeLoaded[T](cores: Int)(f: => T): T =
     if (cores >= MachineCores) f
     else {
-      val cmd = Seq("taskset", "-c", s"$cores-${MachineCores - 1}", "nice", "-n", "19",
+      // `timeout 3600`: a SIGKILLed harness JVM skips the finally, and an
+      // orphaned spinner would otherwise burn the non-measured cores for
+      // ~13 days; no legitimate measured section approaches an hour
+      val cmd = Seq("timeout", "3600",
+        "taskset", "-c", s"$cores-${MachineCores - 1}", "nice", "-n", "19",
         "java", "-Xmx128m", "-Xms128m",
         "-cp", System.getProperty("java.class.path"), "graft.tools.CpuProbe",
         (MachineCores - cores).toString, "999000000000000")
@@ -193,7 +212,8 @@ object ScalingHarness {
     if (!Files.exists(p)) return Seq.empty
     def num(line: String, key: String): Option[Double] =
       ("\"" + key + "\":\"?(-?[0-9.]+)").r.findFirstMatchIn(line).map(_.group(1).toDouble)
-    scala.io.Source.fromFile(p.toFile).getLines().flatMap { line =>
+    val src = scala.io.Source.fromFile(p.toFile)
+    try src.getLines().flatMap { line =>
       for {
         ts <- num(line, "ts_ms"); cn <- num(line, "cores_n"); c4 <- num(line, "cores_4n")
         pnb <- num(line, "probe_n_before"); pna <- num(line, "probe_n_after")
@@ -206,13 +226,15 @@ object ScalingHarness {
         memH = num(line, "mem_4n").getOrElse(-1.0),
         skipped = line.contains("\"skipped\":true"))
     }.toSeq
+    finally src.close()
   }
 
   /** (total jiffies, steal jiffies) from /proc/stat — host steal is directly
     * visible to the guest and pins contention independently of the probes. */
   private def cpuStat(): (Long, Long) = {
-    val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-      .next().trim.split("\\s+").drop(1).map(_.toLong)
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val cols = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+               finally src.close() // an unclosed Source leaks one fd per call
     (cols.take(8).sum, cols(7))
   }
   private def withSteal[T](f: => T): (T, Double) = {
@@ -246,8 +268,12 @@ object ScalingHarness {
     * alone they snowball — one observed cascade reached 117 GB of tmpfs,
     * OOM-killing every subsequent JVM on the box. Swept on each lock
     * acquisition: an entry is an orphan iff no live process holds an open
-    * fd inside it AND it is >2 min old (a just-started child's dirs are
-    * protected by both guards; live Spark sessions always hold fds there). */
+    * fd inside it AND it is >2 min old. The fd guard is NOT an invariant of
+    * a live session (Spark opens shuffle files transiently), so the sweep
+    * is only safe under the protocol that EVERY graft JVM using
+    * /dev/shm/spark-local runs under the harness lock — which also keeps
+    * its heavy work out of timed windows (Bench, samplers, RegenBenchData
+    * all comply; child JVMs run while their parent holds the lock). */
   def sweepOrphanedSparkLocal(root: String = "/dev/shm/spark-local"): Unit =
     try {
       val rootPath = Paths.get(root)
@@ -345,13 +371,9 @@ object ScalingHarness {
                        in: java.io.Writer)
       val children = (0 until procs).map { p =>
         val cpuList = s"${p * coresPerProc}-${(p + 1) * coresPerProc - 1}"
-        val extra = sys.env.get("GRAFT_CHILD_JVM_FLAGS").toSeq
-          .flatMap(_.split("\\s+")).filter(_.nonEmpty)
-        val cmd = Seq("taskset", "-c", cpuList, "java") ++ AddOpens ++ extra ++ Seq(
-          "-Xmx6g", "-Xms6g",
-          "-cp", System.getProperty("java.class.path"), "graft.BenchShard",
-          coresPerProc.toString, ScalingPath, WarmupPath,
-          p.toString, procs.toString, JobPartitions.toString)
+        val cmd = childCmd(cpuList, "6g", "graft.BenchShard",
+          Seq(coresPerProc.toString, ScalingPath, WarmupPath,
+            p.toString, procs.toString, JobPartitions.toString))
         val proc = new ProcessBuilder(cmd: _*)
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         Child(proc,
@@ -369,6 +391,14 @@ object ScalingHarness {
         children.foreach { c => c.in.write("GO\n"); c.in.flush() } // release together
         val walls = children.map(c =>
           awaitLine(c, "SHARDWALL ").stripPrefix("SHARDWALL ").toDouble)
+        // exit barrier: an early-finishing shard that exited now would free
+        // its cores (the node-load spinner covers only the cores ABOVE the
+        // measured range), granting the still-running siblings idle-box
+        // turbo and inflating the efficiency — release exits only after
+        // every shard has reported
+        children.foreach { c =>
+          try { c.in.write("EXIT\n"); c.in.flush() } catch { case _: Exception => }
+        }
         walls.max
       } finally children.foreach { c =>
         // Graceful teardown: SIGKILL skips Spark's shutdown hook, leaking the
@@ -407,6 +437,18 @@ object ScalingHarness {
         val eff = (secN / sec4N) / (procs4N.toDouble / procsN)
         Sample(now, lowCores, highCores, pNb, pNa, pHb, pHa,
           secN, sec4N, eff, stealN, steal4N, -1.0, -1.0, skipped = false)
+      } else if (probeQuiet(pHb, highCores)) {
+        // single-side salvage (sampleOnce's convention): the session-min
+        // statistic needs each side's best clean run independently
+        val (sec4N, steal4N) = withSteal(shardRun(procs4N, coresPerProc))
+        val pHa = probe(highCores)
+        Sample(now, lowCores, highCores, pNb, -1.0, pHb, pHa,
+          -1.0, sec4N, -1.0, 0.0, steal4N, -1.0, -1.0, skipped = false)
+      } else if (probeQuiet(pNb, lowCores)) {
+        val (secN, stealN) = withSteal(shardRun(procsN, coresPerProc))
+        val pNa = probe(lowCores)
+        Sample(now, lowCores, highCores, pNb, pNa, pHb, -1.0,
+          secN, -1.0, -1.0, stealN, 0.0, -1.0, -1.0, skipped = false)
       } else
         Sample(now, lowCores, highCores, pNb, -1.0, pHb, -1.0,
           -1.0, -1.0, -1.0, 0.0, 0.0, -1.0, -1.0, skipped = true)
@@ -483,8 +525,12 @@ object MultiProcSample {
   def main(args: Array[String]): Unit = {
     val attempts = if (args.length > 0) args(0).toInt else 1
     val sleepSec = if (args.length > 1) args(1).toInt else 30
+    // a PARTIAL pinned shape (3-4 args) must not silently fall back to the
+    // alternating defaults — hours of samples for the wrong dimension
+    require(args.length <= 2 || args.length == 5,
+      s"usage: MultiProcSample attempts [sleepSec] [coresPerProc procsN procs4N]; got ${args.length} args")
     val pinned: Option[(Int, Int, Int)] =
-      if (args.length > 4) Some((args(2).toInt, args(3).toInt, args(4).toInt))
+      if (args.length == 5) Some((args(2).toInt, args(3).toInt, args(4).toInt))
       else None
     require(Files.exists(Paths.get(ScalingHarness.ScalingPath)),
       s"scaling input missing at ${ScalingHarness.ScalingPath}")
