@@ -249,7 +249,10 @@ class TrainingDataSpec extends AnyFunSuite {
       // kernel once dropped it and diverged from the column trees here)
       (9006L, "a a a\n"), (9007L, "x y\tx y\t"),
       // astral chars: char accounting is code points, not UTF-16 units
-      (9008L, "😀😀\na\na\n😀😀"))
+      (9008L, "😀😀\na\na\n😀😀"),
+      // \x0B is Java-\s but not RE2-\s: a token boundary here (the oracles
+      // mirror with explicit [\s\x0B] classes)
+      (9009L, "a aa a"))
       .toDF("doc_id", "text")
     val all = docs.unionAll(crafted)
     val hof = all.select(col("doc_id"),
