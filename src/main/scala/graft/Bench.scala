@@ -311,17 +311,16 @@ object Bench {
          |   "node-loaded" (nice-19 zero-memory spinner on the unused cores),
          |   the faithful emulation of an N-core slice of a fully-occupied
          |   cluster node.
-         |3. **Single-JVM width ceiling**: one shared-heap JVM stops scaling
-         |   past ~8-16 worker threads — the thread-shaped 8→32 dimension
-         |   stalls near 0.5 while the SAME job at the SAME 32 cores as
-         |   8 separate 4-core JVMs reaches ~0.85 (4.1 s vs 7.1 s stage
-         |   wall). The deficit is a property of one 24 GB heap with 32
-         |   mutator threads (GC + scheduler + allocation contention), not
-         |   of the plan — which is precisely why real clusters deploy
-         |   several ~4-5-core executors per 32-core node rather than one
-         |   node-wide JVM. A streaming-memory probe (one JVM, per-thread
-         |   arrays) adds the bandwidth control: ~56-64 GB/s saturated at
-         |   ~8 threads; the extraction job sits below that ceiling.
+         |3. **Box-width (DRAM) ceiling**: a streaming-memory probe (one
+         |   JVM, per-thread arrays) measures ~56-64 GB/s saturated at ~8
+         |   threads — 8→32 cores adds ~1.1× bandwidth, capping ANY
+         |   data-intensive job's 8→32 efficiency near ~0.3-0.5 regardless
+         |   of JVM shape. Honest (exit-barriered, see the round-4
+         |   correction below) measurement confirms it: 8 separate 4-core
+         |   JVMs land at roughly the same 32-core stage wall as one
+         |   32-thread JVM. An earlier claim that the executor shape
+         |   "reaches ~0.85 at 8→32" was a measurement artifact, not
+         |   physics.
          |
          |The EXECUTOR-SHAPED dimensions measure the deployment the north
          |rule actually describes: separate child JVMs (disjoint taskset
@@ -332,17 +331,26 @@ object Bench {
          |shuffle dirs) and reaping its per-process reliefs (own small heap):
          |
          |- **1 → 4 processes × 2 cores** (2 → 8 total cores): the literal
-         |  "N executors → 4N executors" of the north rule. Measured
-         |  SUPERLINEAR on a clean box (see table). Controls (walls in
-         |  bench/README.md): not heap (24g N side == 6g), not partition
-         |  count (64 == 256), not co-scheduling (a quarter shard alone ==
-         |  the 4N per-shard wall); the residual is per-JVM data volume —
-         |  one process runs ~10-20% slower on 4× the data than 4× its
-         |  quarter-share wall, the familiar many-small-executors profile.
+         |  "N executors → 4N executors" of the north rule, inside the
+         |  box's bandwidth-scalable regime. Post-barrier efficiency
+         |  ~0.80-0.99 (see table) — clears the 0.8 gate honestly.
          |- 2 → 8 processes × 4 cores (8 → 32 total cores): the same
-         |  executor scale-up at 4× the width — clears 0.8 where the
-         |  single-JVM thread shape cannot (fact 3), isolating the monolith
-         |  JVM as the confounder (bench/multiproc_samples.jsonl).
+         |  executor scale-up at 4× the width — lands at the DRAM ceiling
+         |  (~0.3-0.5), matching the thread-shaped control and the
+         |  bandwidth probe (fact 3). Reported as the hardware-capped
+         |  control, NOT as gate evidence.
+         |
+         |**Round-4 measurement-integrity correction**: the pre-round-4
+         |shard protocol let early-finishing shard JVMs EXIT while siblings
+         |were still in their timed runs — the "stage wall" (max shard
+         |wall) degenerated toward a lone-shard-on-an-idle-box wall (the
+         |8×4 side measured ~4.2 s vs the honest all-shards-resident
+         |14-19 s, a ~4× bias; the 2→8-core dim read "superlinear" ~1.16
+         |for the same reason). Shards now hold an exit barrier until every
+         |sibling has reported. The biased pre-barrier trail is archived in
+         |`bench/multiproc_samples_prebarrier.jsonl` (kept as evidence, not
+         |mixed into statistics); `bench/multiproc_samples.jsonl` carries
+         |only honest post-barrier samples.
          |
          || quantity | value |
          || --- | --- |
@@ -354,13 +362,14 @@ object Bench {
          || representative throughput local[$highCores] | ${v(thr4N, "%.0f")} turns/s (${v(sec4N, "%.2f")} s) |
          || representative throughput local[$lowCores] | ${v(thrN, "%.0f")} turns/s (${v(secN, "%.2f")} s) |
          |
-         |The pure-CPU probe scales at ~1.0 in every quiet window (ruling out
-         |starvation artifacts), and the executor-shaped dimensions — the
-         |deployment the north rule describes — clear the 0.8 gate at BOTH
-         |measured widths (superlinear at 2→8 total cores; ~0.85 at 8→32).
-         |The thread-shaped 8→32 number stays in
-         |the table as the monolith-JVM control: same plan, same cores, one
-         |shared heap — the configuration a real deployment avoids.
+         |The pure-CPU probe scales at ~1.0 in every quiet window (ruling
+         |out starvation artifacts). The gate evidence is the
+         |executor-shaped 1→4-procs dimension in the bandwidth-scalable
+         |regime (≥ 0.8 post-barrier); both 8→32 dimensions (thread- and
+         |process-shaped) sit at the measured DRAM ceiling — a property of
+         |this box's memory system, not of the plan, and exactly why real
+         |clusters scale data-intensive jobs across NODES (each bringing
+         |its own memory channels) rather than widening within one socket.
          |
          |## Per-query timings (local[$highCores], $sfDir)
          |
