@@ -778,6 +778,74 @@ object SparkEntry {
       graft.sources.Snapshot.readAppended(s, s"$dir/ev", 0)
     }),
 
+    // §2.9 streaming sink D-coverage: the exactly-once StreamingSnapshot
+    // commit path driven by a REAL Structured Streaming query (file source,
+    // maxFilesPerTrigger=1 → one tagged delta per staged slice), then a
+    // crash-replay of batch 0 (must be a tag no-op — a double-commit would
+    // duplicate rows and hash-mismatch) and one late batch via the
+    // appendBatch primitive. The oracle recomputes the final table content
+    // straight from the source events table, so the sink's exactly-once
+    // row set gets a cross-engine check, not just a unit assertion.
+    "q_stream_commits" -> ((s, d) => {
+      val dir = s"$FixtureDir/stream_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), ppm(col("value")).as("value_ppm"))
+      def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(5)) === r)
+      // stage two arrival slices as single-file parquet drops
+      slice(0).coalesce(1).write.parquet(s"$dir/in/s0")
+      slice(1).coalesce(1).write.parquet(s"$dir/in/s1")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$dir/in")
+      val q = graft.streaming.StreamingSnapshot.sink(
+        stream, s"$dir/table", s"$dir/ckpt", "event_type", 4)
+      try q.processAllAvailable() finally q.stop()
+      // at-least-once redelivery of a committed batch: tag makes it a no-op
+      graft.streaming.StreamingSnapshot.appendBatch(
+        slice(0), s"$dir/table", 0L, "event_type", 4)
+      // a genuinely new late batch commits one more tagged delta
+      graft.streaming.StreamingSnapshot.appendBatch(
+        slice(2), s"$dir/table", 99L, "event_type", 4)
+      graft.sources.Snapshot.read(s, s"$dir/table")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value_ppm"))
+    }),
+
+    // S5/S7 sheet addressing: write one three-sheet workbook (two nation
+    // slices + region, the reference's real sheet names — Similarity.py:28
+    // 'MCL', text_preprocessing3.py:3 'Guidelines+Description'), then read
+    // it back via sheet_name=None (all sheets) AND a named-sheet read, and
+    // emit the full readback content. The oracle recomputes the identical
+    // rows straight from the parquet source, so the whole roundtrip —
+    // stringify → _xHHHH_/XML escape → zip → workbook.xml+rels-resolved
+    // parse — must be byte-lossless and the addressing exact.
+    "q_xlsx_sheets" -> ((s, d) => {
+      val dir = s"$FixtureDir/xlsx_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val guide = t(s, d, "nation").orderBy(col("n_nationkey"))
+        .select(col("n_nationkey").cast("string").as("k"), col("n_name").as("v"))
+      val mcl = t(s, d, "region").orderBy(col("r_regionkey"))
+        .select(col("r_regionkey").cast("string").as("k"), col("r_name").as("v"))
+      val extra = t(s, d, "nation").filter(col("n_regionkey") < 2)
+        .orderBy(col("n_nationkey"))
+        .select(col("n_name").as("k"), col("n_regionkey").cast("string").as("v"))
+      graft.sources.Xlsx.writeSheets(Seq(
+        "Guidelines+Description" -> guide, "MCL" -> mcl, "Ensure Extra" -> extra),
+        s"$dir/book.xlsx")
+      val all = graft.sources.Xlsx.readAllSheets(s, s"$dir/*.xlsx")
+        .filter(col("row_idx") > 0)
+        .select(col("sheet"), col("row_idx").cast("long").as("row_idx"),
+          concat_ws("\u0001", col("cells")).as("line"))
+      val named = graft.sources.Xlsx.readSheet(s, s"$dir/*.xlsx", "MCL")
+        .filter(col("row_idx") > 0)
+        .select(lit("named:MCL").as("sheet"),
+          col("row_idx").cast("long").as("row_idx"),
+          concat_ws("\u0001", col("cells")).as("line"))
+      all.union(named)
+    }),
+
     // z-order clustered snapshot: files cut from the Morton-sorted run
     // carry tight min/max on BOTH user_id and event_id, so the readWhere
     // rectangle prunes on both dimensions — output must still equal the
@@ -1045,6 +1113,31 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
     }),
 
+    // learned-scorer matching (classifier_model.py): LR fit over
+    // concatenated pair embeddings with cosine-threshold auto-labels
+    // (0.2 here — the synthetic vectors are near-orthogonal, so the
+    // reference's 0.8 would yield a single class; the operator default
+    // stays 0.8). The fit is golden-pinned (LearnedMatchGoldenSpec); the
+    // query EXPORTS the fitted model and the oracle replays the ENTIRE
+    // inference plane — feature concat, (x-m)/sd scaling, the 128-term
+    // i-ascending logit chain, the top-2 window — over the same doubles
+    "q_learned_match" -> ((s, d) => {
+      val dir = s"$FixtureDir/lr_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
+      val emb = t(s, d, "embeddings")
+      val left = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val right = emb.filter(col("vec_id") >= 100 && col("vec_id") < 160)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = graft.operators.LearnedMatch.fit(left, right, threshold = 0.2)
+      graft.operators.LearnedMatch.modelFrame(s, model)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+      graft.operators.LearnedMatch.rankPairs(
+          graft.operators.LearnedMatch.scoredPairs(left, right, model), 2)
+        .select(col("left_id"), col("right_id"),
+          ppm(col("logit")).as("logit_ppm"), col("rn"))
+    }),
+
     // A7: Q-learning match fold (row-independent episode folds, broadcast
     // control side). The seeded RNG + IEEE-ordered update arithmetic make
     // the whole 200-episode learning process bit-replayable — the DuckDB
@@ -1279,12 +1372,24 @@ object SparkEntry {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("event_id"), col("value"))),
 
-    // A4: LDA topic-space matcher (union-fit, k=10) — rows-only (ML-scored)
+    // A4: LDA topic-space matcher (union-fit, k=10). The Spark ML fit is
+    // not SQL-replayable (pinned instead by LdaGoldenSpec), so the query
+    // EXPORTS the run's topic vectors and scores the readout FROM the
+    // export; the oracle replays the cosine-argmax over the same exported
+    // doubles with the loop's exact left-assoc i-ascending chain — the
+    // whole scoring tail (cosine, argmax, tie order, ppm floor) is
+    // cross-engine-checked, with only the fit itself golden-pinned.
     "q_topic_match" -> ((s, d) => {
+      val dir = s"$FixtureDir/lda_v1_${java.lang.Integer.toHexString(d.hashCode)}"
+      deleteDir(dir)
       val doc = t(s, d, "documents").select(col("doc_id").as("id"), col("text"))
-      graft.operators.TopicModel.bestMatch(
-          doc.filter(col("id") < 30), doc.filter(col("id") >= 30 && col("id") < 120))
-        .select(col("left_id"), col("right_id"))
+      val (lv, rv) = graft.operators.TopicModel.topicEmbeds(
+        doc.filter(col("id") < 30), doc.filter(col("id") >= 30 && col("id") < 120))
+      lv.coalesce(1).write.mode("overwrite").parquet(s"$dir/lv")
+      rv.coalesce(1).write.mode("overwrite").parquet(s"$dir/rv")
+      graft.operators.TopicModel.bestTopicCosine(
+          s.read.parquet(s"$dir/lv"), s.read.parquet(s"$dir/rv"))
+        .select(col("left_id"), col("right_id"), ppm(col("score")).as("score_ppm"))
     }),
 
     // A5: mean-pool embedding per label — posexplode + hash-agg on
@@ -3518,6 +3623,35 @@ FROM e$BpeMerges""",
       """SELECT event_id, user_id FROM events
          WHERE event_id % 3 IN (1, 2)""",
 
+    // streaming-sink oracle: the exactly-once committed content is exactly
+    // the three arrival slices, no dup (replayed batch 0) and no loss
+    "q_stream_commits" ->
+      """SELECT event_id, user_id, event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_ppm
+         FROM events WHERE event_id % 5 IN (0, 1, 2)""",
+
+    // xlsx sheet-addressing oracle: the workbook content recomputed straight
+    // from the source tables — readback must be byte-identical (the MCL
+    // sheet appears twice: once via the all-sheets read, once via the
+    // named-sheet read)
+    "q_xlsx_sheets" ->
+      """WITH guide AS (SELECT 'Guidelines+Description' AS sheet,
+              CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT) AS row_idx,
+              CAST(n_nationkey AS VARCHAR) || chr(1) || n_name AS line
+            FROM nation),
+          mcl AS (SELECT 'MCL' AS sheet,
+              CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS BIGINT) AS row_idx,
+              CAST(r_regionkey AS VARCHAR) || chr(1) || r_name AS line
+            FROM region),
+          extra AS (SELECT 'Ensure Extra' AS sheet,
+              CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT) AS row_idx,
+              n_name || chr(1) || CAST(n_regionkey AS VARCHAR) AS line
+            FROM nation WHERE n_regionkey < 2)
+          SELECT sheet, row_idx, line FROM guide
+          UNION ALL SELECT sheet, row_idx, line FROM mcl
+          UNION ALL SELECT sheet, row_idx, line FROM extra
+          UNION ALL SELECT 'named:MCL' AS sheet, row_idx, line FROM mcl""",
+
     // data-skipping oracle: the plain WHERE over the source table — file
     // pruning must be invisible in the output
     "q_snapshot_prune" ->
@@ -3700,6 +3834,71 @@ FROM e$BpeMerges""",
     "q_embedding_ann_ivf" -> ivfOracleSql,
     "q_qlearning_match" -> qlearnOracleSql,
     "q_plsa_match" -> plsaOracleSql(),
+
+    // learned-scorer inference oracle: rebuilds every pair's concatenated
+    // feature vector from the SOURCE embeddings table, applies the
+    // exported scaler+LR model with the kernel's exact i-ascending
+    // left-assoc chain (one term per dim, intercept added last), and
+    // replays the top-2 window — the whole inference plane cross-engine,
+    // only the iterative fit golden-pinned (LearnedMatchGoldenSpec)
+    "q_learned_match" -> {
+      // balanced pairwise addition tree, the kernel's exact contract (see
+      // LearnedMatch.Model.logit): log2(128)=7 paren depth — a flat
+      // left-assoc 128-term chain trips DuckDB's expression-depth limit
+      def sumTree(ts: Seq[String]): String =
+        if (ts.length == 1) ts.head
+        else sumTree(ts.grouped(2).map(g =>
+          if (g.length == 2) s"(${g(0)} + ${g(1)})" else g(0)).toSeq)
+      val terms = sumTree((1 to 128).map { i =>
+        val x = if (i <= 64) s"CAST(l.embedding[$i] AS DOUBLE)"
+                else s"CAST(r.embedding[${i - 64}] AS DOUBLE)"
+        s"mo.w[$i] * (($x - mo.m[$i]) / mo.sd[$i])"
+      })
+      s"""WITH mo AS (
+            SELECT list(w ORDER BY dim) AS w, list(m ORDER BY dim) AS m,
+                   list(sd ORDER BY dim) AS sd, max(intercept) AS b
+            FROM read_parquet('$FixtureDir/lr_v1___SFHASH__/model/*.parquet')),
+          scored AS (
+            SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              ($terms) + mo.b AS logit
+            FROM embeddings l CROSS JOIN embeddings r CROSS JOIN mo
+            WHERE l.vec_id < 20 AND r.vec_id >= 100 AND r.vec_id < 160),
+          ranked AS (
+            SELECT left_id, right_id, logit,
+              ROW_NUMBER() OVER (PARTITION BY left_id
+                ORDER BY logit DESC, right_id) AS rn
+            FROM scored)
+          SELECT left_id, right_id,
+            CAST(floor(logit * 1000000) AS BIGINT) AS logit_ppm, rn
+          FROM ranked WHERE rn <= 2"""
+    },
+
+    // LDA readout oracle: replays bestTopicCosine over the query's OWN
+    // exported topic vectors (same doubles, parquet is exact for IEEE754).
+    // The k=10 chains below are literal left-assoc i-ascending sums —
+    // bit-identical to the Scala loop's dot/na/nb accumulators — so score,
+    // argmax, tie order, and the ppm floor all replay exactly; only the ML
+    // fit that PRODUCED the vectors stays golden-pinned (LdaGoldenSpec).
+    // __SFHASH__ is substituted by Verify with this run's sf-dir hash.
+    "q_topic_match" -> {
+      val dot = (1 to 10).map(i => s"l.lv[$i]*r.rv[$i]").mkString(" + ")
+      val na = (1 to 10).map(i => s"l.lv[$i]*l.lv[$i]").mkString(" + ")
+      val nb = (1 to 10).map(i => s"r.rv[$i]*r.rv[$i]").mkString(" + ")
+      s"""WITH s AS (
+            SELECT l.left_id, r.right_id,
+              CASE WHEN ($na) = 0.0 OR ($nb) = 0.0 THEN 0.0
+                   ELSE ($dot) / (sqrt($na) * sqrt($nb)) END AS score
+            FROM read_parquet('$FixtureDir/lda_v1___SFHASH__/lv/*.parquet') l
+            CROSS JOIN read_parquet('$FixtureDir/lda_v1___SFHASH__/rv/*.parquet') r),
+          ranked AS (
+            SELECT left_id, right_id, score,
+              ROW_NUMBER() OVER (PARTITION BY left_id
+                ORDER BY score DESC, right_id) AS rn
+            FROM s)
+          SELECT left_id, right_id,
+            CAST(floor(score * 1000000) AS BIGINT) AS score_ppm
+          FROM ranked WHERE rn = 1"""
+    },
     "q_plsa_foldin" -> plsaFoldinOracleSql(),
     "q_semdedup" -> semDedupOracleSql,
     // int8 quantizer replica: per-vector scale = max|v|/127, floor(x+0.5)

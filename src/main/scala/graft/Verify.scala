@@ -60,8 +60,15 @@ object Verify {
     // would otherwise make the driver's json.load fail and silently zero
     // the round's correctness.
     import graft.core.Json
+    // __SFHASH__ lets an oracle read a fixture a query EXPORTED for this
+    // exact sf dir (e.g. q_topic_match's topic vectors): queries key such
+    // dirs by d.hashCode, and d is the same sfDir string passed here, so
+    // the substituted path always names this run's own export
+    val sfHash = java.lang.Integer.toHexString(sfDir.hashCode)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${Json.str(k)}: ${Json.str(v.replace("__SFHASH__", sfHash))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -236,8 +236,13 @@ object TopicModel {
   }
 
   /** Shared scoring tail: broadcast cross-join on topic-space cosine,
-    * per-left argmax with the (desc score, right_id) tie order. */
-  private def bestTopicCosine(lv: DataFrame, rv: DataFrame): DataFrame = {
+    * per-left argmax with the (desc score, right_id) tie order. Kept
+    * `private[graft]` so SparkEntry's `q_topic_match` can re-score its
+    * EXPORTED topic vectors: the cosine loop is i-ascending left-assoc
+    * (dot += a(i)*b(i)), so a k-fixed SQL chain `a[1]*b[1] + … + a[k]*b[k]`
+    * replays it bit-identically and the ML-fit readout gets a real
+    * cross-engine oracle (the fit itself stays pinned by LdaGoldenSpec). */
+  private[graft] def bestTopicCosine(lv: DataFrame, rv: DataFrame): DataFrame = {
     val cosD = udf { (a: Seq[Double], b: Seq[Double]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -254,6 +259,17 @@ object TopicModel {
   /** Best topic-space match per left row. `left`/`right`: (id, text). */
   def bestMatch(left: DataFrame, right: DataFrame, k: Int = 10,
                 vocabSize: Int = 1 << 14, seed: Long = 42L): DataFrame = {
+    val (lv, rv) = topicEmbeds(left, right, k, vocabSize, seed)
+    bestTopicCosine(lv, rv)
+  }
+
+  /** The union-fit LDA embeds behind [[bestMatch]], exposed so callers can
+    * materialize the topic vectors (e.g. to parquet) and oracle the scoring
+    * tail over the export: (left_id, lv:array‹double›) ×
+    * (right_id, rv:array‹double›). */
+  def topicEmbeds(left: DataFrame, right: DataFrame, k: Int = 10,
+                  vocabSize: Int = 1 << 14, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.functions.vector_to_array
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val union = left.select(coalesce(col("text"), lit("")).as("text"))
@@ -278,6 +294,6 @@ object TopicModel {
         .select(col("id").as(idAs),
           vector_to_array(col("topicDistribution")).as(vecAs))
 
-    bestTopicCosine(embed(left, "left_id", "lv"), embed(right, "right_id", "rv"))
+    (embed(left, "left_id", "lv"), embed(right, "right_id", "rv"))
   }
 }

@@ -690,6 +690,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.sources.Xlsx.refToColIdx("AB7") == 27)
   }
 
+  test("Xlsx: multi-sheet write/read — named addressing, all-sheets, order") {
+    import spark.implicits._
+    val guide = Seq(("1.1", "Ensure logging"), ("1.2", "Ensure auditing"))
+      .toDF("rule", "description")
+    val mcl = Seq(("1.1", "8.2", "0.91")).toDF("rule", "control", "score")
+    val notes = Seq(("n1", "a <b> & \"c\""), ("n2", "tab\there")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-sheets").toString
+    // the reference's real sheet names: text_preprocessing3.py:3, Similarity.py:28
+    graft.sources.Xlsx.writeSheets(Seq(
+      "Guidelines+Description" -> guide, "MCL" -> mcl, "Notes" -> notes),
+      s"$dir/book.xlsx")
+    // named addressing
+    val gotMcl = graft.sources.Xlsx
+      .readWithHeader(spark, s"$dir/*.xlsx", Some("MCL"))
+      .as[(String, String, String)].collect().toSeq
+    assert(gotMcl == Seq(("1.1", "8.2", "0.91")))
+    val gotNotes = graft.sources.Xlsx
+      .readWithHeader(spark, s"$dir/*.xlsx", Some("Notes"))
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(gotNotes == Seq(("n1", "a <b> & \"c\""), ("n2", "tab\there")))
+    // default read = FIRST sheet in workbook order
+    val first = graft.sources.Xlsx.readWithHeader(spark, s"$dir/*.xlsx")
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(first == Seq(("1.1", "Ensure logging"), ("1.2", "Ensure auditing")))
+    // sheet_name=None: every sheet, workbook order preserved, header rows kept
+    val all = graft.sources.Xlsx.readAllSheets(spark, s"$dir/*.xlsx")
+      .select(col("sheet"), col("row_idx")).as[(String, Int)].collect().toSeq
+    assert(all.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("Guidelines+Description" -> 3, "MCL" -> 2, "Notes" -> 3))
+    val orderSeen = all.map(_._1).distinct
+    assert(orderSeen == Seq("Guidelines+Description", "MCL", "Notes"))
+    // a missing sheet contributes zero rows, not a failure
+    assert(graft.sources.Xlsx.readSheet(spark, s"$dir/*.xlsx", "NoSuch").count() == 0)
+    // single-df write honors the sheetName arg (Similarity.py sheet_name='MCL')
+    graft.sources.Xlsx.write(mcl, s"$dir/one.xlsx", sheetName = "MCL")
+    assert(graft.sources.Xlsx
+      .readWithHeader(spark, s"$dir/one.xlsx", Some("MCL")).count() == 1)
+    assert(graft.sources.Xlsx.readSheet(spark, s"$dir/one.xlsx", "Sheet1").count() == 0)
+    // duplicate sheet names refused loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.Xlsx.writeSheets(Seq("A" -> mcl, "A" -> mcl), s"$dir/dup.xlsx")
+    }
+  }
+
+  test("Xlsx: sheet order follows workbook.xml, not zip entry order; hostile names") {
+    // hand-build a workbook whose ZIP lists sheet2.xml BEFORE sheet1.xml and
+    // whose workbook.xml names them in the opposite logical order — the
+    // manifest must win (real writers order zip entries arbitrarily)
+    def sheetXml(v: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="x"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row></sheetData></worksheet>"""
+    val wb = """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+      <sheets><sheet name="First" sheetId="1" r:id="rId9"/><sheet name="Second" sheetId="2" r:id="rId3"/></sheets></workbook>"""
+    val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      <Relationship Id="rId9" Type="t" Target="worksheets/sheet1.xml"/>
+      <Relationship Id="rId3" Type="t" Target="/xl/worksheets/sheet2.xml"/>
+      </Relationships>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def add(n: String, c: String) = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    add("xl/worksheets/sheet2.xml", sheetXml("two"))     // zip order reversed
+    add("xl/worksheets/sheet1.xml", sheetXml("one"))
+    add("xl/_rels/workbook.xml.rels", rels)
+    add("xl/workbook.xml", wb)
+    zip.close()
+    val sheets = graft.sources.Xlsx.parseWorkbook(bos.toByteArray)
+    assert(sheets.map(_._1) == Seq("First", "Second"))
+    assert(sheets.map(_._2.head._2.head) == Seq("one", "two"))
+    // parseSheet = first sheet per MANIFEST order, i.e. "one"
+    assert(graft.sources.Xlsx.parseSheet(bos.toByteArray).head._2 == Seq("one"))
+    // hostile sheet names (XML entities + _x escapes + C0) roundtrip the writer
+    val hostile = Seq("a&b <c>", "_x0007_lit", "bellname")
+    val bytes = graft.sources.Xlsx.toBytesSheets(hostile.map(n =>
+      (n, Seq("h"), Iterator(Seq("v")))))
+    assert(graft.sources.Xlsx.parseWorkbook(bytes).map(_._1) == hostile)
+  }
+
+  test("Xlsx: typed-cell contract — numeric/date/bool cells read as raw stored strings") {
+    // CONTRACT (pinned): this is a STRING-ONLY reader. Cells without t="s"
+    // or t="inlineStr" — numerics, styled dates (a date is a styled NUMBER
+    // serial in OOXML, style index in `s` which we ignore), booleans
+    // (t="b" stores 0/1), formulas (<f> ignored, cached <v> kept) — yield
+    // the raw stored <v> text. Typed interpretation is the caller's cast.
+    val sheet = """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+      <row r="1">
+        <c r="A1"><v>42</v></c>
+        <c r="B1"><v>3.14159</v></c>
+        <c r="C1" s="2"><v>45292</v></c>
+        <c r="D1" t="b"><v>1</v></c>
+        <c r="E1" t="str"><f>A1*2</f><v>84</v></c>
+        <c r="F1"><v>1.23E-5</v></c>
+        <c r="G1" t="inlineStr"><is><t>text</t></is></c>
+      </row></sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.write(sheet.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    val rows = graft.sources.Xlsx.parseSheet(bos.toByteArray)
+    assert(rows == Seq((0,
+      Seq("42", "3.14159", "45292", "1", "84", "1.23E-5", "text"))))
+  }
+
   test("BinaryPayloads: byte-stream lexer == in-memory oracle; feeds the FSM") {
     import spark.implicits._
     // payload files: one conversation per file, pages joined by form feed
