@@ -53,12 +53,20 @@ object GraftExtensions {
     * and the existing-session registration path. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     rawFunctions.map { case (id, fi, b) =>
-      val n = arities(id.funcName)
-      (id, fi, (args: Seq[Expression]) => {
-        if (args.length != n) throw new IllegalArgumentException(
-          s"${id.funcName} requires $n arguments (${fi.getUsage}), got ${args.length}")
-        b(args)
-      })
+      // a rawFunctions entry without an arities row must NOT kill
+      // registration of every graft function at session build (this val
+      // initializes the object): it degrades to the raw builder, whose own
+      // args(i) access still errors per call — just without the nice
+      // arity message
+      arities.get(id.funcName) match {
+        case Some(n) =>
+          (id, fi, (args: Seq[Expression]) => {
+            if (args.length != n) throw new IllegalArgumentException(
+              s"${id.funcName} requires $n arguments (${fi.getUsage}), got ${args.length}")
+            b(args)
+          })
+        case None => (id, fi, b)
+      }
     }
 
   private def rawFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -13,13 +13,18 @@ object TextStats {
   /** Whitespace tokenization (reference tokenizes with NLTK word_tokenize /
     * `str.split`; we pin simple `\s+` splitting for the count path).
     *
-    * This is the KERNEL-family tokenization (full `PyStr.strip`, no empty
-    * tokens) — the minhash/shingle/DSIR DuckDB oracles replicate exactly
-    * this. `TextFunctions.wsTokens` (the column family behind
-    * q_tokens/q_quality_ratios) trims ASCII space only and keeps a
-    * trailing empty token for text ending in non-space whitespace; the two
-    * agree on all fixture corpora (none end in whitespace) but are
-    * DIFFERENT contracts — do not swap one for the other. */
+    * This is the KERNEL-family tokenization (full `PyStr.strip` — the
+    * Python `str.isspace()` class incl. NBSP/NEL/FS-US/Zs/Zl/Zp — then a
+    * Java `\s+` split) — the minhash/shingle/DSIR DuckDB oracles replicate
+    * exactly this. `TextFunctions.wsTokens` (the column family behind
+    * q_tokens/q_quality_ratios) edge-strips and splits on Java `\s` ONLY
+    * (ASCII ws + VT), so the two contracts DIVERGE on text edged with
+    * Python-only whitespace (e.g. a leading NBSP: this kernel drops it,
+    * the column keeps it glued to the first token) — and agree everywhere
+    * else, including every fixture corpus. Both classes are pinned by
+    * their own DuckDB oracle replicas; do not swap one for the other, and
+    * do not "unify" without migrating the oracle regex classes in the same
+    * change (RE2/Java class parity is exactly the \x0B trap of round 4). */
   def wsTokens(s: String): Array[String] = {
     val t = PyStr.strip(s)
     if (t.isEmpty) Array.empty else t.split("\\s+")

@@ -208,10 +208,20 @@ object VectorExpressions {
 
     /** Query norm hoisted out of the centroid loop (one pass per row instead
       * of nlist) and centroid norms precomputed — ~3× fewer flops in the IVF
-      * assignment / Lloyd hot loop, bit-identical on equal-dim inputs. */
+      * assignment / Lloyd hot loop, bit-identical on equal-dim inputs.
+      *
+      * Short rows are REJECTED, not truncated: the precomputed centroid
+      * norm is full-length while dot/query-norm would truncate, so a
+      * sub-dim row would be scored by an inconsistent hybrid (and silently
+      * diverge from FloatCosine's truncate-both contract). Mixed-dim
+      * corpora are malformed input for IVF — fail loud with the row dim. */
     def compute(a: ArrayData, centroids: Array[Array[Float]],
                 centNorms: Array[Double]): Int = {
-      val n = math.min(a.numElements(), centroids(0).length)
+      val dim = centroids(0).length
+      if (a.numElements() < dim) throw new IllegalArgumentException(
+        s"centroid_argmax: vector has ${a.numElements()} elements, " +
+          s"centroids have $dim — mixed-dim corpus is malformed for IVF")
+      val n = dim
       var na = 0.0
       var i = 0
       while (i < n) {

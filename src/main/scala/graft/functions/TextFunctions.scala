@@ -12,13 +12,17 @@ import graft.core.TextStats
   * built-in `xxhash64` so the hot dedup path stays codegen'd too. */
 object TextFunctions {
 
-  /** Whitespace tokens — Python str.split() semantics: split on `\s+` runs
-    * with empty tokens DROPPED (Spark split keeps leading/trailing empties
-    * for text edged with non-space whitespace; trim() strips ' ' only).
-    * Implemented as a codegen'd regexp edge-strip + split (no HOF filter):
-    * produces the IDENTICAL token list to `TextStats.wsTokens`
-    * (PyStr.strip + split) on every input, unifying the column and kernel
-    * tokenization contracts. */
+  /** Whitespace tokens — str.split()-LIKE semantics over the Java `\s`
+    * class: codegen'd regexp edge-strip + split with empty tokens dropped
+    * (plain Spark split keeps leading/trailing empties; trim() strips ' '
+    * only). Divergence from `TextStats.wsTokens` (the kernel family):
+    * that one edge-strips the full Python `str.isspace()` class
+    * (NBSP/NEL/FS-US/Zs/Zl/Zp) via PyStr.strip, this one Java `\s` only —
+    * so text EDGED with Python-only whitespace keeps it glued to its edge
+    * token here. The two agree on every input free of such edges (all
+    * fixtures). This class is pinned by the q_tokens/q_quality_ratios
+    * DuckDB oracle regexes — changing it means migrating those replicas
+    * in the same change (see TextStats.wsTokens scaladoc). */
   def wsTokens(c: Column): Column = {
     val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
     when(length(stripped) === 0, array().cast("array<string>"))

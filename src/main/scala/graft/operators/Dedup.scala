@@ -26,6 +26,31 @@ import graft.functions.TextFunctions.hamming64
   * recall is measured against the exact baselines in DedupRecallSpec. */
 object Dedup {
 
+  // long-lived persists (minHashLsh / ngramJaccardPairs signature frames):
+  // their results are returned LAZY, so the operator cannot unpersist
+  // before the caller consumes them — registered here instead, released
+  // deterministically via releaseCaches(). Weak-value-free by design:
+  // entries live until released, matching the documented LRU stance.
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    liveCaches.add(df)
+    df
+  }
+
+  /** Release every signature-frame cache a minHashLsh/ngramJaccardPairs
+    * call has pinned in this session. Call AFTER fully consuming their
+    * results (the frames back lazy plans; an early release just recomputes
+    * the kernels on the next action — correct, only slower). Batch drivers
+    * that loop over corpora should call this per iteration so disk-backed
+    * blocks never outlive their corpus (plain LRU would otherwise let them
+    * pressure spark.local.dir until eviction). */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
+  }
+
   /** Exact dedup: canonical representative per identical text (deterministic:
     * min id), plus group size. One hash-agg shuffle. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -100,12 +125,13 @@ object Dedup {
                  threshold: Double = 0.6): DataFrame = {
     // persist: the signature frame feeds the band join AND both verify
     // join-backs — unmarked, the shingle/minhash kernels re-run in three
-    // scans of the input (the frame is (id, hashes) only, never text;
-    // LRU eviction bounds residency)
-    val base = df.select(col(idCol).as("id"),
+    // scans of the input (the frame is (id, hashes) only, never text).
+    // Registered for deterministic release via releaseCaches(); until
+    // then LRU eviction bounds residency.
+    val base = registerCache(df.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleK).as("th"),
       minhash_bands(col(textCol), shingleK, numHashes, bands).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = base.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val candidates = banded.as("l").join(banded.as("r"),
@@ -265,34 +291,89 @@ object Dedup {
     * longer when t·|s| is integral), so double rounding can only ADD
     * candidates — exactness never depends on float luck.
     *
+    * Prefix ORDER is ascending global document frequency (rare-first, hash
+    * tiebreak) — the canonical PPJoin ordering, and the skew guard: the
+    * prefix-filter theorem holds for ANY one global total order, so with
+    * rare tokens first a boilerplate token shared by m rows sorts to the
+    * END of every set and enters a prefix only when a row is too short to
+    * avoid it — the m² hot-token candidate blowup of a frequency-agnostic
+    * order never forms, and the final pair set is IDENTICAL (the verify
+    * filter is unchanged; candidates are a superset of true pairs under
+    * every valid order). Costs one token-frequency aggregation and a
+    * per-row prefix re-rank (two key-partitioned shuffles) — the standard
+    * PPJoin preprocessing, linear in corpus tokens.
+    *
     * Scale shape: candidate volume tracks true near-duplicate density plus
     * rare-prefix-token collisions, not block size²; per-row work is one
-    * scan-side signature + a bounded prefix explode. Skew ceiling: a token
-    * shared by the prefixes of m rows in one block still yields m²
-    * candidates — at web scale that token is by construction rare (it sits
-    * in the low-hash prefix only for short or genuinely similar sets);
-    * pathological corpora should raise the threshold or pre-dedup exact
-    * copies first ([[exact]]). */
+    * scan-side signature + a bounded prefix explode. Residual skew
+    * ceiling: m rows sharing a RARE prefix token still yield m²
+    * candidates, but rare-first ordering makes such a token's df small by
+    * construction — m is bounded by the df of a token that survived into
+    * prefixes; pathological corpora should raise the threshold or
+    * pre-dedup exact copies first ([[exact]]). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     // persist: (id, blk, hashes) feeds prefix candidates and both verify
-    // join-backs — see minHashLsh's matching note
-    val s = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    // join-backs — see minHashLsh's matching note (released by
+    // releaseCaches())
+    val s = registerCache(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       token_hashes(col(textCol)).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = s.withColumn("sz", size(col("th")))
-    // PPJoin prefix length: the TIGHT bound is sz - ceil(t·sz) + 1 — any
-    // shorter drops pairs sitting exactly at J == t (and at t = 1.0 a
-    // shorter prefix is EMPTY, missing even identical docs). ceil is
-    // computed in exact ppm integer arithmetic: a double ceil(t*sz) can
-    // round UP on float error (0.6*5 = 3.0000000000000004 → 4), silently
-    // shortening the prefix below the bound.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tppm = math.round(threshold * 1000000L)
-    val pref = sized.select(col("id"), col("blk"), col("sz"),
-      explode(slice(col("th"), lit(1),
-        (col("sz") - floor((lit(tppm) * col("sz") + 999999L) / 1000000L) + 1)
-          .cast("int"))).as("tok"))
-    val cand = pref.as("l").join(pref.as("r"),
+    val cand = ppjoinCandidates(ppjoinPrefixes(s, tppm), tppm)
+    cand
+      .join(s.select(col("id").as("left_id"), col("th").as("lth")), Seq("left_id"))
+      .join(s.select(col("id").as("right_id"), col("th").as("rth")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        sorted_jaccard(col("lth"), col("rth")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** PPJoin prefix frame (id, blk, sz, tok) over a signature frame
+    * (id, blk, th:sorted-distinct hashes).
+    *
+    * Prefix length: the TIGHT bound is sz − ⌈t·sz⌉ + 1 — any shorter drops
+    * pairs sitting exactly at J == t (and at t = 1.0 a shorter prefix is
+    * EMPTY, missing even identical docs). ceil is computed in exact ppm
+    * integer arithmetic: a double ceil(t·sz) can round UP on float error
+    * (0.6·5 = 3.0000000000000004 → 4), silently shortening the prefix
+    * below the bound.
+    *
+    * `rareFirst = true` (the operator's setting) selects each row's prefix
+    * in ascending global-df order — the skew guard; `false` keeps the raw
+    * ascending-hash order (the pre-guard shape, exact but hot-token-m²) so
+    * the adversarial spec can contrast candidate volumes. */
+  private[graft] def ppjoinPrefixes(s: DataFrame, tppm: Long,
+                                    rareFirst: Boolean = true): DataFrame = {
+    val sized = s.withColumn("sz", size(col("th")))
+    val plen = (col("sz") - floor((lit(tppm) * col("sz") + 999999L) / 1000000L) + 1)
+      .cast("int")
+    if (!rareFirst)
+      sized.select(col("id"), col("blk"), col("sz"),
+        explode(slice(col("th"), lit(1), plen)).as("tok"))
+    else {
+      val toks = sized.select(col("id"), col("blk"), col("sz"),
+        plen.as("plen"), explode(col("th")).as("tok"))
+      // global token df (th is distinct per row, so count = doc frequency);
+      // (tdf, tok) is one TOTAL order shared by every row — the prefix
+      // theorem's only requirement — with rare tokens first (see
+      // ngramJaccardPairs scaladoc)
+      val tdf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      toks.join(tdf, Seq("tok"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("tdf"), col("tok"))))
+        .filter(col("rnk") <= col("plen"))
+        .select(col("id"), col("blk"), col("sz"), col("tok"))
+    }
+  }
+
+  /** The PPJoin candidate equi-join over an exploded prefix frame
+    * (id, blk, sz, tok) — split out so the skew-guard spec can count
+    * candidates directly (a hot-token blowup is invisible in the final
+    * pair set, which stays exact under any valid prefix order). */
+  private[graft] def ppjoinCandidates(pref: DataFrame, tppm: Long): DataFrame =
+    pref.as("l").join(pref.as("r"),
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") < col("r.id") &&
           // length-ratio prune: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|)
@@ -301,13 +382,6 @@ object Dedup {
           col("r.sz") * 1000000L >= lit(tppm) * col("l.sz"))
       .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
       .distinct()
-    cand
-      .join(s.select(col("id").as("left_id"), col("th").as("lth")), Seq("left_id"))
-      .join(s.select(col("id").as("right_id"), col("th").as("rth")), Seq("right_id"))
-      .select(col("left_id"), col("right_id"),
-        sorted_jaccard(col("lth"), col("rth")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
 
   /** Cross-document repeated-line removal (the CCNet/RefinedWeb boilerplate
     * pass): a line whose trimmed form appears in ≥ `minDocs` DISTINCT

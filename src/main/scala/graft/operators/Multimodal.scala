@@ -50,7 +50,11 @@ object Multimodal {
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       batchSize: Int = 64): Dataset[GenericFeatures] = {
     import df.sparkSession.implicits._
-    df.select(expr(s"try_cast(`$idCol` AS BIGINT)").as("_mm_id"), col(payloadCol))
+    // try_cast has no Column-API form in this Spark line, so the id lands
+    // in a SQL fragment — escape backticks (`` is the quoted-identifier
+    // escape) so a hostile column name cannot break or redirect the parse
+    df.select(expr(s"try_cast(`${idCol.replace("`", "``")}` AS BIGINT)")
+        .as("_mm_id"), col(payloadCol))
       .filter(col("_mm_id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>

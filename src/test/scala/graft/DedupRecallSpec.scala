@@ -116,6 +116,52 @@ class DedupRecallSpec extends AnyFunSuite {
     info(s"giant-block pairs=${brute.size} exact through the prefix filter")
   }
 
+  test("ngramJaccardPairs skew guard: planted hot token never enters prefixes; pairs unchanged") {
+    import spark.implicits._
+    // adversarial corpus: EVERY doc carries one shared boilerplate token
+    // ("hotboilerplate", df = all rows); each doc i also has 8 unique-ish
+    // tokens, and a planted clone drops one of them (J = 8/9 ≥ 0.6). Under
+    // a frequency-agnostic (hash-order) prefix the hot token lands in
+    // ~plen/sz of all prefixes → a quadratic candidate block; under the
+    // rare-first order its df sorts it last → it never enters a prefix.
+    val rows = (0 until 120).flatMap { i =>
+      val toks = (0 until 8).map(j => s"w${i}x$j") :+ "hotboilerplate"
+      Seq((i.toLong, toks.mkString(" ")),
+        (i + 100000L, toks.drop(1).mkString(" ")))
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("blk", lit("all"))
+    // final pairs: pair-for-pair equal to brute force (exactness survives
+    // the ordering change — the theorem holds for any global total order)
+    val sigs = docs.select(col("doc_id").as("id"),
+      graft.expressions.TextHashExpressions.token_hashes(col("text")).as("th"))
+    val brute = sigs.as("l").join(sigs.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
+        graft.expressions.TextHashExpressions.sorted_jaccard(col("l.th"), col("r.th")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select(col("left_id"), col("right_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(Dedup.ngramJaccardPairs(docs, "text", "doc_id", "blk", 0.6))
+    assert(brute.size == 120, s"expected exactly the 120 planted clone pairs, got ${brute.size}")
+    assert(got == brute, s"skew-guarded PPJoin must stay EXACT: missing=" +
+      s"${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // candidate volume: the guard's whole point. Same corpus, same tppm,
+    // only the prefix order differs.
+    val sig = docs.select(col("doc_id").as("id"), col("blk"),
+      graft.expressions.TextHashExpressions.token_hashes(col("text")).as("th"))
+    val tppm = 600000L
+    val candRare = Dedup.ppjoinCandidates(
+      Dedup.ppjoinPrefixes(sig, tppm), tppm).count()
+    val candHash = Dedup.ppjoinCandidates(
+      Dedup.ppjoinPrefixes(sig, tppm, rareFirst = false), tppm).count()
+    assert(candRare >= 120, s"candidates must cover the true pairs, got $candRare")
+    assert(candHash > 4 * candRare,
+      s"hot token must blow up the unguarded order (hash=$candHash rare=$candRare)")
+    assert(candRare <= 3 * 120,
+      s"rare-first candidates must track true-pair density, got $candRare")
+    info(s"candidates: hash-order=$candHash rare-first=$candRare (120 true pairs)")
+  }
+
   test("minHashLsh measured recall >= 0.85 on a near-dup corpus at threshold 0.7") {
     import spark.implicits._
     // deterministic near-dups: drop every 10th token -> jaccard ~0.9
