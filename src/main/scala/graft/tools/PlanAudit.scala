@@ -68,7 +68,11 @@ object PlanAudit {
     "q_token_sort_pairs", // broadcast-NL pair set; codegen token_sort_ratio kernel in-join
     "q_seqmatch_best",    // broadcast-NL + window group-limit argmax; codegen seq_ratio
     "q_lm_score",         // driver-free LM plane: vocab joins broadcast; bigram model hint-free (AQE)
-    "q_multimodal_features") // sniff+decode ride the scan in ONE mapPartitions pass
+    "q_multimodal_features", // sniff+decode ride the scan in ONE mapPartitions pass
+    "q_xlsx_sheets",      // binaryFile scan + per-file workbook parse, no exchange before the union
+    "q_topic_match",      // exported-vector re-read: broadcast-NL cosine + window group-limit argmax
+    "q_learned_match",    // broadcast-NL pair scoring (model broadcast), window top-2
+    "q_stream_commits")   // snapshot read after streaming commits: plain pruned file scan
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

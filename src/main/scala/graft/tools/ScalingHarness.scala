@@ -113,14 +113,19 @@ object ScalingHarness {
   private def nodeLoaded[T](cores: Int)(f: => T): T =
     if (cores >= MachineCores) f
     else {
-      // `timeout 3600`: a SIGKILLed harness JVM skips the finally, and an
-      // orphaned spinner would otherwise burn the non-measured cores for
-      // ~13 days; no legitimate measured section approaches an hour
-      val cmd = Seq("timeout", "3600",
+      // NO `timeout(1)` wrapper — round-5 forensics: taskset/nice EXEC into
+      // java (one pid), but `timeout` FORKS it, so destroyForcibly killed
+      // the timeout guardian and orphaned the spinner java to init with
+      // its hour bound gone (50 such spinners, 2-3 h old, were found
+      // saturating this box's idle cycles). With the exec chain as the
+      // direct child, destroyForcibly kills the JVM itself; a SIGKILLed
+      // harness (finally skipped) is covered by CpuProbe's own in-process
+      // watchdog (3rd arg: self-halt deadline, seconds).
+      val cmd = Seq(
         "taskset", "-c", s"$cores-${MachineCores - 1}", "nice", "-n", "19",
         "java", "-Xmx128m", "-Xms128m",
         "-cp", System.getProperty("java.class.path"), "graft.tools.CpuProbe",
-        (MachineCores - cores).toString, "999000000000000")
+        (MachineCores - cores).toString, "999000000000000", "3600")
       val p = new ProcessBuilder(cmd: _*)
         .redirectOutput(ProcessBuilder.Redirect.DISCARD)
         .redirectError(ProcessBuilder.Redirect.DISCARD).start()
@@ -595,6 +600,22 @@ object CpuProbe {
   def main(args: Array[String]): Unit = {
     val threads = args(0).toInt
     val totalIters = args(1).toLong
+    // Self-deadline watchdog (daemon thread, ZERO cost in the spin loop —
+    // the loop's timing calibration, QuietCpuProbeWall, must not change):
+    // an ORPHANED probe/spinner halts itself after args(2) seconds
+    // (default 3900 s). Round-5 forensics: 50 spinner JVMs with 2-3 h
+    // elapsed were found orphaned on this box — `destroyForcibly` had
+    // SIGKILLed their `timeout(1)` guardian while the spinner java (a
+    // grandchild) reparented to init and spun on, burning every idle
+    // cycle at nice-19 and poisoning every co-resident wall clock.
+    val deadlineSec = if (args.length > 2) args(2).toLong else 3900L
+    val wd = new Thread(() => {
+      try Thread.sleep(deadlineSec * 1000L)
+      catch { case _: InterruptedException => return }
+      Runtime.getRuntime.halt(3)
+    })
+    wd.setDaemon(true)
+    wd.start()
     val perThread = totalIters / threads
     val sink = new java.util.concurrent.atomic.AtomicLong
     val t0 = System.nanoTime()
