@@ -52,4 +52,13 @@ object Kernels {
 
   def tokenSortRatio(a: String, b: String): Int =
     graft.core.SeqMatcher.tokenSortRatio(a, b)
+
+  def wordGrams(text: String, n: Int): Array[AnyRef] =
+    TextHashExpressions.WordGrams.compute(text, n)
+
+  def wordChunks(text: String, k: Int): Array[AnyRef] =
+    TextHashExpressions.WordChunks.compute(text, k)
+
+  def wordWindows(text: String, chunk: Int, stride: Int): Array[AnyRef] =
+    TextHashExpressions.WordWindows.compute(text, chunk, stride)
 }

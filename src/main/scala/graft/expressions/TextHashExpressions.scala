@@ -366,6 +366,144 @@ object TextHashExpressions {
     }
   }
 
+  /** text → array<string> of DISTINCT space-joined word n-grams, first-
+    * occurrence order — byte-identical to the HOF tree
+    * `array_distinct(transform(sequence(1, size(toks)-(n-1)), i ⇒
+    * concat_ws(" ", slice(toks, i, n))))` with `toks = split(text, " ")`
+    * (single-space regex, limit -1: consecutive separators yield EMPTY
+    * tokens and trailing empties are KEPT — both preserved here), and to
+    * the contamination oracle's DuckDB replica. Why custom: inside the HOF
+    * lambda, `slice(split(text), i, n)` re-evaluates the `split` PER GRAM
+    * POSITION (the Generate's argument embeds `split(text#…)` inside the
+    * lambdafunction — visible in `.explain`), turning an O(L) tokenize
+    * into O(L·positions) re-splits per row, and the whole tree is
+    * CodegenFallback; this kernel splits once and participates in
+    * whole-stage codegen (measured: the sf0.1 contamination probe-side
+    * Generate drops ~2.8 s → ~0.1 s). Fewer than n tokens → empty array
+    * (the HOF tree's `when(size < n, [])` guard). */
+  case class WordGrams(child: Expression, n: Int)
+      extends UnaryExpression with StringInput {
+    require(n >= 1, s"n must be >= 1, got $n")
+    override def prettyName: String = "word_grams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(WordGrams.compute(v.asInstanceOf[UTF8String].toString, n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.wordGrams($v.toString(), $n));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordGrams {
+    def compute(text: String, n: Int): Array[AnyRef] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) return Array.empty[AnyRef]
+      // distinct preserving first occurrence — array_distinct's contract
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      out
+    }
+  }
+
+  /** text → array<string> of fixed-token-count chunks in document order —
+    * byte-identical to the HOF tree `transform(sequence(0, ceil(size/k)-1),
+    * i ⇒ concat_ws(" ", slice(toks, i*k+1, k)))` over `split(text, " ")`
+    * (last chunk short; empty-token/trailing-empty split semantics as
+    * [[WordGrams]]). `posexplode` over the result reproduces the 0-based
+    * `chunk_idx` of the HOF formulation. Same per-position re-split /
+    * CodegenFallback motivation as [[WordGrams]]. */
+  case class WordChunks(child: Expression, k: Int)
+      extends UnaryExpression with StringInput {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def prettyName: String = "word_chunks"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(WordChunks.compute(v.asInstanceOf[UTF8String].toString, k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.wordChunks($v.toString(), $k));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordChunks {
+    /** Disjoint chunks ≡ windows with stride == chunk size:
+      * ceil(len/k) == (len>k ? ceil((len-k)/k)+1 : 1) for len ≥ 1. */
+    def compute(text: String, k: Int): Array[AnyRef] =
+      WordWindows.compute(text, k, k)
+  }
+
+  /** text → array<string> of OVERLAPPING token windows (`chunkTokens` wide,
+    * advancing by `strideTokens`, last window clamped at the end) — byte-
+    * identical to the HOF tree in [[graft.operators.TrainingData.slidingChunks]]'s
+    * previous formulation (`transform(sequence(0, nStarts-1), i ⇒
+    * concat_ws(" ", slice(toks, i*stride+1, chunk)))`, `nStarts =
+    * len > chunk ? ceil((len-chunk)/stride)+1 : 1`). Same split-once /
+    * whole-stage-codegen motivation as [[WordGrams]]. */
+  case class WordWindows(child: Expression, chunkTokens: Int, strideTokens: Int)
+      extends UnaryExpression with StringInput {
+    require(strideTokens >= 1 && chunkTokens >= strideTokens,
+      s"need chunkTokens >= strideTokens >= 1, got $chunkTokens/$strideTokens")
+    override def prettyName: String = "word_windows"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(WordWindows.compute(
+        v.asInstanceOf[UTF8String].toString, chunkTokens, strideTokens))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.wordWindows($v.toString(), $chunkTokens, $strideTokens));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordWindows {
+    def compute(text: String, chunk: Int, stride: Int): Array[AnyRef] = {
+      val toks = text.split(" ", -1) // never empty: "".split -> [""]
+      val len = toks.length
+      val nStarts =
+        if (len > chunk) (len - chunk + stride - 1) / stride + 1 else 1
+      val out = new Array[AnyRef](nStarts)
+      val sb = new java.lang.StringBuilder
+      var c = 0
+      while (c < nStarts) {
+        sb.setLength(0)
+        var j = c * stride
+        val end = math.min(j + chunk, len)
+        var firstTok = true
+        while (j < end) {
+          if (!firstTok) sb.append(' ')
+          sb.append(toks(j))
+          firstTok = false
+          j += 1
+        }
+        out(c) = UTF8String.fromString(sb.toString)
+        c += 1
+      }
+      out
+    }
+  }
+
   // ---- Column-level API ----------------------------------------------------
   def minhash_bands(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     column(MinHashBands(expression(text), shingleK, numHashes, bands))
@@ -404,4 +542,11 @@ object TextHashExpressions {
 
   def cms_estimate(value: Column, state: Array[Long], depth: Int, width: Int): Column =
     column(CmsEstimate(expression(value), state.toIndexedSeq, depth, width))
+
+  def word_grams(text: Column, n: Int): Column = column(WordGrams(expression(text), n))
+
+  def word_chunks(text: Column, k: Int): Column = column(WordChunks(expression(text), k))
+
+  def word_windows(text: Column, chunkTokens: Int, strideTokens: Int): Column =
+    column(WordWindows(expression(text), chunkTokens, strideTokens))
 }

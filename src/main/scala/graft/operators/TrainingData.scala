@@ -55,13 +55,13 @@ object TrainingData {
     * leaves the map side. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    // word_chunks = one codegen'd split-once pass per row; the equivalent
+    // HOF tree (transform(sequence) with slice(split(text), …) inside the
+    // lambda) re-evaluated the split PER CHUNK POSITION and fell back to
+    // interpreted eval — byte-identical output, see WordChunks scaladoc
     val chunks = df.select(col(idCol),
-      posexplode(when(size(toks) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(graft.expressions.TextHashExpressions.word_chunks(
+        col(textCol), chunkTokens)).as(Seq("chunk_idx", "chunk")))
     chunks
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         md5(col("chunk")).as("chunk_hash"))
@@ -78,12 +78,13 @@ object TrainingData {
     * per-doc count. */
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     n: Int, benchPred: Column): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // word_grams = distinct n-grams in ONE codegen'd split-once pass per
+    // row; the equivalent HOF tree re-evaluated split(text) per gram
+    // position inside the transform lambda (O(L·positions)/row, interpreted)
+    // — byte-identical output incl. empty-token splits, see WordGrams
     def gramsOf(src: DataFrame) = src.select(col(idCol),
-      explode(array_distinct(
-        when(size(toks) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))).as("g"))
+      explode(graft.expressions.TextHashExpressions.word_grams(
+        col(textCol), n)).as("g"))
     val grams = gramsOf(df)
     // benchPred filters the INPUT rows (any df column may appear in it),
     // not the (id, gram) projection — a predicate on e.g. `source` would
@@ -251,18 +252,17 @@ object TrainingData {
   /** Sliding-window chunking with overlap (the RAG / long-context window
     * pass, vs [[chunkDedup]]'s disjoint chunks): token windows of
     * `chunkTokens` advancing by `strideTokens`, last window clamped at the
-    * end. Pure per-row HOF expression tree (sequence/transform/slice) — no
-    * shuffle at all; emits (id, chunk_idx, token_start, chunk). */
+    * end. Pure per-row codegen expression ([[graft.expressions.TextHashExpressions.WordWindows]])
+    * — no shuffle at all; emits (id, chunk_idx, token_start, chunk). */
   def slidingChunks(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(strideTokens > 0 && chunkTokens >= strideTokens)
-    val toks = split(col(textCol), " ")
-    val nStarts = when(size(toks) > chunkTokens,
-      ceil((size(toks) - chunkTokens).cast("double") / strideTokens).cast("int") + 1)
-      .otherwise(lit(1))
+    // word_windows = one codegen'd split-once pass per row (the HOF tree
+    // re-evaluated split(text) per window inside the lambda) — byte-
+    // identical output, see WordWindows scaladoc
     df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nStarts - 1),
-          i => concat_ws(" ", slice(toks, i * strideTokens + 1, lit(chunkTokens)))))
+        posexplode(graft.expressions.TextHashExpressions.word_windows(
+          col(textCol), chunkTokens, strideTokens))
           .as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         (col("chunk_idx") * strideTokens).cast("long").as("token_start"),

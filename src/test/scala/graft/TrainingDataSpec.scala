@@ -239,6 +239,60 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out == Map(1L -> 5L, 2L -> 12L, 3L -> 16L))
   }
 
+  test("WordGrams/WordChunks/WordWindows kernels == HOF column trees on fixture + crafted edges") {
+    import graft.expressions.{TextHashExpressions => TX}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val crafted = Seq(
+      (9001L, ""),                       // "".split(" ",-1) -> [""] — 1 token
+      (9002L, " "),                      // two empty tokens
+      (9003L, "a  b   c"),               // interior empty tokens join as "a  b"
+      (9004L, "a b c d e f g h"),        // exactly n=8 tokens -> one gram
+      (9005L, "a b c d e f g"),          // n-1 tokens -> no grams
+      (9006L, "x y z x y z x y z x y"),  // repeats -> array_distinct dedup
+      (9007L, "trailing space "),        // trailing empty token kept
+      (9008L, "tab\tis one token"),      // only ' ' splits, not \t
+      (9009L, "😀 b 😀 b 😀 b 😀 b 😀"), // astral chars
+      (9010L, "a\nb c\nd e f g h i j"))  // newlines inside tokens
+      .toDF("doc_id", "text")
+    val all = docs.unionAll(crafted)
+    val toks = split(col("text"), " ")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // grams: kernel vs the previous HOF formulation (posexplode pins ORDER too)
+    val n = 8
+    val hofGrams = rowsOf(all.select(col("doc_id"), posexplode(array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))).as(Seq("p", "g"))))
+    val kGrams = rowsOf(all.select(col("doc_id"),
+      posexplode(TX.word_grams(col("text"), n)).as(Seq("p", "g"))))
+    assert(kGrams == hofGrams)
+    // chunks: kernel vs HOF
+    val k = 3
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    val hofChunks = rowsOf(all.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))).as(Seq("p", "c"))))
+    val kChunks = rowsOf(all.select(col("doc_id"),
+      posexplode(TX.word_chunks(col("text"), k)).as(Seq("p", "c"))))
+    assert(kChunks == hofChunks)
+    // windows: kernel vs HOF (chunk 5, stride 2)
+    val (cw, st) = (5, 2)
+    val nStarts = when(size(toks) > cw,
+      ceil((size(toks) - cw).cast("double") / st).cast("int") + 1).otherwise(lit(1))
+    val hofWin = rowsOf(all.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), nStarts - 1),
+        i => concat_ws(" ", slice(toks, i * st + 1, lit(cw))))).as(Seq("p", "w"))))
+    val kWin = rowsOf(all.select(col("doc_id"),
+      posexplode(TX.word_windows(col("text"), cw, st)).as(Seq("p", "w"))))
+    assert(kWin == hofWin)
+    // null text -> no rows from explode on either formulation
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(nulls.select(posexplode(TX.word_grams(col("text"), 2))).count() == 0)
+    assert(nulls.select(posexplode(TX.word_chunks(col("text"), 2))).count() == 0)
+  }
+
   test("RepetitionStats kernel == HOF column trees on fixture docs and crafted edge cases") {
     import graft.functions.{TextFunctions => TF}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
