@@ -47,7 +47,8 @@ object GraftExtensions {
     "simhash64" -> 1, "fingerprint64" -> 1, "prefix_chain" -> 1,
     "hll_bucket_rank" -> 2, "cms_buckets" -> 3, "bigram_pair_keys" -> 2,
     "zorder2" -> 2, "kmv_agg" -> 2, "topk_agg" -> 3, "seq_ratio" -> 2,
-    "token_sort_ratio" -> 2, "bottomk_agg" -> 3)
+    "token_sort_ratio" -> 2, "bottomk_agg" -> 3,
+    "word_grams" -> 2, "word_chunks" -> 2, "word_windows" -> 3)
 
   /** (identifier, info, builder) triples shared by the builder-time injection
     * and the existing-session registration path. */
@@ -132,6 +133,19 @@ object GraftExtensions {
         "asc, id asc) as array<struct<rank,id>> with O(k) partial-agg state"),
       (args: Seq[Expression]) => graft.expressions.RankAggregates.TopKAgg(
         args(0), args(1), intArg(args(2), "k"), descending = false)),
+    (FunctionIdentifier("word_grams"),
+      info("word_grams", "_FUNC_(text, n) - distinct space-joined word " +
+        "n-grams, first-occurrence order, split-once codegen pass"),
+      (args: Seq[Expression]) => WordGrams(args(0), intArg(args(1), "n"))),
+    (FunctionIdentifier("word_chunks"),
+      info("word_chunks", "_FUNC_(text, k) - disjoint k-token chunks in " +
+        "document order (last chunk short), split-once codegen pass"),
+      (args: Seq[Expression]) => WordChunks(args(0), intArg(args(1), "k"))),
+    (FunctionIdentifier("word_windows"),
+      info("word_windows", "_FUNC_(text, chunk, stride) - overlapping " +
+        "token windows clamped at the end, split-once codegen pass"),
+      (args: Seq[Expression]) => WordWindows(args(0),
+        intArg(args(1), "chunk"), intArg(args(2), "stride"))),
   )
 
   /** Register the functions on an ALREADY-CREATED session (builder-time

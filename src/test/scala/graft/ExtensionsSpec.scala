@@ -80,6 +80,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(pairs(tk(0), 1) == Seq((7L, "d2"), (5L, "d0")))   // desc, id tie-break
       assert(pairs(tk(0), 2) == Seq((5L, "d0"), (5L, "d1")))   // asc bottom-k
       assert(pairs(tk(1), 1) == Seq((1L, "x")) && pairs(tk(1), 2) == Seq((1L, "x")))
+      // word_grams / word_chunks / word_windows from plain SQL == kernels
+      val wg = spark.sql(
+        "SELECT word_grams('a b a b c', 2), word_chunks('a b c d e', 2), " +
+        "word_windows('a b c d e', 3, 2)").collect().head
+      assert(wg.getSeq[String](0) == Seq("a b", "b a", "b c")) // distinct, first-occurrence
+      assert(wg.getSeq[String](1) == Seq("a b", "c d", "e"))   // last chunk short
+      assert(wg.getSeq[String](2) == Seq("a b c", "c d e"))    // stride 2, clamped
       val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
       val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
       assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))
