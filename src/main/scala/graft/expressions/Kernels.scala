@@ -61,4 +61,8 @@ object Kernels {
 
   def wordWindows(text: String, chunk: Int, stride: Int): Array[AnyRef] =
     TextHashExpressions.WordWindows.compute(text, chunk, stride)
+
+  def cmsRankPrefix(th: ArrayData, tppm: Long, state: Array[Long],
+                    depth: Int, width: Int): Array[Long] =
+    TextHashExpressions.CmsRankPrefix.compute(th, tppm, state, depth, width)
 }

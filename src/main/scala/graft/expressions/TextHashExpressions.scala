@@ -275,6 +275,75 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** sorted-distinct token-hash array → the PPJoin PREFIX under the
+    * ascending (CMS-estimated document frequency, token) order, one codegen
+    * pass per row against a broadcast ≤ depth×width sketch state (the
+    * [[graft.operators.TrainingData.heavyHitters]] state-rides-the-plan
+    * pattern). Prefix length replicates `ppjoinPrefixes`' exact-ppm integer
+    * bound `sz − ⌈t·sz⌉ + 1` (floor-division form; a double ceil can round
+    * up on float error and silently shorten below the bound), capped at sz.
+    *
+    * Why an ESTIMATED order is enough: the prefix-filter theorem holds for
+    * ANY one global total order, and (est(tok), tok) IS one — est is a
+    * deterministic pure function of the token under a fixed state. A CMS
+    * only OVERestimates, so a boilerplate token keeps an estimate ≥ its
+    * true df and still sorts last; a rare token promoted by bucket
+    * collisions merely reorders rare-vs-rare (candidate quality degrades
+    * gracefully with ε, exactness of the final pair set never depends on
+    * it). The estimate key is the token's DECIMAL STRING (Spark long→string
+    * cast ≡ Long.toString), matching the `cmsSketch` build exactly. */
+  case class CmsRankPrefix(child: Expression, tppm: Long, state: Seq[Long],
+                           depth: Int, width: Int)
+      extends UnaryExpression with LongArrayInput {
+    require(state.length == depth * width, "cms state shape mismatch")
+    require(tppm >= 1 && tppm <= 1000000L, s"threshold ppm out of (0,1]: $tppm")
+    @transient private lazy val stateArr: Array[Long] = state.toArray
+    override def prettyName: String = "cms_rank_prefix"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(CmsRankPrefix.compute(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        tppm, stateArr, depth, width))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmsState", stateArr, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.expressions.Kernels.cmsRankPrefix($v, ${tppm}L, $ref, $depth, $width));")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object CmsRankPrefix {
+    def compute(th: org.apache.spark.sql.catalyst.util.ArrayData, tppm: Long,
+                state: Array[Long], depth: Int, width: Int): Array[Long] = {
+      val sz = th.numElements()
+      if (sz == 0) return Array.emptyLongArray
+      val toks = new Array[Long](sz)
+      var i = 0
+      while (i < sz) {
+        if (th.isNullAt(i))
+          throw new IllegalArgumentException(
+            "cms_rank_prefix: null element in token-hash array")
+        toks(i) = th.getLong(i)
+        i += 1
+      }
+      // exact-ppm prefix bound, capped at sz (tppm = 10^6 ⇒ plen = 1)
+      val plen = (sz.toLong - (tppm * sz + 999999L) / 1000000L + 1L).toInt
+      if (plen >= sz) return toks
+      val idx = Array.range(0, sz)
+      val est = toks.map(t =>
+        graft.core.TextStats.cmsEstimateFromState(
+          java.lang.Long.toString(t), state, depth, width))
+      // ascending (est, tok): one total order shared by every row
+      val sorted = idx.sortBy(j => (est(j), toks(j)))
+      val out = new Array[Long](plen)
+      i = 0
+      while (i < plen) { out(i) = toks(sorted(i)); i += 1 }
+      out
+    }
+  }
+
   /** Jaccard of two SORTED distinct array<long> columns → double. One merge
     * loop per pair, no hashing, no allocation — this is the verify kernel of
     * every set-similarity join (exact blocked, MinHash-candidate, …). */
@@ -549,4 +618,8 @@ object TextHashExpressions {
 
   def word_windows(text: Column, chunkTokens: Int, strideTokens: Int): Column =
     column(WordWindows(expression(text), chunkTokens, strideTokens))
+
+  def cms_rank_prefix(th: Column, tppm: Long, state: Array[Long],
+                      depth: Int, width: Int): Column =
+    column(CmsRankPrefix(expression(th), tppm, state.toIndexedSeq, depth, width))
 }

@@ -299,9 +299,13 @@ object Dedup {
     * avoid it — the m² hot-token candidate blowup of a frequency-agnostic
     * order never forms, and the final pair set is IDENTICAL (the verify
     * filter is unchanged; candidates are a superset of true pairs under
-    * every valid order). Costs one token-frequency aggregation and a
-    * per-row prefix re-rank (two key-partitioned shuffles) — the standard
-    * PPJoin preprocessing, linear in corpus tokens.
+    * every valid order). The frequency key is a count-min ESTIMATE from a
+    * ≤ depth·width broadcast sketch (one constant-width aggregation +
+    * codegen per-row prefix selection, [[graft.expressions.TextHashExpressions.CmsRankPrefix]])
+    * rather than exact df — a CMS only overestimates, so hot stays last,
+    * and any deterministic (est, tok) key is a valid total order; this
+    * removes the exact-df shape's two corpus-token-linear shuffles
+    * (explode → df agg → join → per-row window).
     *
     * Scale shape: candidate volume tracks true near-duplicate density plus
     * rare-prefix-token collisions, not block size²; per-row work is one
@@ -352,19 +356,30 @@ object Dedup {
       sized.select(col("id"), col("blk"), col("sz"),
         explode(slice(col("th"), lit(1), plen)).as("tok"))
     else {
-      val toks = sized.select(col("id"), col("blk"), col("sz"),
-        plen.as("plen"), explode(col("th")).as("tok"))
-      // global token df (th is distinct per row, so count = doc frequency);
-      // (tdf, tok) is one TOTAL order shared by every row — the prefix
-      // theorem's only requirement — with rare tokens first (see
-      // ngramJaccardPairs scaladoc)
-      val tdf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
-      toks.join(tdf, Seq("tok"))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-            .orderBy(col("tdf"), col("tok"))))
-        .filter(col("rnk") <= col("plen"))
-        .select(col("id"), col("blk"), col("sz"), col("tok"))
+      // global token-frequency order via a count-min sketch: (est(tok), tok)
+      // is one TOTAL order shared by every row — the prefix theorem's only
+      // requirement — with rare tokens first (see ngramJaccardPairs
+      // scaladoc). The sketch state is ≤ depth·width longs built by ONE
+      // constant-width aggregation (cmsSketch's partial agg collapses each
+      // task before the exchange) and rides the serialized plan into a
+      // codegen'd per-row prefix selection — replacing the previous exact-df
+      // shape (full corpus-token explode → df agg → token join → per-row
+      // window rank: two shuffles LINEAR in corpus tokens, the dominant
+      // preprocessing cost at scale). A CMS only OVERestimates, so the hot
+      // boilerplate token still sorts last; collisions reorder rare-vs-rare
+      // only, and the final pair set is exact under any valid order (the
+      // verify filter is unchanged; the skew spec pins candidate volume).
+      val depth = 4
+      val width = 1024
+      val state = new Array[Long](depth * width)
+      graft.operators.TrainingData.cmsSketch(
+        s.select(explode(col("th")).as("tok")), col("tok"), depth, width)
+        .collect().foreach { r =>
+          state(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
+        }
+      sized.select(col("id"), col("blk"), col("sz"),
+        explode(graft.expressions.TextHashExpressions.cms_rank_prefix(
+          col("th"), tppm, state, depth, width)).as("tok"))
     }
   }
 
