@@ -42,6 +42,60 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WordGrams/WordWindows kernels == naive split-slice models on arbitrary strings") {
+    import graft.expressions.TextHashExpressions.{WordGrams, WordWindows}
+    def strs(a: Array[AnyRef]): Seq[String] = a.toSeq.map(_.toString)
+    // generator biased toward space-rich text (the kernels' whole subject).
+    // The anyString arm is normalized through a UTF8String round-trip: a
+    // Spark STRING column can only hold well-formed UTF-8 (ingestion
+    // sanitizes lone surrogates to U+FFFD), and the kernels' output arrays
+    // pass through UTF8String — comparing raw ill-formed JVM strings would
+    // test a value no column can contain
+    val spacey: Gen[String] = Gen.frequency(
+      4 -> Gen.listOf(Gen.oneOf("a", "bb", "", " ", "  ", "\t", "\n", "中", "x y"))
+        .map(_.mkString(" ")),
+      1 -> anyString.map(s =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s).toString))
+    check(Prop.forAll(spacey, Gen.choose(1, 6)) { (s, n) =>
+      val toks = s.split(" ", -1)
+      val model =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      strs(WordGrams.compute(s, n)) == model
+    })
+    check(Prop.forAll(spacey, Gen.choose(1, 6), Gen.choose(1, 6)) { (s, a, b) =>
+      val (chunk, stride) = (math.max(a, b), math.min(a, b))
+      val toks = s.split(" ", -1)
+      val nStarts = if (toks.length > chunk)
+        ((toks.length - chunk) + stride - 1) / stride + 1 else 1
+      val model = (0 until nStarts).map(i =>
+        toks.slice(i * stride, math.min(i * stride + chunk, toks.length)).mkString(" "))
+      strs(WordWindows.compute(s, chunk, stride)) == model
+    })
+  }
+
+  test("CmsRankPrefix == sort-by-(estimate, token) model; prefix bound exact-ppm") {
+    import graft.expressions.TextHashExpressions.CmsRankPrefix
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val depth = 4; val width = 64
+    val stateGen = Gen.listOfN(depth * width, Gen.choose(0L, 1000L)).map(_.toArray)
+    val thGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    val tppmGen = Gen.oneOf(1L, 350000L, 600000L, 999999L, 1000000L)
+    check(Prop.forAll(thGen, tppmGen, stateGen) { (th, tppm, state) =>
+      val sz = th.length
+      val got = CmsRankPrefix.compute(
+        new GenericArrayData(th.toArray), tppm, state, depth, width)
+      val plen = math.min(sz.toLong,
+        sz - (tppm * sz + 999999L) / 1000000L + 1L).toInt
+      def est(t: Long) = TextStats.cmsEstimateFromState(t.toString, state, depth, width)
+      val model =
+        if (sz == 0) Seq.empty[Long]
+        else if (plen >= sz) th
+        else th.sortBy(t => (est(t), t)).take(plen)
+      got.toSeq == model
+    }, n = 200)
+  }
+
   test("encodePngStored round-trips arbitrary pixels through ImageIO decode") {
     val dims = for { w <- Gen.choose(1, 90); h <- Gen.choose(1, 90) } yield (w, h)
     check(Prop.forAll(dims, Gen.long) { case ((w, h), seed) =>
