@@ -1119,8 +1119,9 @@ object SparkEntry {
     // reference's 0.8 would yield a single class; the operator default
     // stays 0.8). The fit is golden-pinned (LearnedMatchGoldenSpec); the
     // query EXPORTS the fitted model and the oracle replays the ENTIRE
-    // inference plane — feature concat, (x-m)/sd scaling, the 128-term
-    // i-ascending logit chain, the top-2 window — over the same doubles
+    // inference plane — feature concat, (x-m)/sd scaling, the balanced
+    // pairwise logit ADDITION TREE (Model.logit's contract — NOT a flat
+    // left-assoc chain), the top-2 window — over the same doubles
     "q_learned_match" -> ((s, d) => {
       val dir = s"$FixtureDir/lr_v1_${java.lang.Integer.toHexString(d.hashCode)}"
       deleteDir(dir)
@@ -3837,10 +3838,12 @@ FROM e$BpeMerges""",
 
     // learned-scorer inference oracle: rebuilds every pair's concatenated
     // feature vector from the SOURCE embeddings table, applies the
-    // exported scaler+LR model with the kernel's exact i-ascending
-    // left-assoc chain (one term per dim, intercept added last), and
-    // replays the top-2 window — the whole inference plane cross-engine,
-    // only the iterative fit golden-pinned (LearnedMatchGoldenSpec)
+    // exported scaler+LR model with the kernel's exact BALANCED PAIRWISE
+    // addition tree (Model.logit deliberately avoids a left fold — a flat
+    // chain rounds doubles differently AND trips DuckDB's expression-depth
+    // limit), and replays the top-2 window — the whole inference plane
+    // cross-engine, only the iterative fit golden-pinned
+    // (LearnedMatchGoldenSpec)
     "q_learned_match" -> {
       // balanced pairwise addition tree, the kernel's exact contract (see
       // LearnedMatch.Model.logit): log2(128)=7 paren depth — a flat

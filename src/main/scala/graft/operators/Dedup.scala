@@ -315,6 +315,11 @@ object Dedup {
     * construction — m is bounded by the df of a token that survived into
     * prefixes; pathological corpora should raise the threshold or
     * pre-dedup exact copies first ([[exact]]). */
+  /* NOTE — eager builder: unlike most operators, CALLING this runs one
+   * Spark job immediately (the CMS token-frequency sketch collect inside
+   * ppjoinPrefixes — the heavyHitters state-rides-the-plan pattern), so
+   * constructing the returned DataFrame is not free even if it is never
+   * executed. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     // persist: (id, blk, hashes) feeds prefix candidates and both verify

@@ -118,8 +118,17 @@ object LearnedMatch {
       .cache()
     try {
       // population moments per dim (sklearn StandardScaler semantics);
-      // 2·dim rows — a bounded model-sized collect, like IVF centroids
-      val dim = pairs.select(size(col("features"))).head().getInt(0)
+      // 2·dim rows — a bounded model-sized collect, like IVF centroids.
+      // Fail loud on ragged inputs: head() on an unordered frame is an
+      // arbitrary row, and a longer row would blow up the scale UDF deep
+      // in an executor task (AIOOBE) while a shorter one would feed the
+      // LR fit variable-size vectors — same reject-malformed contract as
+      // centroid_argmax
+      val szRow = pairs.agg(min(size(col("features"))),
+        max(size(col("features")))).head()
+      val dim = szRow.getInt(0)
+      require(dim == szRow.getInt(1),
+        s"learned-match fit requires uniform feature dims, got [${dim}, ${szRow.getInt(1)}]")
       val moments = pairs
         .select(posexplode(col("features")).as(Seq("d", "x")))
         .groupBy("d")
@@ -152,13 +161,18 @@ object LearnedMatch {
     val bcModel = spark.sparkContext.broadcast(model)
     val logitUdf = udf { (lv: Seq[Float], rv: Seq[Float]) =>
       val m = bcModel.value
+      // reject mixed-dim rows instead of silently zero-padding/shifting
+      // the right half against the wrong weights (the centroid_argmax
+      // contract; the DuckDB oracle's fixed [1..dim] indexing assumes
+      // exactly this shape)
+      require(lv.length + rv.length == m.dim,
+        s"learned-match scoring requires |lv|+|rv| == model dim ${m.dim}, " +
+          s"got ${lv.length}+${rv.length}")
       val x = new Array[Double](m.dim)
       var i = 0
-      while (i < lv.length && i < m.dim) { x(i) = lv(i).toDouble; i += 1 }
+      while (i < lv.length) { x(i) = lv(i).toDouble; i += 1 }
       var j = 0
-      while (j < rv.length && lv.length + j < m.dim) {
-        x(lv.length + j) = rv(j).toDouble; j += 1
-      }
+      while (j < rv.length) { x(lv.length + j) = rv(j).toDouble; j += 1 }
       m.logit(x)
     }
     left.select(col("id").cast("long").as("left_id"), col("vec").as("lv"))

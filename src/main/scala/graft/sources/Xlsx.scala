@@ -447,8 +447,17 @@ object Xlsx {
       case Some(n) => readSheet(spark, glob, n)
       case None => read(spark, glob)
     }).cache()
-    val headerRow = raw.orderBy(col("file"), col("row_idx")).limit(1)
-      .select(col("cells")).collect()(0).getSeq[String](0)
+    // a misspelled sheet name yields ZERO rows (readSheet's documented
+    // partial-glob contract: files without the sheet contribute nothing)
+    // — name the failure instead of dying on collect()(0) with a bare
+    // ArrayIndexOutOfBoundsException
+    val head = raw.orderBy(col("file"), col("row_idx")).limit(1)
+      .select(col("cells")).collect()
+    require(head.nonEmpty, sheetName match {
+      case Some(n) => s"no sheet named '$n' found in any workbook under $glob"
+      case None => s"no workbook rows found under $glob"
+    })
+    val headerRow = head(0).getSeq[String](0)
     val names = headerRow.zipWithIndex.map { case (n, i) =>
       if (n == null || n.isEmpty) s"_c$i" else n }
     val cols = names.zipWithIndex.map { case (n, i) =>

@@ -610,9 +610,13 @@ object CpuProbe {
     // cycle at nice-19 and poisoning every co-resident wall clock.
     val deadlineSec = if (args.length > 2) args(2).toLong else 3900L
     val wd = new Thread(() => {
-      try Thread.sleep(deadlineSec * 1000L)
-      catch { case _: InterruptedException => return }
-      Runtime.getRuntime.halt(3)
+      // no `return` here: inside a SAM lambda it compiles to throwing
+      // NonLocalReturnControl at the enclosing main() on ANOTHER thread's
+      // stack — an uncaught ControlThrowable, not a clean exit
+      val interrupted =
+        try { Thread.sleep(deadlineSec * 1000L); false }
+        catch { case _: InterruptedException => true }
+      if (!interrupted) Runtime.getRuntime.halt(3)
     })
     wd.setDaemon(true)
     wd.start()

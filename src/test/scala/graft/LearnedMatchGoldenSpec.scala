@@ -38,4 +38,30 @@ class LearnedMatchGoldenSpec extends AnyFunSuite {
       Array.empty, Array.empty, Array.empty)
     assert(m0.logit(Array.empty) == 1.25)
   }
+
+  test("scoredPairs rejects mixed-dim vectors loud; fit rejects ragged features") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // model dim 4 = 2+2; a 1-element left vector must FAIL (silently
+    // zero-padding would score the right half against the wrong weights
+    // and diverge from the oracle's fixed [1..dim] indexing)
+    val m = graft.operators.LearnedMatch.Model(0.0,
+      Array(1.0, 1.0, 1.0, 1.0), Array.fill(4)(0.0), Array.fill(4)(1.0))
+    val good = Seq((1L, Seq(1f, 2f))).toDF("id", "vec")
+    val short = Seq((2L, Seq(3f))).toDF("id", "vec")
+    assert(graft.operators.LearnedMatch.scoredPairs(good, good, m).count() == 1)
+    val e = intercept[Exception] {
+      graft.operators.LearnedMatch.scoredPairs(short, good, m).collect()
+    }
+    assert(e.getMessage != null)
+    // ragged features at fit time fail with the named message, not an
+    // executor-side AIOOBE from an arbitrary head() dim
+    val raggedL = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "vec")
+    val r = Seq((9L, Seq(1f, 2f))).toDF("id", "vec")
+    val fe = intercept[IllegalArgumentException] {
+      graft.operators.LearnedMatch.fit(raggedL, r, threshold = 0.0, maxIter = 1)
+    }
+    assert(fe.getMessage.contains("uniform feature dims"), fe.getMessage)
+  }
 }

@@ -732,6 +732,13 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.sources.Xlsx.writeSheets(Seq("A" -> mcl, "A" -> mcl), s"$dir/dup.xlsx")
     }
+    // ...but a misspelled sheet through the HEADER path names the failure
+    // (readSheet's zero-rows contract would otherwise surface as a bare
+    // ArrayIndexOutOfBoundsException on the header collect)
+    val miss = intercept[IllegalArgumentException] {
+      graft.sources.Xlsx.readWithHeader(spark, s"$dir/*.xlsx", Some("Typo"))
+    }
+    assert(miss.getMessage.contains("Typo"), miss.getMessage)
   }
 
   test("Xlsx: sheet order follows workbook.xml, not zip entry order; hostile names") {
