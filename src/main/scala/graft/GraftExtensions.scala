@@ -48,7 +48,8 @@ object GraftExtensions {
     "hll_bucket_rank" -> 2, "cms_buckets" -> 3, "bigram_pair_keys" -> 2,
     "zorder2" -> 2, "kmv_agg" -> 2, "topk_agg" -> 3, "seq_ratio" -> 2,
     "token_sort_ratio" -> 2, "bottomk_agg" -> 3,
-    "word_grams" -> 2, "word_chunks" -> 2, "word_windows" -> 3)
+    "word_grams" -> 2, "word_chunks" -> 2, "word_windows" -> 3,
+    "bloom_positions" -> 3)
 
   /** (identifier, info, builder) triples shared by the builder-time injection
     * and the existing-session registration path. */
@@ -146,6 +147,11 @@ object GraftExtensions {
         "token windows clamped at the end, split-once codegen pass"),
       (args: Seq[Expression]) => WordWindows(args(0),
         intArg(args(1), "chunk"), intArg(args(2), "stride"))),
+    (FunctionIdentifier("bloom_positions"),
+      info("bloom_positions", "_FUNC_(fp, m_bits, k) - the k Bloom bit " +
+        "positions of a 64-bit fingerprint (double hashing, odd step)"),
+      (args: Seq[Expression]) => BloomPositions(args(0),
+        intArg(args(1), "m_bits"), intArg(args(2), "k"))),
   )
 
   /** Register the functions on an ALREADY-CREATED session (builder-time

@@ -1443,6 +1443,15 @@ object SparkEntry {
       t(s, d, "documents"), "doc_id", "text", n = 8,
       benchPred = col("doc_id") % 97 === 0)),
 
+    // Bloom-gated decontamination (the 100-TB shape: benchmark rides the
+    // plan as a 64-Kbit filter, corpus streams once with no join). The
+    // oracle replays the ENTIRE filter — fingerprint chain, double-hashed
+    // bit positions, the k-probe membership decision — so the result is
+    // pinned bit-for-bit INCLUDING deterministic false positives
+    "q_contamination_bloom" -> ((s, d) => TrainingData.contaminationBloom(
+      t(s, d, "documents"), "doc_id", "text", n = 8,
+      benchPred = col("doc_id") % 97 === 0, mBits = 65536, k = 4)),
+
     // deterministic per-language sampling from a 64-bit id fingerprint
     "q_stratified_sample" -> ((s, d) => TrainingData.stratifiedSample(
         t(s, d, "documents"), "doc_id", "lang",
@@ -1473,6 +1482,16 @@ object SparkEntry {
     // (iterative min-label propagation to the exact fixpoint)
     "q_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(
       Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id"))),
+
+    // retention policy over those clusters: keep the longest member of each
+    // duplicate cluster (ties → lowest id) + every unclustered doc; emits
+    // ALL ids with the kept verdict (corpus filter + removal telemetry)
+    "q_neardup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepBestPerCluster(docs,
+        Dedup.nearDupClusters(Dedup.simHashNearDup(docs, "text", "doc_id")),
+        "doc_id", col("n_chars"))
+    }),
 
     // temperature-resampled language balance: rates derived from corpus
     // counts (sqrt smoothing), deterministic fingerprint-bucket keep
@@ -2374,6 +2393,33 @@ reach AS (
   SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r)
 SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
 
+  /** Retention-policy replica: the [[neardupClustersOracleSql]] closure plus
+    * the keep rule — rank clustered members by (n_chars desc, doc_id asc),
+    * rank 1 kept; unclustered docs kept with a NULL cluster. */
+  private def neardupKeepOracleSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+pairs AS MATERIALIZED (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.sim, r.sim)) <= 3),
+edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM pairs
+  UNION ALL SELECT right_id, left_id FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id, c.cluster, d.n_chars AS keep_score,
+    (row_number() OVER (PARTITION BY c.cluster
+       ORDER BY d.n_chars DESC, d.doc_id ASC)) = 1 AS kept
+  FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster, keep_score, kept FROM clustered
+UNION ALL
+SELECT d.doc_id, NULL AS cluster, d.n_chars AS keep_score, true AS kept
+FROM documents d ANTI JOIN comp c ON d.doc_id = c.doc_id"""
+
   /** Independent DuckDB recomputation of `Dedup.minHashLsh` (k=3 shingles,
     * 16 hashes, 8 bands, threshold 0.35): shingle base hashes → signed minima
     * per seed → banded keys (mix-fold) → candidate equi-join → exact
@@ -2853,6 +2899,7 @@ FROM l WHERE l.id NOT IN (SELECT left_id FROM scored)"""
   def oracleSql: Map[String, String] = Map(
     "q_simhash_neardup" -> simhashOracleSql,
     "q_neardup_clusters" -> neardupClustersOracleSql,
+    "q_neardup_keep" -> neardupKeepOracleSql,
     // flagship FSM replicas (see FsmOracleSql scaladoc)
     "q_fsm_spans" ->
       FsmOracleSql.spans.replace("__FIX__", s"$FixtureDir/fsmspan100/*.parquet"),
@@ -4523,6 +4570,37 @@ flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
 bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0)
 SELECT f.doc_id, count(DISTINCT f.g) AS n_contam
 FROM flat f JOIN bench b ON f.g = b.g
+GROUP BY f.doc_id""",
+
+    // Bloom replica: same gram plane, then the full filter arithmetic —
+    // poly-257 + splitmix fingerprint per DISTINCT gram, h1 = u mod m,
+    // h2 = ((u >> 32) mod m) | 1 (odd step ⇒ the k positions are distinct,
+    // so HAVING count = k is exact), bench positions unioned, a gram
+    // flagged iff ALL k of its positions are set — FPs replayed exactly
+    "q_contamination_bloom" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 8 THEN []
+    ELSE list_transform(generate_series(1, len(toks)-7), i -> array_to_string(toks[i:(i+7)], ' ')) END) AS gs
+  FROM base),
+flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+cg AS (SELECT DISTINCT g FROM flat),
+f0 AS (SELECT g, list_reduce(list_prepend(0::HUGEINT,
+    list_transform(regexp_extract_all(g, '(?s).'), c -> ord(c)::HUGEINT)),
+  (a, b) -> (a * 257::HUGEINT + b) % ${Osql.Mod}) AS x FROM cg),
+${Osql.mixCtes("f", "x")},
+fh AS (SELECT g, x % 65536::HUGEINT AS h1,
+  ((x // 4294967296::HUGEINT) % 65536::HUGEINT) -
+    (((x // 4294967296::HUGEINT) % 65536::HUGEINT) % 2::HUGEINT) + 1::HUGEINT AS h2
+  FROM fd),
+pos AS (SELECT g, (h1 + i * h2) % 65536::HUGEINT AS p
+  FROM fh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+bpos AS (SELECT DISTINCT p.p FROM pos p
+  JOIN (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0) b USING (g)),
+flagged AS (SELECT c.g FROM pos c LEFT JOIN bpos ON c.p = bpos.p
+  GROUP BY c.g HAVING count(bpos.p) = 4)
+SELECT f.doc_id, count(DISTINCT f.g) AS n_flagged
+FROM flat f JOIN flagged USING (g)
 GROUP BY f.doc_id""",
 
     // independent LM retrain + rescore: unigram/bigram counts, top-20 vocab

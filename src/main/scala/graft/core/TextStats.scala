@@ -403,6 +403,40 @@ object TextStats {
     m
   }
 
+  /** Bloom-filter bit positions of a 64-bit fingerprint: `k` indices into an
+    * `mBits`-bit array via Kirsch–Mitzenmacher double hashing over the
+    * UNSIGNED fingerprint u — h1 = u mod m, h2 = ((u >>> 32) mod m) | 1,
+    * pos_i = (h1 + i·h2) mod m. The odd step h2 is invertible mod a power
+    * of two, so the k positions are always DISTINCT (a membership probe
+    * tests k real bits, never the same bit twice). All-integer and
+    * engine-replayable: with m a power of two, `& (m-1)` on the JVM equals
+    * `% m` on an unsigned HUGEINT, the [[cmsBuckets]] width contract. */
+  def bloomPositions(fp: Long, mBits: Int, k: Int): Array[Long] = {
+    val mask = (mBits - 1).toLong
+    val h1 = fp & mask
+    val h2 = ((fp >>> 32) & mask) | 1L
+    Array.tabulate(k)(i => (h1 + i.toLong * h2) & mask)
+  }
+
+  /** Bloom membership probe against a word-packed bit array (bit pos lives
+    * at word pos>>>6, bit pos&63): true iff ALL k positions of `fp` are
+    * set. Inlines the [[bloomPositions]] arithmetic — zero allocation on
+    * the corpus-stream hot path. False positives are a deterministic pure
+    * function of (inserted set, mBits, k) — never of partitioning — so a
+    * Bloom-gated result is exactly replayable cross-engine. */
+  def bloomContains(fp: Long, state: Array[Long], mBits: Int, k: Int): Boolean = {
+    val mask = (mBits - 1).toLong
+    val h1 = fp & mask
+    val h2 = ((fp >>> 32) & mask) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i.toLong * h2) & mask
+      if ((state((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Word k-shingles. */
   def shingles(s: String, k: Int): Array[String] = {
     require(k >= 1, s"shingle k must be >= 1, got $k")

@@ -44,6 +44,17 @@ object TextHashExpressions {
     }
   }
 
+  /** Analysis-time check for a bigint child — the Bloom kernels read the
+    * value as a raw 64-bit fingerprint; a narrower integer would silently
+    * hash a different bit pattern than the [[Fingerprint]] chain emits. */
+  private[expressions] trait LongInput { self: UnaryExpression =>
+    override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires a bigint argument, got ${other.catalogString}")
+    }
+  }
+
   /** text → array<long> of LSH band keys (MinHash signature banded+hashed). */
   case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int, bands: Int)
       extends UnaryExpression with StringInput {
@@ -273,6 +284,62 @@ object TextHashExpressions {
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** 64-bit fingerprint → array<long> of its k Bloom bit positions
+    * ([[graft.core.TextStats.bloomPositions]]) — the BUILD-side kernel of
+    * the Bloom sketch: positions explode into rows that partial-aggregate
+    * to a ≤ mBits-bit word table, so the exchange is constant-width no
+    * matter how large the inserted set is. */
+  case class BloomPositions(child: Expression, mBits: Int, k: Int)
+      extends UnaryExpression with LongInput {
+    BloomChecks.validate(prettyName, mBits, k)
+    override def prettyName: String = "bloom_positions"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextStats.bloomPositions(v.asInstanceOf[Long], mBits, k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.core.TextStats.bloomPositions($v, $mBits, $k));")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit fingerprint → membership in a word-packed Bloom bit array that
+    * rides the serialized plan (the [[CmsEstimate]] state-rides-the-plan
+    * pattern): true iff all k probe bits are set. One codegen'd k-probe per
+    * row, no join — the PROBE-side kernel of Bloom-gated decontamination. */
+  case class BloomContains(child: Expression, state: Seq[Long], mBits: Int, k: Int)
+      extends UnaryExpression with LongInput {
+    BloomChecks.validate(prettyName, mBits, k)
+    require(state.length == (mBits >>> 6),
+      s"bloom state has ${state.length} words, mBits=$mBits needs ${mBits >>> 6}")
+    @transient private lazy val stateArr: Array[Long] = state.toArray
+    override def prettyName: String = "bloom_contains"
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      TextStats.bloomContains(v.asInstanceOf[Long], stateArr, mBits, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomState", stateArr, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.core.TextStats.bloomContains($v, $ref, $mBits, $k);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private[expressions] object BloomChecks {
+    /** mBits a power of two in [64, 2^30]: ≥64 so the word table is
+      * non-empty, ≤2^30 so the probe array stays a sane broadcast (128 MB
+      * ceiling), power of two so JVM `&` and SQL unsigned `%` coincide.
+      * k ≤ 64 ≤ mBits keeps the distinct-positions guarantee (odd step,
+      * see [[graft.core.TextStats.bloomPositions]]). */
+    def validate(name: String, mBits: Int, k: Int): Unit = {
+      require(mBits >= 64 && mBits <= (1 << 30) && (mBits & (mBits - 1)) == 0,
+        s"$name mBits must be a power of two in [64, 2^30], got $mBits")
+      require(k >= 1 && k <= 64, s"$name k must be in [1, 64], got $k")
+    }
   }
 
   /** sorted-distinct token-hash array → the PPJoin PREFIX under the
@@ -622,4 +689,10 @@ object TextHashExpressions {
   def cms_rank_prefix(th: Column, tppm: Long, state: Array[Long],
                       depth: Int, width: Int): Column =
     column(CmsRankPrefix(expression(th), tppm, state.toIndexedSeq, depth, width))
+
+  def bloom_positions(fp: Column, mBits: Int, k: Int): Column =
+    column(BloomPositions(expression(fp), mBits, k))
+
+  def bloom_contains(fp: Column, state: Array[Long], mBits: Int, k: Int): Column =
+    column(BloomContains(expression(fp), state.toIndexedSeq, mBits, k))
 }

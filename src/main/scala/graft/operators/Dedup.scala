@@ -650,6 +650,40 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** Near-dup RETENTION policy — the step that turns [[nearDupClusters]]'
+    * cluster map into the deduplicated corpus: keep exactly ONE member of
+    * each duplicate cluster (the argmax of `keepBy`, ties broken by lowest
+    * id — e.g. keep the longest / highest-quality member, the usual
+    * RefinedWeb/FineWeb policy) and every unclustered document. Emits ALL
+    * ids with a `kept` verdict rather than only survivors, so the same
+    * frame drives both the filtered corpus (`kept`) and removal telemetry.
+    *
+    * Scale shape: the window runs ONLY over clustered docs (the join with
+    * `clusters` is inner) — near-dup clusters are a small fraction of a web
+    * corpus, and the unclustered bulk takes the anti-join path with no
+    * window at all. Windowing the full corpus instead would funnel every
+    * unclustered row into one NULL-cluster partition — a single-task skew
+    * bomb at 10^12 rows. Cluster sizes bound the window partitions (a
+    * cluster is a connected component of the pair graph, already capped by
+    * the pairing operator's blocking). */
+  def keepBestPerCluster(df: DataFrame, clusters: DataFrame, idCol: String,
+                         keepBy: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), keepBy.as("keep_score"))
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("keep_score").desc, col(idCol))
+    val clustered = base.join(cl, idCol)
+      .withColumn("kept", row_number().over(w) === 1)
+    val singletons = base.join(cl, Seq(idCol), "left_anti")
+      .withColumn("cluster",
+        lit(null).cast(clustered.schema("cluster").dataType))
+      .withColumn("kept", lit(true))
+    clustered.select(col(idCol), col("cluster"), col("keep_score"), col("kept"))
+      .unionByName(singletons.select(
+        col(idCol), col("cluster"), col("keep_score"), col("kept")))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup INSIDE embedding
     * clusters. Every vector is assigned to its max-cosine centroid (the
     * IVF plane's deterministic fingerprint-ranked seeds + codegen'd

@@ -95,6 +95,57 @@ object TrainingData {
       .agg(count_distinct(col("g")).as("n_contam"))
   }
 
+  /** Bloom-filter SKETCH of `value`: the word-packed bit array as (word
+    * index, 64-bit word) rows. Each value fingerprints once and emits its k
+    * probe positions ([[graft.expressions.TextHashExpressions.BloomPositions]],
+    * one codegen pass); positions collapse map-side to ≤ mBits/64 word rows
+    * via a partial-aggregatable `bit_or`, so the exchange is CONSTANT-WIDTH
+    * regardless of input size — the [[cmsSketch]]/[[hllSketch]] telemetry
+    * contract. Mergeable across shards/days by a further
+    * `groupBy(w).agg(bit_or(bits))` (bit-OR is the Bloom union), and every
+    * row is exactly replayable by another engine — the state is all-integer
+    * with no insertion-order or partitioning dependence. */
+  def bloomSketch(df: DataFrame, value: Column,
+                  mBits: Int = 1 << 20, k: Int = 6): DataFrame =
+    df.select(explode(TextHashExpressions.bloom_positions(
+        TextHashExpressions.fingerprint64(value.cast("string")), mBits, k)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+
+  /** Bloom-gated benchmark decontamination — the 100-TB shape of
+    * [[contamination]]. The exact sibling broadcasts the benchmark's
+    * distinct n-gram STRINGS, which is unbounded (a big eval suite's gram
+    * set is GBs); here the benchmark side collapses to an mBits-bit Bloom
+    * filter (128 KB of bits at 2^20) built by [[bloomSketch]] — collecting
+    * it is a ≤ mBits/64-row telemetry read, not a data read — and the
+    * corpus then streams ONCE through a codegen'd k-probe membership filter
+    * with NO corpus-side join at all. `n_flagged` counts each document's
+    * distinct Bloom-POSITIVE grams: a deterministic SUPERSET of the exact
+    * `n_contam` (a Bloom filter has no false negatives, and its false
+    * positives are a pure function of the benchmark set and (mBits, k),
+    * never of partitioning — so the result is exactly replayable
+    * cross-engine, false positives included). Size mBits ≈ 10–15 bits per
+    * benchmark gram for the classic <1% FP mass; downstream exact
+    * verification, when wanted, is [[contamination]] on the survivors. */
+  def contaminationBloom(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, benchPred: Column,
+                         mBits: Int = 1 << 20, k: Int = 6): DataFrame = {
+    // benchPred filters the INPUT rows, matching [[contamination]]
+    val words = new Array[Long](mBits >>> 6)
+    bloomSketch(
+        df.filter(benchPred).select(
+          explode(TextHashExpressions.word_grams(col(textCol), n)).as("g")),
+        col("g"), mBits, k)
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    df.select(col(idCol),
+        explode(TextHashExpressions.word_grams(col(textCol), n)).as("g"))
+      .filter(TextHashExpressions.bloom_contains(
+        TextHashExpressions.fingerprint64(col("g")), words, mBits, k))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_flagged"))
+  }
+
   /** CCNet-style n-gram LM quality score: train a Laplace-smoothed bigram
     * LM on the corpus (top-`topVocab` unigrams; everything else folds to
     * `<unk>`), then score each document by its summed bigram log-probability

@@ -25,6 +25,7 @@ object PlanAudit {
     "q_repeated_lines",   // line-hash agg + join + ordered doc reassembly
     "q_chunk_dedup",      // min(struct) keep-first hash agg; only hashes shuffle
     "q_contamination",    // bench n-gram side broadcast; corpus streams once
+    "q_contamination_bloom", // NO corpus-side join at all: codegen k-probe filter in-scan
     "q_stratified_sample",// zero-shuffle deterministic filter, codegen'd hash
     "q_seq_packing",      // ONE exchange + in-partition sorted fold
     "q_embedding_ann_ivf",// CentroidArgmax in-scan (no corpus blowup), broadcast probes

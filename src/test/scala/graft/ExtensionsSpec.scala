@@ -87,6 +87,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(wg.getSeq[String](0) == Seq("a b", "b a", "b c")) // distinct, first-occurrence
       assert(wg.getSeq[String](1) == Seq("a b", "c d", "e"))   // last chunk short
       assert(wg.getSeq[String](2) == Seq("a b c", "c d e"))    // stride 2, clamped
+      // bloom_positions from plain SQL == kernel (over the fingerprint chain)
+      val bp = spark.sql(
+        "SELECT bloom_positions(fingerprint64('needle'), 4096, 5)").collect().head
+      assert(bp.getSeq[Long](0) == graft.core.TextStats.bloomPositions(
+        graft.core.TextStats.fingerprint("needle"), 4096, 5).toSeq)
       val pc = spark.sql("SELECT prefix_chain(array(3L, 5L, 7L))").collect().head
       val P = graft.expressions.TextHashExpressions.PrefixChain.Prime
       assert(pc.getSeq[Long](0) == Seq(3L, 3L * P + 5L, (3L * P + 5L) * P + 7L))

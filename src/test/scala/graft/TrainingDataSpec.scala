@@ -112,6 +112,87 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!out.contains(2L))
   }
 
+  test("bloomPositions/bloomContains: distinct in-range positions; odd-step full cycle; no false negatives") {
+    import graft.core.TextStats
+    val rnd = new scala.util.Random(7)
+    val fps = Array.fill(500)(rnd.nextLong())
+    for (fp <- fps) {
+      val ps = TextStats.bloomPositions(fp, 4096, 6)
+      assert(ps.length == 6 && ps.distinct.length == 6 &&
+        ps.forall(p => p >= 0 && p < 4096))
+    }
+    // k == m == 64: the odd step is invertible mod 2^6, so the k positions
+    // cycle through EVERY residue exactly once
+    assert(TextStats.bloomPositions(rnd.nextLong(), 64, 64).sorted.toSeq ==
+      (0L until 64L))
+    // insert all, probe all: a Bloom filter has NO false negatives
+    val words = new Array[Long](4096 >> 6)
+    fps.foreach(fp => TextStats.bloomPositions(fp, 4096, 6).foreach(p =>
+      words((p >> 6).toInt) |= 1L << (p & 63).toInt))
+    assert(fps.forall(fp => TextStats.bloomContains(fp, words, 4096, 6)))
+    // empty state contains nothing
+    val zero = new Array[Long](4096 >> 6)
+    assert(fps.forall(fp => !TextStats.bloomContains(fp, zero, 4096, 6)))
+  }
+
+  test("bloomSketch: words == kernel replica; bit_or shard merge; partition-invariant") {
+    val values = (0 until 3000).map(i => s"tok-${i % 1100}")
+    def run(xs: Seq[String], parts: Int = 4) =
+      TrainingData.bloomSketch(
+          xs.map(Tuple1(_)).toDF("v").repartition(parts), col("v"),
+          mBits = 2048, k = 4)
+        .as[(Long, Long)].collect().toMap
+    val got = run(values)
+    val expect = {
+      val words = new Array[Long](2048 >> 6)
+      values.distinct.foreach { v =>
+        graft.core.TextStats.bloomPositions(
+            graft.core.TextStats.fingerprint(v), 2048, 4)
+          .foreach(p => words((p >> 6).toInt) |= 1L << (p & 63).toInt) }
+      words.zipWithIndex.collect { case (w, i) if w != 0L => (i.toLong, w) }.toMap
+    }
+    assert(got == expect)
+    assert(run(values, parts = 13) == got)            // partition-invariant
+    // shard merge: bit-OR of shard sketches == sketch of the union
+    val (l, r) = values.splitAt(1000)
+    val merged = (run(l).toSeq ++ run(r).toSeq).groupBy(_._1)
+      .map { case (w, xs) => w -> xs.map(_._2).reduce(_ | _) }
+    assert(merged == got)
+  }
+
+  test("contaminationBloom: equals exact contamination at wide m; deterministic FP superset at tiny m") {
+    val eight = "a b c d e f g h"
+    val docs = (0L until 120L).map { i =>
+      if (i % 97 == 0) (i, s"$eight bench tail marker$i")
+      else if (i % 3 == 0) (i, s"prefix $eight and some words w$i")
+      else (i, s"doc $i " + (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val benchPred = col("doc_id") % 97 === 0
+    val exact = TrainingData.contamination(df, "doc_id", "text", 8, benchPred)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    // 2^20 bits over a handful of bench grams: FP mass is ~0 — identical
+    val wide = TrainingData.contaminationBloom(df, "doc_id", "text", 8,
+      benchPred, mBits = 1 << 20, k = 6).as[(Long, Long)].collect().toMap
+    assert(wide == exact)
+    // m=64, k=1 saturates the filter: still no false negatives (per-doc
+    // counts dominate exact), and FPs MUST appear — deterministically
+    val tiny = TrainingData.contaminationBloom(df, "doc_id", "text", 8,
+      benchPred, mBits = 64, k = 1).as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, n) => assert(tiny.getOrElse(id, 0L) >= n) }
+    assert(tiny.values.sum > exact.values.sum)
+    val tiny2 = TrainingData.contaminationBloom(df.repartition(7), "doc_id",
+      "text", 8, benchPred, mBits = 64, k = 1).as[(Long, Long)].collect().toMap
+    assert(tiny2 == tiny)                             // partition-invariant, FPs included
+    // analysis-time contract: a string fingerprint is rejected, not hashed
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.expressions.TextHashExpressions.bloom_contains(
+        col("text"), new Array[Long](1), 64, 1)).collect()
+    }
+    assert(err.getMessage.contains("bloom_contains"))
+  }
+
   test("stratifiedSample: deterministic under repartitioning; rates ordered by stratum") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
@@ -330,6 +411,31 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepBestPerCluster: argmax-by-score survivor per cluster, id tie-break; singletons kept untouched") {
+    // docs 1..5 chain-clustered (cluster 1), 10-11 paired (cluster 10),
+    // 20/21 unclustered; scores pick 3 (chain max) and 11 (pair max);
+    // 4 ties 3's score -> lower id 3 wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("left_id", "right_id")
+    val clusters = graft.operators.Dedup.nearDupClusters(pairs)
+    val docs = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 9L), (5L, 2L),
+      (10L, 1L), (11L, 4L), (20L, 8L), (21L, 0L)).toDF("doc_id", "score")
+    val out = graft.operators.Dedup.keepBestPerCluster(
+        docs, clusters, "doc_id", col("score"))
+      .as[(Long, Option[Long], Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out.size == 9)
+    assert(out.filter(_._2._2).keySet == Set(3L, 11L, 20L, 21L))
+    assert(out(3L) == ((Some(1L), true)) && out(4L) == ((Some(1L), false)))
+    assert(out(20L) == ((None, true)) && out(21L) == ((None, true)))
+    // partition-invariant
+    val out2 = graft.operators.Dedup.keepBestPerCluster(
+        docs.repartition(7), clusters, "doc_id", col("score"))
+      .as[(Long, Option[Long], Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out2 == out)
   }
 
   test("temperatureSample: NULL strata sample like any other stratum (null-safe join)") {
