@@ -181,6 +181,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bloomPositions/bloomContains: distinct in-range probes, no false negatives, monotone under OR-union") {
+    val gen = for {
+      logM <- Gen.choose(6, 20)
+      k <- Gen.choose(1, 64)
+      fps <- Gen.nonEmptyListOf(Gen.long)
+      probe <- Gen.long
+    } yield (1 << logM, k, fps, probe)
+    check(Prop.forAll(gen) { case (m, k, fps, probe) =>
+      // k positions always distinct and in [0, m) for EVERY fingerprint
+      val allDistinct = (probe :: fps).forall { fp =>
+        val ps = TextStats.bloomPositions(fp, m, k)
+        ps.length == k && ps.distinct.length == k && ps.forall(p => p >= 0 && p < m)
+      }
+      val words = new Array[Long](m >> 6)
+      fps.foreach(fp => TextStats.bloomPositions(fp, m, k).foreach(p =>
+        words((p >> 6).toInt) |= 1L << (p & 63).toInt))
+      // no false negatives: every inserted fp is contained
+      val noFalseNeg = fps.forall(fp => TextStats.bloomContains(fp, words, m, k))
+      // union monotone: OR-ing in more bits can never flip contains to false
+      val more = words.clone()
+      TextStats.bloomPositions(probe, m, k).foreach(p =>
+        more((p >> 6).toInt) |= 1L << (p & 63).toInt)
+      val monotone = TextStats.bloomContains(probe, more, m, k) &&
+        fps.forall(fp => TextStats.bloomContains(fp, more, m, k))
+      allDistinct && noFalseNeg && monotone
+    })
+  }
+
   test("ImageCodec.decode stays format-generic: JPEG/BMP pass the header dim gate") {
     // regression: the corrupt-input dim gate must probe dimensions via the
     // format's OWN reader, not assume a PNG IHDR at fixed offsets
