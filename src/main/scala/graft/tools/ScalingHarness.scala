@@ -169,9 +169,19 @@ object ScalingHarness {
                     stealN: Double, steal4N: Double,
                     memN: Double, memH: Double, skipped: Boolean) {
     def ratio: Double = cores4N.toDouble / coresN
-    def cleanN: Boolean = secN > 0 && stealN <= 0.02 &&
+    // Steal gate 1% (was 2%): round-5 forensic on the fresh box — a
+    // DRAM-neighbor-starved window (job walls 1.3-3x, eff 0.391 on a dim
+    // whose quiet median is 0.89) sailed under the CPU-probe gate because
+    // the splitmix probe is CACHE-RESIDENT and cannot see memory-bandwidth
+    // contention, and its probe walls (1.1-2.2 s) sat inside the absolute
+    // floor band calibrated on the slower-clocked round-4 box. Its steal
+    // (0.7%/1.45%) was the one discriminating signal: every genuinely
+    // quiet pair on the live trail reads <= 0.7%, so 1% separates cleanly
+    // — the tightening excludes the poisoned sample and reclassifies NO
+    // previously-quiet pair (BENCH.md medians unchanged by construction).
+    def cleanN: Boolean = secN > 0 && stealN <= 0.01 &&
       probeQuiet(pNb, coresN) && probeQuiet(pNa, coresN)
-    def clean4N: Boolean = sec4N > 0 && steal4N <= 0.02 &&
+    def clean4N: Boolean = sec4N > 0 && steal4N <= 0.01 &&
       probeQuiet(pHb, cores4N) && probeQuiet(pHa, cores4N)
     /** whole-window-quiet full pair with a physically plausible ratio.
       * `cap` is dimension-dependent: thread pairs share one heap, so
