@@ -215,6 +215,12 @@ object Bench {
             }
           }
           phase(f"$name $sec%.1f s${err.map(e => s"  ERR $e").getOrElse("")}")
+          // the batch-driver hygiene Dedup documents: the query's noop sink
+          // has fully consumed its plans, so its signature-frame persists
+          // are dead weight — release OUTSIDE the timer so 145 queries in
+          // one JVM don't accumulate MEMORY_AND_DISK blocks toward LRU
+          // pressure (and so no query's wall includes a predecessor's GC)
+          graft.operators.Dedup.releaseCaches()
           (name, sec, err)
         } finally spark.stop()
       }
@@ -347,6 +353,18 @@ object Bench {
          |   32-thread JVM. An earlier claim that the executor shape
          |   "reaches ~0.85 at 8→32" was a measurement artifact, not
          |   physics.
+         |4. **Probe blind spot (round-5 box)**: the final-round box clocks
+         |   the cache-resident CPU probe ~2× FASTER than the 2.31 s floor
+         |   calibrated on the round-4 box (bare splitmix probe ~1.1-1.3 s),
+         |   so the absolute probe band alone cannot flag its disturbance
+         |   phases; and those phases are often DRAM-neighbor contention the
+         |   CPU probe cannot see at all (job walls 1.3-5× with probes at
+         |   parity and CPU ~90% idle mid-sweep — scheduling/bandwidth
+         |   stalls, not compute). The /proc/stat steal delta is the
+         |   discriminating signal there, hence the 1% steal gate (was 2%):
+         |   it excludes the one bandwidth-starved sample that slipped
+         |   through (gate-dim eff 0.391 at steal 1.45%) while every
+         |   genuinely quiet trail pair reads ≤0.7%.
          |
          |The EXECUTOR-SHAPED dimensions measure the deployment the north
          |rule actually describes: separate child JVMs (disjoint taskset

@@ -62,6 +62,11 @@ object ScalingHarness {
   // Signature keeps the width parameter for future width-dependent floors.
   def quietFloor(threads: Int): Double = QuietCpuProbeWall
   val QuietSlack = 1.15
+  /** Memory-bandwidth-probe slack band for the TRAIL-RELATIVE floor
+    * (summarize): a sample's mem wall above best-observed-at-its-width ×
+    * this slack marks a DRAM-neighbor window. Wider than QuietSlack — the
+    * streaming probe is noisier than the cache-resident CPU spin. */
+  val MemSlack = 1.2
 
   val AddOpens: Seq[String] = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -447,23 +452,33 @@ object ScalingHarness {
       if (probeQuiet(pNb, lowCores) && probeQuiet(pHb, highCores)) {
         val (secN, stealN) = withSteal(shardRun(procsN, coresPerProc))
         val (sec4N, steal4N) = withSteal(shardRun(procs4N, coresPerProc))
+        // round-5 instrument: per-attempt memory-bandwidth walls. The
+        // final-round box has DRAM-neighbor phases the cache-resident CPU
+        // probe cannot see (job walls 1.3-5x at probe parity, CPU ~90%
+        // idle) that hit the wider 4N stage hardest — a biased-DOWN eff
+        // with every legacy gate green. The streaming walls expose them;
+        // summarize() gates against the trail's best-at-width floor.
+        val memN = memProbe(lowCores)
+        val memH = memProbe(highCores)
         val pNa = probe(lowCores)
         val pHa = probe(highCores)
         val eff = (secN / sec4N) / (procs4N.toDouble / procsN)
         Sample(now, lowCores, highCores, pNb, pNa, pHb, pHa,
-          secN, sec4N, eff, stealN, steal4N, -1.0, -1.0, skipped = false)
+          secN, sec4N, eff, stealN, steal4N, memN, memH, skipped = false)
       } else if (probeQuiet(pHb, highCores)) {
         // single-side salvage (sampleOnce's convention): the session-min
         // statistic needs each side's best clean run independently
         val (sec4N, steal4N) = withSteal(shardRun(procs4N, coresPerProc))
+        val memH = memProbe(highCores)
         val pHa = probe(highCores)
         Sample(now, lowCores, highCores, pNb, -1.0, pHb, pHa,
-          -1.0, sec4N, -1.0, 0.0, steal4N, -1.0, -1.0, skipped = false)
+          -1.0, sec4N, -1.0, 0.0, steal4N, -1.0, memH, skipped = false)
       } else if (probeQuiet(pNb, lowCores)) {
         val (secN, stealN) = withSteal(shardRun(procsN, coresPerProc))
+        val memN = memProbe(lowCores)
         val pNa = probe(lowCores)
         Sample(now, lowCores, highCores, pNb, pNa, pHb, -1.0,
-          secN, -1.0, -1.0, stealN, 0.0, -1.0, -1.0, skipped = false)
+          secN, -1.0, -1.0, stealN, 0.0, memN, -1.0, skipped = false)
       } else
         Sample(now, lowCores, highCores, pNb, -1.0, pHb, -1.0,
           -1.0, -1.0, -1.0, 0.0, 0.0, -1.0, -1.0, skipped = true)
@@ -505,9 +520,29 @@ object ScalingHarness {
 
   def summarize(file: String = SamplesFile, effCap: Double = 1.1): Summary = {
     val all = load(file)
+    // TRAIL-RELATIVE memory-bandwidth gate, multiproc file only. The mem
+    // wall at a given thread WIDTH is comparable across attempts (fixed
+    // per-thread traffic); best-observed-at-width is the box's quiet
+    // bandwidth floor and sharpens as the trail grows. Samples predating
+    // the instrument (mem wall -1) pass — their classification is
+    // unchanged, no retroactive rewrite of the endorsed trail. The THREAD
+    // file is exempt by design: there memN/memH measure the 8->32 DRAM
+    // CEILING (saturated on purpose), not window quietness.
+    // basename match so a spec can exercise the gate on a temp copy
+    val memGated =
+      Paths.get(file).getFileName.toString == "multiproc_samples.jsonl"
+    val live = all.filterNot(_.skipped)
+    def floors(sel: Sample => Double, width: Sample => Int): Map[Int, Double] =
+      live.filter(s => sel(s) > 0).groupBy(width)
+        .map { case (w, ss) => w -> ss.map(sel).min }
+    val fN = floors(_.memN, _.coresN)
+    val fH = floors(_.memH, _.cores4N)
+    def memOk(s: Sample): Boolean = !memGated ||
+      ((s.memN <= 0 || s.memN <= fN(s.coresN) * MemSlack) &&
+       (s.memH <= 0 || s.memH <= fH(s.cores4N) * MemSlack))
     val dims = all.filterNot(_.skipped).groupBy(s => (s.coresN, s.cores4N)).toSeq
       .sortBy(_._1).map { case ((n, h), ss) =>
-        val quiet = ss.filter(_.quietAt(effCap))
+        val quiet = ss.filter(s => s.quietAt(effCap) && memOk(s))
         val cleanN = ss.filter(_.cleanN).map(_.secN)
         val clean4N = ss.filter(_.clean4N).map(_.sec4N)
         val ratio = h.toDouble / n

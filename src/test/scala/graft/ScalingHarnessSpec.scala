@@ -97,4 +97,29 @@ class ScalingHarnessSpec extends AnyFunSuite {
     val d832 = sum.dim(8, 32).get
     assert(d832.quietPairs == 1 && math.abs(d832.quietMedian - 25.0 / (4 * 14.0)) < 1e-3)
   }
+
+  test("mem gate (multiproc file only): trail-relative floor excludes DRAM-starved windows; legacy -1 passes") {
+    val dir = java.nio.file.Files.createTempDirectory("sh3")
+    def mp(secN: Double, sec4N: Double, memN: Double, memH: Double) =
+      pair(2, 8, secN, sec4N).copy(memN = memN, memH = memH)
+    val samples = Seq(
+      mp(90.0, 25.0, 2.0, 2.2),   // establishes floors: 2.0 at width 2, 2.2 at 8
+      mp(90.0, 25.0, 2.1, 2.5),   // inside the 1.2x slack band — quiet
+      mp(90.0, 40.0, 2.1, 4.4),   // 4N mem wall 2x floor: DRAM-starved, eff 0.56 excluded
+      mp(88.0, 25.0, -1.0, -1.0)) // pre-instrument sample — classification unchanged
+    val f = dir.resolve("multiproc_samples.jsonl")
+    java.nio.file.Files.writeString(f,
+      samples.map(_.toJson).mkString("", "\n", "\n"))
+    val d = ScalingHarness.summarize(f.toString,
+      ScalingHarness.MultiProcEffCap).dim(2, 8).get
+    assert(d.pairs == 4 && d.quietPairs == 3)
+    assert(math.abs(d.quietMedian - 0.90) < 1e-9) // median {0.90, 0.90, 0.88}
+    // the SAME samples under a non-multiproc basename: gate off (thread
+    // file's mem walls measure the saturated DRAM ceiling on purpose)
+    val f2 = dir.resolve("samples.jsonl")
+    java.nio.file.Files.copy(f, f2)
+    val d2 = ScalingHarness.summarize(f2.toString,
+      ScalingHarness.MultiProcEffCap).dim(2, 8).get
+    assert(d2.quietPairs == 4)
+  }
 }
