@@ -114,8 +114,18 @@ object LearnedMatch {
   def fit(left: DataFrame, right: DataFrame, threshold: Double = 0.8,
           maxIter: Int = 50, regParam: Double = 0.0): Model = {
     val spark = left.sparkSession
+    // coalesce(1): the FIT frame is a bounded model-sized sample by
+    // contract (like the IVF centroid set — at scale you fit on a capped
+    // pair sample, never the full corpus), and LBFGS runs ~maxIter
+    // sequential jobs over it. One partition makes each iteration a
+    // single task — on a latency-bound host that cuts the fit wall by
+    // the old partition count — AND pins the float summation order, so
+    // the fitted coefficients no longer depend on the SOURCE's partition
+    // layout (the golden's "deterministic for fixed input partitioning"
+    // caveat tightens to "deterministic, period"). Inference
+    // ([[scoredPairs]]) is untouched and fully distributed.
     val pairs = pairFrame(left, right, threshold).select("features", "label")
-      .cache()
+      .coalesce(1).cache()
     try {
       // population moments per dim (sklearn StandardScaler semantics);
       // 2·dim rows — a bounded model-sized collect, like IVF centroids.
