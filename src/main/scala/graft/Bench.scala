@@ -221,6 +221,13 @@ object Bench {
           // one JVM don't accumulate MEMORY_AND_DISK blocks toward LRU
           // pressure (and so no query's wall includes a predecessor's GC)
           graft.operators.Dedup.releaseCaches()
+          // JMH-style isolation, also OUTSIDE the timer: drain the
+          // predecessor's garbage now instead of letting a full-GC pause
+          // land inside whichever successor first allocates hard — the
+          // sweep's rotating per-run outliers (kmv/object-hash-aggregate
+          // queries 5-25x on single runs, different set every run) read
+          // like exactly that. Sum-of-timed-secs ("total") excludes it.
+          System.gc()
           (name, sec, err)
         } finally spark.stop()
       }
