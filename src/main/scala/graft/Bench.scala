@@ -289,25 +289,47 @@ object Bench {
     // sweep totals on this shared host vary up to ~2× with weather (round-4
     // verdict: a 139.6 s final sweep overstated the same code's 96.8 s
     // quiet sweep by ~1.4×), so the per-run table alone misreads as code
-    // speed. The carry resets whenever the query SET changes (count
-    // tracked), so an added/removed query can never inherit a stale best.
+    // speed. The carry resets whenever the query SET changes — identity is
+    // a HASH of the sorted query names, not a count (review fix: an
+    // equal-count swap of one query for another must not inherit a stale
+    // best), and an ERRORING run can never seed or lower the best under
+    // ANY identity (errored queries fail fast, so their total is
+    // artificially LOW — the old n-changed fallback seeded exactly that).
     val bestTotal: Double = {
       val p = Paths.get("bench/best_sweep.json")
-      val prior: Option[(Int, Double)] =
+      val setId = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        results.map(_._1).sorted.foreach(n => md.update((n + "\n").getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString.take(12)
+      }
+      val prior: Option[(String, Double)] =
         if (Files.exists(p)) {
+          val txt = Files.readString(p)
           val m = java.util.regex.Pattern
-            .compile(""""n":(\d+),"total_sec":([0-9.]+)""")
-            .matcher(Files.readString(p))
-          if (m.find()) Some((m.group(1).toInt, m.group(2).toDouble)) else None
+            .compile(""""set":"([0-9a-f]+)".*"total_sec":([0-9.]+)""")
+            .matcher(txt)
+          if (m.find()) Some((m.group(1), m.group(2).toDouble))
+          else {
+            // legacy count-keyed record: accept as same-set iff the count
+            // matches (one-way migration to the set-hash key on write)
+            val lm = java.util.regex.Pattern
+              .compile(""""n":(\d+),"total_sec":([0-9.]+)""").matcher(txt)
+            if (lm.find() && lm.group(1).toInt == results.size)
+              Some((setId, lm.group(2).toDouble))
+            else None
+          }
         } else None
       val errFree = results.forall(_._3.isEmpty)
       val best = prior match {
-        case Some((n, t)) if n == results.size && errFree => math.min(t, total)
-        case _ if errFree => total
-        case Some((n, t)) if n == results.size => t // erroring run never lowers
+        case Some((id, t)) if id == setId =>
+          if (errFree) math.min(t, total) else t
+        // different/unknown set: report this run's total; the write guard
+        // below lets only an error-free run SEED the new set's record
         case _ => total
       }
-      Files.writeString(p, s"""{"n":${results.size},"total_sec":${f"$best%.1f"}}""" + "\n")
+      if (errFree || prior.exists(_._1 == setId))
+        Files.writeString(p,
+          s"""{"set":"$setId","n":${results.size},"total_sec":${f"$best%.1f"}}""" + "\n")
       best
     }
 

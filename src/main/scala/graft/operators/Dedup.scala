@@ -376,12 +376,8 @@ object Dedup {
       // verify filter is unchanged; the skew spec pins candidate volume).
       val depth = 4
       val width = 1024
-      val state = new Array[Long](depth * width)
-      graft.operators.TrainingData.cmsSketch(
+      val state = graft.operators.TrainingData.cmsState(
         s.select(explode(col("th")).as("tok")), col("tok"), depth, width)
-        .collect().foreach { r =>
-          state(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
-        }
       sized.select(col("id"), col("blk"), col("sz"),
         explode(graft.expressions.TextHashExpressions.cms_rank_prefix(
           col("th"), tppm, state, depth, width)).as("tok"))

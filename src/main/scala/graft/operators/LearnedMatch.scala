@@ -136,6 +136,11 @@ object LearnedMatch {
       // centroid_argmax
       val szRow = pairs.agg(min(size(col("features"))),
         max(size(col("features")))).head()
+      // empty-input contract (review fix): an empty left/right side makes
+      // the min/max aggregates NULL and getInt would die with a bare NPE —
+      // name the failure like the ragged-dim reject below
+      require(!szRow.isNullAt(0),
+        "learned-match fit requires a non-empty pair frame (empty left or right side)")
       val dim = szRow.getInt(0)
       require(dim == szRow.getInt(1),
         s"learned-match fit requires uniform feature dims, got [${dim}, ${szRow.getInt(1)}]")

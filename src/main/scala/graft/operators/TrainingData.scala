@@ -1104,12 +1104,23 @@ object TrainingData {
     * `groupBy(value)` this replaces shuffles the whole vocabulary; this
     * shuffles only gated survivors (εN false-positive mass, tunable by
     * width). The output is exact, not approximate. */
-  def heavyHitters(df: DataFrame, value: Column, minCount: Long,
-                   depth: Int = 4, width: Int = 1024): DataFrame = {
+  /** [[cmsSketch]] collected into the flattened row-major depth×width state
+    * array the codegen probes (`cms_estimate` / `cms_rank_prefix`) carry —
+    * the ONE owner of the sketch's (d, bucket, cnt) row layout (review fix:
+    * ppjoinPrefixes carried a verbatim copy of this loop). A ≤ depth·width-
+    * row telemetry read, never a data read. */
+  def cmsState(df: DataFrame, value: Column,
+               depth: Int = 4, width: Int = 1024): Array[Long] = {
     val state = new Array[Long](depth * width)
     cmsSketch(df, value, depth, width).collect().foreach { r =>
       state(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
     }
+    state
+  }
+
+  def heavyHitters(df: DataFrame, value: Column, minCount: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val state = cmsState(df, value, depth, width)
     df.select(value.cast("string").as("value"))
       .filter(TextHashExpressions.cms_estimate(col("value"), state, depth, width)
         >= minCount)
