@@ -26,6 +26,30 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark 4's per-session artifact isolation installs an ExecutorClassLoader
+  // whose every class-name MISS does a blocking RPC file-download probe to
+  // the driver's file server — even in local mode. Janino codegen resolves
+  // hundreds of candidate names per compiled unit through the task thread's
+  // context loader, so one unlucky query pays thousands of sequential RPC
+  // round-trips: watchdog thread dumps during the round-6 sweep caught task
+  // threads pinned in ExecutorClassLoader.findClassLocally →
+  // NettyRpcEnv$FileDownloadChannel.read (60-130 s rotating per-query
+  // stalls, the "rotating outlier" pathology of rounds 4-5). This app
+  // never adds session artifacts, so isolation buys nothing: disable it and
+  // class misses fail fast in-process.
+  "-Dspark.sql.artifact.isolation.enabled=false",
+  // Shuffle-writer shape: with ≤200 reduce partitions Spark picks the
+  // bypass-merge writer — numPartitions DiskBlockObjectWriters PER MAP TASK,
+  // each with a spark.shuffle.file.buffer (1 MB here) stream + an LZ4/JNI
+  // hash context. At 32 tasks × 32 partitions that is a ~1 GB allocation
+  // burst per shuffle stage for KB-sized bench shuffles (watchdog dumps
+  // caught whole stages inside DiskBlockObjectWriter.open), and this
+  // sandbox's kernel zeroes fresh anon pages at ~18 MB/s/thread, so the
+  // burst serializes on page faults. Threshold 0 routes every shuffle to
+  // the serialized (Unsafe) sort writer: ONE spill/output writer per task,
+  // buffers amortized — the right shape for iterative many-stage queries at
+  // any scale, and the same writer a real cluster uses for wide shuffles.
+  "-Dspark.shuffle.sort.bypassMergeThreshold=0",
 )
 // local[32] = one JVM doing all executor work: give `run` a real heap
 // (the machine has 128 GiB; allocation-heavy FSM stages go GC-bound at 8g).
@@ -44,4 +68,13 @@ run / javaOptions ++= {
   val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")
   Seq(s"-Xmx$m", s"-Xms$m")
 }
+// Round-6 revision of the AlwaysPreTouch story above: measured NOW on this
+// box, pre-touching 12 GB costs ~32 s of WALL (the kernel zeroes pages from
+// ~21 threads in parallel; the round-2 ~4 min figure was a 24 GB heap on a
+// serial-faulting path). Without it the same ~12 GB of zeroing lands INSIDE
+// the timed query sweep as rotating per-query stalls (allocation bursts
+// fault fresh G1 regions at ~18 MB/s/thread until the heap is fully
+// touched — watchdog-stack-verified). 32 s of untimed JVM startup buys
+// stall-free timed queries; `run` only (tests keep fast startup).
+run / javaOptions += "-XX:+AlwaysPreTouch"
 Test / javaOptions ++= Seq("-Xmx8g", "-Xms8g")

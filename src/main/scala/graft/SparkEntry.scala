@@ -17,8 +17,48 @@ import graft.operators.{Dedup, Extraction, Matching, Multimodal, QLearning, Simi
   * golden-equality ScalaTests. */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Scale-adaptive scan spread (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read"). The
+    * bench fixtures are SINGLE parquet files with ONE row group each, so
+    * every scan stage — and with partial aggregation, the whole heavy half
+    * of a query — otherwise runs as ONE task while 31 cores idle. When the
+    * input cannot fill the session's cores (total bytes < cores ×
+    * maxPartitionBytes, i.e. the scan would get fewer splits than cores
+    * even before the one-row-group collapse), a round-robin repartition to
+    * `defaultParallelism` moves the tiny bytes once and parallelizes all
+    * downstream per-row work. At warehouse scale the gate never fires
+    * (inputs are many files ≥ the split size), so the plan is unchanged
+    * exactly where the extra exchange would actually cost something.
+    * Deterministic: round-robin repartition sorts each input partition
+    * first (spark.sql.execution.sortBeforeRepartition, default on), and
+    * every declared query's output is key-deterministic regardless of
+    * partitioning (stable tiebreaks / exact aggregates — the r1-r5 oracle
+    * design rule). Kill switch: SPARK_GRAFT_SPREAD=off. */
+  private def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SPREAD").contains("off")) return df
+    val n = s.sparkContext.defaultParallelism
+    if (n <= 1) return df
+    val bytes = try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+      else {
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+    } catch { case _: Exception => Long.MaxValue } // unknown → leave alone
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // < 64 KB: broadcast-sized dimension tables — a shuffle buys nothing
+    if (bytes >= 64L * 1024 && bytes < n.toLong * maxPart) df.repartition(n)
+    else df
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spread(s, s.read.parquet(path), path)
+  }
 
   /** Flagship query on sf=0.001: full extraction pipeline over synthesized
     * transcripts → assembled records (driver smoke-checks rows>0). */
@@ -1515,9 +1555,14 @@ object SparkEntry {
 
   private def fixtureSlim(s: SparkSession, convs: Int) = {
     import s.implicits._
+    // generation parallelism follows the session (was a hardcoded 8): the
+    // per-conversation synthesis is seeded per convIdx, so the table is
+    // identical as a SET for any parallelism — but both the generating
+    // flatMap and every later scan of the written files (one row group per
+    // file) gain machine-width tasks instead of 8
     graft.sources.TranscriptGen.generate(s,
       FixtureGen.Profile(numConvs = convs, monsterEvery = 41, monsterTurns = 80,
-        invalidEvery = 13), 8)
+        invalidEvery = 13), math.max(8, s.sparkContext.defaultParallelism))
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[graft.core.TurnSlim]
   }
@@ -1565,15 +1610,20 @@ object SparkEntry {
     }
     path
   }
-  private def fixtureTable(s: SparkSession, convs: Int): DataFrame =
-    s.read.parquet(fixtureParquet(s, convs))
+  private def fixtureTable(s: SparkSession, convs: Int): DataFrame = {
+    val path = fixtureParquet(s, convs)
+    spread(s, s.read.parquet(path), path)
+  }
 
   /** Transcript fixture for the FSM queries, materialized once per profile. */
   private def fixtureFsmParquet(s: SparkSession, name: String,
                                 profile: FixtureGen.Profile): String = synchronized {
     val path = s"$FixtureDir/$name"
     if (!fixtureWritten.contains(path)) {
-      graft.sources.TranscriptGen.generate(s, profile, 8)
+      // session-width generation parallelism (was 8) — same set-identical
+      // contract as fixtureSlim above
+      graft.sources.TranscriptGen.generate(s, profile,
+          math.max(8, s.sparkContext.defaultParallelism))
         .toDF.write.mode("overwrite").parquet(path)
       fixtureWritten += path
     }
