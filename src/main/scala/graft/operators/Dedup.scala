@@ -593,8 +593,8 @@ object Dedup {
     * pair) are not emitted; null-id edges are dropped (no identity). Works
     * for any id type (numeric or string).
     *
-    * Converges to the exact fixpoint (anti-join-diff-checked per round), so
-    * the output is deterministic and DuckDB-oracle-comparable. */
+    * Converges to the exact fixpoint (per-row lbl-vs-prev diff checked each
+    * round), so the output is deterministic and DuckDB-oracle-comparable. */
   def nearDupClusters(pairs: DataFrame, leftCol: String = "left_id",
                       rightCol: String = "right_id",
                       maxRounds: Int = 50): DataFrame = {
@@ -604,20 +604,25 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    // fixpoint witness: an EXACT anti-join diff against the previous round
-    // (empty ⟺ no (id, lbl) changed). Type-agnostic — string ids work,
-    // unlike a decimal label sum which nulls out on non-numeric ids (and
-    // NPEs outright on an EMPTY pair list, a perfectly normal clean-corpus
-    // outcome). The frames are checkpointed and tiny; isEmpty is limit(1).
-    def unchanged(next: DataFrame, prev: DataFrame): Boolean =
-      next.join(prev, Seq("id", "lbl"), "left_anti").isEmpty
+    // fixpoint witness: the round's OWN previous label rides the min-agg as
+    // a second aggregate (`prev` = the label of the id's own row, tagged
+    // `own`; every id always has exactly one), so convergence is an EXACT
+    // per-row `lbl != prev` filter over the already-checkpointed result —
+    // no separate anti-join shuffle per round (r6: that join was one of
+    // three actions each round of an O(log d)-round loop). Type-agnostic —
+    // string ids work, unlike a decimal label sum which nulls out on
+    // non-numeric ids (and NPEs outright on an EMPTY pair list, a
+    // perfectly normal clean-corpus outcome). isEmpty is limit(1).
     var round = 0
     var converged = labels.isEmpty // zero pairs: already at the fixpoint
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("lbl"))
-      val stepped = labels.unionAll(prop)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      val stepped = labels
+        .select(col("id"), col("lbl"), lit(true).as("own"))
+        .unionAll(prop.select(col("id"), col("lbl"), lit(false).as("own")))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
         // checkpoint BEFORE the self-join: the materialized RDD backs both
         // join sides without recompute and severs the union lineage
         .localCheckpoint()
@@ -636,10 +641,13 @@ object Dedup {
         .select(col("id").as("m_id"), col("lbl").as("m_lbl"))
       val next = stepped
         .join(mapping, col("lbl") === col("m_id"), "left")
-        .select(col("id"), coalesce(col("m_lbl"), col("lbl")).as("lbl"))
+        // the pointer-double lookup only LOWERS labels, so the fixpoint
+        // test `lbl != prev` is exact after it too
+        .select(col("id"), coalesce(col("m_lbl"), col("lbl")).as("lbl"),
+          col("prev"))
         .localCheckpoint()
-      converged = unchanged(next, labels)
-      labels = next
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
       round += 1
     }
     require(converged, s"nearDupClusters: no fixpoint after $maxRounds rounds")

@@ -479,28 +479,55 @@ object Snapshot {
     val chunkIds = listDir(dataDir).map(_.getFileName.toString)
       .filter(_.startsWith("_chunk=")).map(_.stripPrefix("_chunk=").toLong).sorted
     val statEntryOrder = Seq("file", "rows", "col", "t", "pt", "lk", "min", "max", "nulls", "nn", "ap")
-    val allEntries = scala.collection.mutable.ArrayBuffer[String]()
-    val chunkJson = chunkIds.map { c =>
-      val dir = dataDir.resolve(s"_chunk=$c")
-      val files = listDir(dir).map(_.getFileName.toString)
+    val chunkFiles: Seq[(Long, Seq[String])] = chunkIds.map { c =>
+      c -> listDir(dataDir.resolve(s"_chunk=$c")).map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).sorted
+    }
+    // reuse only current-format parent entries (pt present; long stats
+    // carry their logical kind): pre-upgrade entries re-derive from the
+    // footer ONCE here, so old tables self-heal instead of carrying
+    // unprunable stats forward forever
+    def reusable(key: String): Option[Seq[Map[String, String]]] =
+      parentStats.get(key).filter(entries =>
+        entries.exists(_.contains("rows")) &&
+          entries.filter(_.contains("col")).forall(e =>
+            e.contains("pt") && (e("t") != "long" || e.contains("lk"))))
+    // footer reads for files with no reusable parent entry run on a bounded
+    // driver pool: a clustered rowsPerFile write cuts hundreds of files and
+    // sequential footer opens were the commit's wall (driver-side metadata
+    // work, guide §5 — the manifest text below stays deterministic because
+    // assembly order is still the sorted (chunk, file) order)
+    val toRead = for {
+      (c, files) <- chunkFiles; f <- files
+      if reusable(s"$c/$f").isEmpty
+    } yield (s"$c/$f", dataDir.resolve(s"_chunk=$c").resolve(f))
+    val freshStats: Map[String, (Long, Seq[(String, ColStat)])] =
+      if (toRead.size <= 1) toRead.map { case (k0, p) => k0 -> footerFileStats(p) }.toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, toRead.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(toRead.map { case (k0, p) =>
+            new java.util.concurrent.Callable[(String, (Long, Seq[(String, ColStat)]))] {
+              def call() = k0 -> footerFileStats(p)
+            }
+          }.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    val allEntries = scala.collection.mutable.ArrayBuffer[String]()
+    val chunkJson = chunkFiles.map { case (c, files) =>
       var rows = 0L
       files.foreach { f =>
         val key = s"$c/$f"
-        // reuse only current-format entries (pt present; long stats carry
-        // their logical kind): pre-upgrade entries re-derive from the
-        // footer ONCE here, so old tables self-heal instead of carrying
-        // unprunable stats forward forever
-        parentStats.get(key) match {
-          case Some(entries) if entries.exists(_.contains("rows")) &&
-              entries.filter(_.contains("col")).forall(e =>
-                e.contains("pt") && (e("t") != "long" || e.contains("lk"))) =>
+        reusable(key) match {
+          case Some(entries) =>
             rows += entries.iterator.flatMap(_.get("rows")).next().toLong
             allEntries ++= entries.map(e => Json.obj(
               statEntryOrder.collect { case fld if e.contains(fld) =>
                 fld -> Json.str(e(fld)) }: _*))
-          case _ =>
-            val (r, cols) = footerFileStats(dir.resolve(f))
+          case None =>
+            val (r, cols) = freshStats(key)
             rows += r
             allEntries ++= statsEntries(key, r, cols)
         }
@@ -536,12 +563,21 @@ object Snapshot {
     * predicates prune inside every chunk, at no file-count explosion (file
     * count still tracks rows/rowsPerFile, not buckets × chunks). */
   private def stageClustered(chunked: DataFrame, numChunks: Int,
-                             clusterBy: Seq[String]): DataFrame =
-    if (clusterBy.isEmpty) chunked
-    else chunked.repartition(numChunks, col("_chunk"))
+                             clusterBy: Seq[String]): DataFrame = {
+    // ALWAYS repartition on the chunk id before the partitionBy write (the
+    // Iceberg write.distribution-mode=hash shape, opt guide §6): every
+    // chunk then lives in exactly one task and lands as one file (plus
+    // rowsPerFile splits). Without it the staged file count is
+    // input-partitions × chunks-touched — a wide upstream (e.g. a
+    // machine-width scan spread) turned a 16-chunk write into ~500 tiny
+    // files, and every later footer read/link/scan pays per file.
+    val one = chunked.repartition(numChunks, col("_chunk"))
+    if (clusterBy.isEmpty) one
+    else one
       // expr, not col: cluster keys may be computed (`zorder2(user_id, ts)`
       // sorts by the Morton key without storing it) or plain column names
       .sortWithinPartitions(col("_chunk") +: clusterBy.map(expr): _*)
+  }
 
   /** Write `df` as snapshot `snapshotId` of `tablePath`, chunked by
     * `pmod(xxhash64(chunkKey), numChunks)`. Safe to re-invoke after a kill at
@@ -1139,16 +1175,10 @@ object Snapshot {
     // read would pick one footer's columns and the rewrite would silently
     // DROP the evolved ones from the table forever
     val full = read(spark, tablePath, k, mergeSchema = true)
-    // repartition by the CHUNK expression (not the raw key): every chunk
-    // then lives in exactly one task, so each chunk dir lands as one file.
-    // Under clusterBy the staging plan repartitions on the chunk id itself
-    // (and re-sorts — incremental commits scatter cluster ranges across
-    // delta files; compaction is where clustering is re-established, same
-    // as Iceberg's sort-order rewrite), so adding one here would just
-    // shuffle the whole table twice
-    val data = if (clusterBy.nonEmpty) full
-      else full.repartition(numChunks, pmod(xxhash64(col(chunkKey)), lit(numChunks)))
-    write(data, tablePath, chunkKey, numChunks, snapshotId = k + 1,
+    // one-file-per-chunk layout is re-established by the staging path
+    // itself (stageClustered always repartitions on the chunk id now);
+    // repartitioning here too would shuffle the whole table twice
+    write(full, tablePath, chunkKey, numChunks, snapshotId = k + 1,
       clusterBy = clusterBy, rowsPerFile = rowsPerFile)
   }
 
@@ -1363,6 +1393,9 @@ object Snapshot {
           else filled.select(tableSchema.fieldNames.map(col): _*)
         staged
           .withColumn("_chunk", chunkOf(col(chunkKey)))
+          // same hash-distribution shape as stageClustered: one task (and
+          // one file) per rewritten chunk regardless of upstream width
+          .repartition(numChunks, col("_chunk"))
           .write.partitionBy("_chunk").mode("overwrite")
           .parquet(staging.resolve("data").toString)
         Files.writeString(touchedFile, touched.mkString(","))

@@ -48,31 +48,58 @@ class SnapshotSpec extends AnyFunSuite {
       java.nio.file.Paths.get(table, "manifest-v7.json")))
   }
 
-  test("compact: one file per chunk, identical content, expiry keeps CURRENT readable") {
+  test("write: staging hash-distributes — one file per chunk from a wide upstream") {
     import spark.implicits._
-    val table = freshDir("snap-compact")
-    // fragmented ingestion: many tasks → many part files per chunk
+    val table = freshDir("snap-onefile")
+    // 16 upstream partitions: pre-r6 staging wrote up to 16 files PER chunk
     val df = (0 until 2000).map(i => (s"c${i % 11}", i)).toDF("conv_id", "n")
       .repartition(16)
     Snapshot.write(df, table, "conv_id", numChunks = 4)
+    import scala.jdk.CollectionConverters._
+    val chunkDirs = Files.list(Paths.get(table, "v0")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_chunk=")).toSeq
+    assert(chunkDirs.nonEmpty)
+    chunkDirs.foreach { cd =>
+      val parts = Files.list(cd).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      assert(parts == 1, s"expected 1 file in ${cd.getFileName}, got $parts")
+    }
+    val back = Snapshot.read(spark, table).as[(String, Int)].collect().sorted.toSeq
+    assert(back == (0 until 2000).map(i => (s"c${i % 11}", i)).sorted)
+  }
+
+  test("compact: one file per chunk, identical content, expiry keeps CURRENT readable") {
+    import spark.implicits._
+    val table = freshDir("snap-compact")
+    // fragmented ingestion: the staging path now hash-distributes on the
+    // chunk id (one file per chunk regardless of upstream width — the r6
+    // writer change), so fragmentation comes the way it does in production:
+    // incremental APPENDS each adding per-chunk s<k>- part files
+    val rows = (0 until 2000).map(i => (s"c${i % 11}", i))
+    Snapshot.write(rows.take(800).toDF("conv_id", "n"), table, "conv_id",
+      numChunks = 4)
+    Snapshot.append(rows.slice(800, 1400).toDF("conv_id", "n"), table,
+      "conv_id", numChunks = 4)
+    Snapshot.append(rows.drop(1400).toDF("conv_id", "n"), table,
+      "conv_id", numChunks = 4)
     def filesOf(version: Int): Seq[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
       Files.walk(Paths.get(table, s"v$version")).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).toSeq
     }
-    val before = filesOf(0).size
+    val before = filesOf(2).size
     assert(before > 4, s"fragmented fixture expected, got $before files")
     Snapshot.compact(spark, table)
     // new CURRENT, one file per chunk, byte-identical content
-    assert(Snapshot.manifestJson(table).replace(" ", "").contains("\"snapshot\":1"))
-    val after = filesOf(1).size
+    assert(Snapshot.manifestJson(table).replace(" ", "").contains("\"snapshot\":3"))
+    val after = filesOf(3).size
     assert(after == 4, s"expected 1 file per chunk, got $after")
     val a = Snapshot.read(spark, table).as[(String, Int)].collect().sorted.toSeq
-    val b = Snapshot.read(spark, table, version = 0).as[(String, Int)].collect().sorted.toSeq
+    val b = Snapshot.read(spark, table, version = 2).as[(String, Int)].collect().sorted.toSeq
     assert(a == b, "compaction must not change table content")
-    // expiry: drop all but CURRENT; old version gone, CURRENT still reads
+    // expiry: drop all but CURRENT; old versions gone, CURRENT still reads
     val expired = Snapshot.expireSnapshots(table, keep = 1)
-    assert(expired == Seq(0))
+    assert(expired == Seq(0, 1, 2))
     assert(!Files.exists(Paths.get(table, "v0")))
     assert(Snapshot.read(spark, table).count() == 2000)
   }
