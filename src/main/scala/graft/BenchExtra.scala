@@ -60,7 +60,7 @@ object BenchExtra {
         val fn = SparkEntry.queries.getOrElse(name,
           sys.error(s"unknown query $name"))
         spark.sparkContext.setJobDescription(name)
-        val secs = (1 to repeat).map { _ =>
+        val secs = (1 to repeat).map { _ =>  // REPEAT=0 → explain only, no run
           @volatile var done = false
           if (watchdogSec > 0) {
             val t = new Thread(() => {
