@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * probability with a top-k readout (`:70-77`, k=2).
   *
   * Split of concerns, mirroring the LDA matcher (`TopicModel.bestMatch`):
-  * the FIT is Spark ML (`ml.classification.LogisticRegression`) — iterative
-  * and not SQL-replayable, pinned by a seed-fixed golden — but INFERENCE is
+  * the FIT is an iterative LBFGS logistic regression (driver-local over the
+  * bounded pair frame since r6 — see [[fit]]) — not SQL-replayable, pinned
+  * by a seed-free deterministic golden — but INFERENCE is
   * this object's own kernel with a DEFINED arithmetic order (i-ascending
   * left-assoc over dims, floats widened to double per element), so an
   * exported [[Model]] replays bit-identically in a SQL oracle as an
@@ -108,65 +109,131 @@ object LearnedMatch {
   }
 
   /** Fit the scaler + logistic regression over all pairs; returns the
-    * exportable [[Model]]. Deterministic given data: LR starts from zero
-    * coefficients with a fixed iteration budget, and the scaler moments
-    * are exact integer-free double aggregates over a bounded frame. */
+    * exportable [[Model]]. Deterministic given data: one Spark job
+    * collects the bounded pair frame in pinned partition order, and the
+    * whole fit (moments + LBFGS) runs driver-local over it.
+    *
+    * r6 optimization: the previous Spark ML `LogisticRegression` fit ran
+    * ~maxIter sequential one-task jobs over the coalesce(1)d frame —
+    * pure scheduler round-trips (measured ~40 ms each, ~2 s of the bench
+    * line). The fit frame is a bounded model-sized sample BY CONTRACT
+    * (like the IVF centroid set — at scale you fit on a capped pair
+    * sample, never the full corpus), so the optimization loop belongs on
+    * the driver, like every other bounded model in this engine. The
+    * optimizer is the same breeze LBFGS(m=10, tol=1e-9) Spark ML drives,
+    * over the standard mean-loss logistic objective with the same
+    * intercept initialization (log class-odds); it differs from Spark
+    * ML's path only in conditioning (Spark re-standardizes + virtually
+    * mean-centers internally), so coefficients agree to optimization
+    * tolerance, not bitwise — the golden (LearnedMatchGoldenSpec) pins
+    * THIS fit, and the oracle replays inference from the exported model
+    * either way. Inference ([[scoredPairs]]) is untouched and fully
+    * distributed.
+    *
+    * Scaler-moment parity: `m` replays Spark's avg() (sum-fold / count)
+    * and `sd` replays stddev_pop's Welford recurrence INCLUDING the final
+    * merge-with-empty-buffer rounding ((mean/n)·n), both over the same
+    * pinned row order — the exported model frame is bit-identical to the
+    * one the old Spark-aggregate path produced. */
   def fit(left: DataFrame, right: DataFrame, threshold: Double = 0.8,
           maxIter: Int = 50, regParam: Double = 0.0): Model = {
-    val spark = left.sparkSession
-    // coalesce(1): the FIT frame is a bounded model-sized sample by
-    // contract (like the IVF centroid set — at scale you fit on a capped
-    // pair sample, never the full corpus), and LBFGS runs ~maxIter
-    // sequential jobs over it. One partition makes each iteration a
-    // single task — on a latency-bound host that cuts the fit wall by
-    // the old partition count — AND pins the float summation order, so
-    // the fitted coefficients no longer depend on the SOURCE's partition
-    // layout (the golden's "deterministic for fixed input partitioning"
-    // caveat tightens to "deterministic, period"). Inference
-    // ([[scoredPairs]]) is untouched and fully distributed.
-    val pairs = pairFrame(left, right, threshold).select("features", "label")
-      .coalesce(1).cache()
-    try {
-      // population moments per dim (sklearn StandardScaler semantics);
-      // 2·dim rows — a bounded model-sized collect, like IVF centroids.
-      // Fail loud on ragged inputs: head() on an unordered frame is an
-      // arbitrary row, and a longer row would blow up the scale UDF deep
-      // in an executor task (AIOOBE) while a shorter one would feed the
-      // LR fit variable-size vectors — same reject-malformed contract as
-      // centroid_argmax
-      val szRow = pairs.agg(min(size(col("features"))),
-        max(size(col("features")))).head()
-      // empty-input contract (review fix): an empty left/right side makes
-      // the min/max aggregates NULL and getInt would die with a bare NPE —
-      // name the failure like the ragged-dim reject below
-      require(!szRow.isNullAt(0),
-        "learned-match fit requires a non-empty pair frame (empty left or right side)")
-      val dim = szRow.getInt(0)
-      require(dim == szRow.getInt(1),
-        s"learned-match fit requires uniform feature dims, got [${dim}, ${szRow.getInt(1)}]")
-      val moments = pairs
-        .select(posexplode(col("features")).as(Seq("d", "x")))
-        .groupBy("d")
-        .agg(avg(col("x")).as("m"), stddev_pop(col("x")).as("sd"))
-        .collect().map(r => (r.getInt(0),
-          (r.getDouble(1), { val s = r.getDouble(2); if (s == 0.0) 1.0 else s })))
-        .toMap
-      val mean = Array.tabulate(dim)(i => moments(i)._1)
-      val std = Array.tabulate(dim)(i => moments(i)._2)
-      val bm = spark.sparkContext.broadcast((mean, std))
-      val scale = udf { (x: Seq[Double]) =>
-        val (m, s) = bm.value
-        org.apache.spark.ml.linalg.Vectors.dense(
-          Array.tabulate(x.length)(i => (x(i) - m(i)) / s(i)))
+    // coalesce(1) pins one deterministic row order (partition-index
+    // concatenation of the deterministic crossJoin) — the float fold
+    // order of the moments, like before
+    val rows = pairFrame(left, right, threshold).select("features", "label")
+      .coalesce(1).collect()
+    require(rows.nonEmpty,
+      "learned-match fit requires a non-empty pair frame (empty left or right side)")
+    val feats = rows.map(_.getSeq[Double](0).toArray)
+    val labels = rows.map(_.getDouble(1))
+    val dim = feats.iterator.map(_.length).min
+    val dimMax = feats.iterator.map(_.length).max
+    require(dim == dimMax,
+      s"learned-match fit requires uniform feature dims, got [$dim, $dimMax]")
+    val n = feats.length
+    // per-dim moments, replaying the retired Spark aggregate path bitwise:
+    // mean = (left-fold sum) / n; sd = Welford m2 recurrence then the
+    // final-merge (mean/n)*n wobble is avg-only (m2 merges exactly), and
+    // stddev_pop reads sqrt(m2/n); sklearn's zero-variance fixup sd=1
+    val mean = new Array[Double](dim)
+    val std = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      var sum = 0.0
+      var wfMean = 0.0
+      var m2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = feats(i)(d)
+        sum += x
+        val cnt = (i + 1).toDouble
+        val delta = x - wfMean
+        wfMean += delta / cnt
+        m2 += delta * (x - wfMean)
+        i += 1
       }
-      val train = pairs.withColumn("scaled", scale(col("features")))
-      val lr = new org.apache.spark.ml.classification.LogisticRegression()
-        .setFeaturesCol("scaled").setLabelCol("label")
-        .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
-        .setTol(1e-9)
-      val fitted = lr.fit(train)
-      Model(fitted.intercept, fitted.coefficients.toArray, mean, std)
-    } finally pairs.unpersist()
+      mean(d) = sum / n
+      val sd = math.sqrt(m2 / n)
+      std(d) = if (sd == 0.0) 1.0 else sd
+      d += 1
+    }
+    val scaled = feats.map { x =>
+      Array.tabulate(dim)(i => (x(i) - mean(i)) / std(i))
+    }
+    // mean logistic loss + L2 (excluding intercept), LogisticAggregator's
+    // numerically-stable formulation; intercept rides as the last coef
+    val negCnt = labels.count(_ == 0.0).toDouble
+    val posCnt = n - negCnt
+    // degenerate single-class input: the optimum is the constant model
+    // (zero weights, ±∞ intercept) — Spark ML's documented behavior for
+    // the same input; returned directly instead of diverging the optimizer
+    if (posCnt == 0.0 || negCnt == 0.0)
+      return Model(
+        if (negCnt == 0.0) Double.PositiveInfinity else Double.NegativeInfinity,
+        new Array[Double](dim), mean, std)
+    def log1pExp(x: Double): Double =
+      if (x > 0) x + math.log1p(math.exp(-x)) else math.log1p(math.exp(x))
+    import breeze.linalg.{DenseVector => BDV}
+    val costFun = new breeze.optimize.DiffFunction[BDV[Double]] {
+      def calculate(w: BDV[Double]): (Double, BDV[Double]) = {
+        val grad = new Array[Double](dim + 1)
+        var loss = 0.0
+        var i = 0
+        while (i < n) {
+          val x = scaled(i)
+          var margin = 0.0
+          var j = 0
+          while (j < dim) { margin += w(j) * x(j); j += 1 }
+          margin = -(margin + w(dim))
+          val label = labels(i)
+          val multiplier = 1.0 / (1.0 + math.exp(margin)) - label
+          j = 0
+          while (j < dim) { grad(j) += multiplier * x(j); j += 1 }
+          grad(dim) += multiplier
+          loss += (if (label > 0) log1pExp(margin) else log1pExp(margin) - margin)
+          i += 1
+        }
+        var j = 0
+        while (j <= dim) { grad(j) /= n; j += 1 }
+        loss /= n
+        if (regParam != 0.0) {
+          var k = 0
+          while (k < dim) {
+            loss += 0.5 * regParam * w(k) * w(k)
+            grad(k) += regParam * w(k)
+            k += 1
+          }
+        }
+        (loss, new BDV(grad))
+      }
+    }
+    val init = new BDV(new Array[Double](dim + 1))
+    init(dim) = math.log(posCnt / negCnt) // Spark ML's class-prior intercept
+    val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
+      maxIter = maxIter, m = 10, tolerance = 1e-9)
+    val solution = lbfgs.minimize(
+      new breeze.optimize.CachedDiffFunction(costFun), init)
+    Model(solution(dim), Array.tabulate(dim)(solution(_)), mean, std)
   }
 
   /** Score every pair with an exported [[Model]] — the kernel runs

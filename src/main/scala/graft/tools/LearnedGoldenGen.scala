@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * the full INFERENCE plane from the exported model each round, and this
   * golden pins the iterative LR FIT itself (coefficients → readout) against
   * drift. Config mirrors graft.TestSpark (local[4], shuffle=8, AQE, UTC) —
-  * Spark ML LR is deterministic for fixed input partitioning. Run once:
+  * the r6 driver-local LBFGS fit is deterministic, period (one pinned
+  * collect order; pure sequential arithmetic after that). Run once:
   *   sbt -batch "runMain graft.tools.LearnedGoldenGen"
   * → src/test/resources/golden/learned_match.csv, compared forever after by
   * LearnedMatchGoldenSpec (which also asserts run-to-run determinism). */
