@@ -563,7 +563,8 @@ object Snapshot {
     * predicates prune inside every chunk, at no file-count explosion (file
     * count still tracks rows/rowsPerFile, not buckets × chunks). */
   private def stageClustered(chunked: DataFrame, numChunks: Int,
-                             clusterBy: Seq[String]): DataFrame = {
+                             clusterBy: Seq[String],
+                             rowsPerFile: Long = 0): DataFrame = {
     // ALWAYS repartition on the chunk id before the partitionBy write (the
     // Iceberg write.distribution-mode=hash shape, opt guide §6): every
     // chunk then lives in exactly one task and lands as one file (plus
@@ -571,12 +572,30 @@ object Snapshot {
     // input-partitions × chunks-touched — a wide upstream (e.g. a
     // machine-width scan spread) turned a 16-chunk write into ~500 tiny
     // files, and every later footer read/link/scan pays per file.
-    val one = chunked.repartition(numChunks, col("_chunk"))
-    if (clusterBy.isEmpty) one
-    else one
-      // expr, not col: cluster keys may be computed (`zorder2(user_id, ts)`
-      // sorts by the Morton key without storing it) or plain column names
-      .sortWithinPartitions(col("_chunk") +: clusterBy.map(expr): _*)
+    //
+    // Clustered + rowsPerFile writes (the z-order layout) asked for
+    // many files per chunk anyway, so their staging RANGE-partitions on
+    // (_chunk, clusterBy…) across the session's width instead (Iceberg
+    // write.distribution-mode=range): disjoint ordered key ranges per
+    // task keep every file's clusterBy min/max tight and
+    // non-overlapping — the pruning property is identical — while the
+    // file-cutting work parallelizes machine-wide (one task per chunk
+    // serialized ~100 sequential tiny-file writes; measured 2.3 s of the
+    // 2.9 s q_snapshot_zorder line).
+    // expr, not col: cluster keys may be computed (`zorder2(user_id, ts)`
+    // sorts by the Morton key without storing it) or plain column names
+    if (clusterBy.isEmpty) chunked.repartition(numChunks, col("_chunk"))
+    else {
+      val keys = col("_chunk") +: clusterBy.map(expr)
+      val parts =
+        if (rowsPerFile > 0)
+          math.max(numChunks,
+            chunked.sparkSession.sparkContext.defaultParallelism)
+        else numChunks
+      (if (parts > numChunks) chunked.repartitionByRange(parts, keys: _*)
+       else chunked.repartition(numChunks, col("_chunk")))
+        .sortWithinPartitions(keys: _*)
+    }
   }
 
   /** Write `df` as snapshot `snapshotId` of `tablePath`, chunked by
@@ -626,7 +645,7 @@ object Snapshot {
       if (Files.exists(staging)) deleteRecursively(staging)
       val staged = stageClustered(
         df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks))),
-        numChunks, clusterBy)
+        numChunks, clusterBy, rowsPerFile)
       val w = staged.write.partitionBy("_chunk").mode("overwrite")
       (if (rowsPerFile > 0) w.option("maxRecordsPerFile", rowsPerFile) else w)
         .parquet(staging.resolve("data").toString)
@@ -1235,7 +1254,7 @@ object Snapshot {
       if (Files.exists(staging)) deleteRecursively(staging)
       val staged = stageClustered(
         df.withColumn("_chunk", pmod(xxhash64(col(chunkKey)), lit(numChunks))),
-        numChunks, clusterBy)
+        numChunks, clusterBy, rowsPerFile)
       val w = staged.write.partitionBy("_chunk").mode("overwrite")
       (if (rowsPerFile > 0) w.option("maxRecordsPerFile", rowsPerFile) else w)
         .parquet(staging.resolve("data").toString)
