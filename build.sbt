@@ -50,6 +50,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // buffers amortized — the right shape for iterative many-stage queries at
   // any scale, and the same writer a real cluster uses for wide shuffles.
   "-Dspark.shuffle.sort.bypassMergeThreshold=0",
+  // 145 queries in one JVM compile ~500 codegen units, but the shapes that
+  // repeat across queries (the same parquet scan / exchange / agg frames)
+  // generate IDENTICAL source — cache hits iff they survive. The default
+  // 100-entry codegen cache thrashes over a sweep this wide; janino
+  // compiles are 10-100 ms each on this box.
+  "-Dspark.sql.codegen.cache.maxEntries=1000",
 )
 // local[32] = one JVM doing all executor work: give `run` a real heap
 // (the machine has 128 GiB; allocation-heavy FSM stages go GC-bound at 8g).
