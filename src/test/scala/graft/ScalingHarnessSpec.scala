@@ -33,7 +33,7 @@ class ScalingHarnessSpec extends AnyFunSuite {
   test("quiet gating: contended probes, steal, implausible ratios all disqualify") {
     assert(pair(2, 8, 90, 25).quiet)
     assert(!pair(2, 8, 90, 25, pQuiet = false).quiet, "loud probes")
-    assert(!pair(2, 8, 90, 25, steal = 0.05).quiet, "steal over 2%")
+    assert(!pair(2, 8, 90, 25, steal = 0.05).quiet, "steal over 1%")
     // round-5 tightening: 1.45% steal marked the DRAM-neighbor window the
     // cache-resident CPU probe could not see (eff 0.391 on a 0.89 dim)
     assert(!pair(2, 8, 90, 25, steal = 0.0145).quiet, "steal over 1%")
